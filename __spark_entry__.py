@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end extraction over sf0.001.
+``queries()`` / ``oracle_sql()`` — per-operator correctness pairs
+checked against DuckDB at sf0.01 (SURVEY.md §2 driver keys).
 """
 
 from __future__ import annotations
@@ -13,26 +11,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from accountant_pdf_extract_spark.plans.pipeline import extract, spans_view
+from accountant_pdf_extract_spark.sources.synth import interleaved_from_documents
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: wrap sf0.001 ``documents`` into the pinned interleaved
+    input shape (deterministic synth keyed on doc_id), run the full
+    extraction (decode → pdf layout parse → html strip → boilerplate
+    strip → field rules → assemble), return the flattened ordered
+    span sequence."""
+    docs = interleaved_from_documents(spark, SF0001, seed=42)
+    return spans_view(extract(docs, salt_buckets=256, num_partitions=32))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from accountant_pdf_extract_spark.plans import driver_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from accountant_pdf_extract_spark.plans import driver_queries
+
+    return driver_queries.oracle_sql()

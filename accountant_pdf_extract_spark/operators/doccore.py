@@ -1,0 +1,59 @@
+"""Per-document extraction core (U1+U2–U9 fused): interleaved input
+spans → ordered output spans + accounting fields.
+
+Pure Python/numpy — no Spark imports — so the same function serves the
+``mapInArrow`` kernel (``operators/kernel.py``), unit tests, and the
+synth round-trip property tests.  The semantics it implements are the
+north-rule invariant (``BASELINE.json:15``): output spans are
+``(kind, text, media_ref, order)`` with ``order`` the dense 0-based
+reading-order rank; only kinds ``text``/``media`` survive.
+"""
+
+from __future__ import annotations
+
+from accountant_pdf_extract_spark.operators.fields import extract_fields
+from accountant_pdf_extract_spark.operators.htmlstrip import strip_html
+from accountant_pdf_extract_spark.operators.layout import pdf_to_items
+from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+
+OutSpan = tuple[str, str, str, int]  # (kind, text, media_ref, order)
+
+
+def extract_doc(
+    spans: list[tuple[str, str | None, str | None, int | None]],
+) -> tuple[list[OutSpan], dict]:
+    """spans: (kind, text, media_ref, offset) in any order.
+
+    Processing order is input ``offset`` (ties: original position);
+    pdf/html payloads expand in reading order in place.
+    """
+    out: list[tuple[str, str, str]] = []
+    for kind, text, media_ref, _off in sorted(
+        ((k, t, m, o if o is not None else i) for i, (k, t, m, o) in enumerate(spans)),
+        key=lambda s: s[3],
+    ):
+        text = text or ""
+        media_ref = media_ref or ""
+        if kind == "text":
+            if text.strip():
+                out.append(("text", text, ""))
+        elif kind == "media":
+            if media_ref:
+                out.append(("media", "", media_ref))
+        elif kind == "pdf":
+            if text:
+                for it in pdf_to_items(parse_pdf(text.encode("latin-1"))):
+                    if it.is_media:
+                        out.append(("media", "", it.media_ref))
+                    else:
+                        out.append(("text", it.text, ""))
+        elif kind == "html":
+            for block in strip_html(text):
+                out.append(("text", block, ""))
+        # unknown kinds dropped (validity guard P4, SURVEY.md §2.2)
+
+    ordered: list[OutSpan] = [
+        (k, t, m, i) for i, (k, t, m) in enumerate(out)
+    ]
+    fields = extract_fields([t for k, t, _, _ in ordered if k == "text"])
+    return ordered, fields

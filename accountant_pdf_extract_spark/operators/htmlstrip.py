@@ -1,0 +1,70 @@
+"""From-scratch HTML boilerplate strip (U7, SURVEY.md §2.9).
+
+Regex tag lexer, no external parser: drop script/style/nav/header/
+footer/aside subtrees, split on block-level tags, keep blocks passing
+the boilerpipe-style text-length + link-density test, decode the common
+entities.  Called per HTML payload from inside the batch kernels
+(pandas-vectorizable at batch level via ``pd.Series.map``).
+
+Spec: ``BASELINE.json:14`` ("HTML boilerplate strip ... DOM
+heuristics"); thresholds in ``spec.py`` (shared with the oracle).
+"""
+
+from __future__ import annotations
+
+import re
+
+from accountant_pdf_extract_spark import spec
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DROP_RE = re.compile(
+    r"<(" + "|".join(spec.HTML_DROP_TAGS) + r")\b[^>]*>.*?</\1\s*>",
+    re.S | re.I,
+)
+_BLOCK_SPLIT_RE = re.compile(
+    r"</?(?:" + "|".join(spec.HTML_BLOCK_TAGS) + r")\b[^>]*/?>",
+    re.I,
+)
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+
+
+def _clean(fragment: str) -> str:
+    txt = _TAG_RE.sub(" ", fragment)
+    txt = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], txt)
+    return _WS_RE.sub(" ", txt).strip()
+
+
+def strip_html(html: str) -> list[str]:
+    """HTML → list of main-content text blocks, document order."""
+    if not html:
+        return []
+    body = _COMMENT_RE.sub(" ", html)
+    # Iterate: nested drop-tags (nav inside header, ...) need repeats.
+    prev = None
+    while prev != body:
+        prev = body
+        body = _DROP_RE.sub(" ", body)
+
+    blocks: list[str] = []
+    for raw in _BLOCK_SPLIT_RE.split(body):
+        text = _clean(raw)
+        if len(text) < spec.HTML_MIN_CHARS:
+            continue
+        link_chars = sum(len(_clean(m.group(1))) for m in _ANCHOR_RE.finditer(raw))
+        if link_chars and link_chars / len(text) > spec.HTML_MAX_LINK_DENSITY:
+            continue
+        blocks.append(text)
+    return blocks

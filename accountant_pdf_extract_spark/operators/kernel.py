@@ -1,0 +1,72 @@
+"""The fused Arrow extraction kernel (SURVEY.md §2.9 U1–U9 as one
+``mapInArrow`` pass).
+
+Input batches: (doc_id: string, spans: list<struct<kind,text,media_ref,
+offset>>).  Output batches: one row per output span, flattened, plus
+the doc's extracted fields repeated per row
+(``schema.ARROW_FLAT_FIELDS``).  Arrow in, Arrow out — the only Python
+boundary in the hot path; no per-row Python at the Spark API level
+(``BASELINE.json:15``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from decimal import Decimal
+
+import pyarrow as pa
+
+from accountant_pdf_extract_spark.operators.doccore import extract_doc
+from accountant_pdf_extract_spark.schema import ARROW_FLAT_FIELDS
+
+
+def extract_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        span_lists = batch.column("spans").to_pylist()
+
+        col_doc, col_kind, col_text, col_ref, col_order = [], [], [], [], []
+        col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
+        col_total, col_amounts, col_codes = [], [], []
+
+        for doc_id, spans in zip(doc_ids, span_lists):
+            spans = spans or []
+            out, fields = extract_doc(
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in spans
+                ]
+            )
+            for kind, text, ref, order in out:
+                col_doc.append(doc_id)
+                col_kind.append(kind)
+                col_text.append(text)
+                col_ref.append(ref)
+                col_order.append(order)
+                col_inv.append(fields["invoice_id"])
+                col_idate.append(fields["invoice_date"])
+                col_ddate.append(fields["due_date"])
+                col_ccy.append(fields["currency"])
+                col_total.append(fields["total"])
+                col_amounts.append(fields["amounts"])
+                col_codes.append(fields["account_codes"])
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(col_doc, pa.string()),
+                pa.array(col_kind, pa.string()),
+                pa.array(col_text, pa.string()),
+                pa.array(col_ref, pa.string()),
+                pa.array(col_order, pa.int32()),
+                pa.array(col_inv, pa.string()),
+                pa.array(col_idate, pa.date32()),
+                pa.array(col_ddate, pa.date32()),
+                pa.array(col_ccy, pa.string()),
+                pa.array(col_total, pa.decimal128(18, 2)),
+                pa.array(col_amounts, pa.list_(pa.decimal128(18, 2))),
+                pa.array(col_codes, pa.list_(pa.string())),
+            ],
+            schema=ARROW_FLAT_FIELDS,
+        )

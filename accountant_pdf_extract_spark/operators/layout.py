@@ -1,0 +1,180 @@
+"""Layout analysis over tokenized PDF pages (U3–U6, SURVEY.md §2.9):
+x/y line clustering, table/cell detection (ruling-line + whitespace-gap),
+reading-order sort with two-column detection, and repeated-line
+header/footer boilerplate stripping.
+
+Pure per-document functions invoked from the Arrow batch kernel; numpy
+for the sort-heavy paths.  Spec: ``BASELINE.json:6``; constants in
+``spec.py`` shared with the code-disjoint oracle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from accountant_pdf_extract_spark import spec
+from accountant_pdf_extract_spark.operators.pdfparse import Page
+
+
+@dataclass
+class Line:
+    page: int
+    y: float
+    x: float
+    end_x: float
+    text: str
+
+
+@dataclass
+class Placed:
+    """A positioned output item: a text line or a media placement."""
+
+    page: int
+    y: float
+    x: float
+    end_x: float
+    is_media: bool
+    text: str
+    media_ref: str
+
+
+def cluster_lines(page_idx: int, page: Page) -> list[Line]:
+    """Group glyph runs into lines by baseline-y proximity; join runs
+    left-to-right with ''/' '/tab per the gap + ruling heuristics."""
+    runs = page.runs
+    if not runs:
+        return []
+    ys = np.array([r.y for r in runs])
+    xs = np.array([r.x for r in runs])
+    order = np.lexsort((xs, -ys))  # top-to-bottom, then left-to-right
+
+    vrules = [r for r in page.rules if not r.horiz]
+
+    lines: list[Line] = []
+    group: list[int] = []
+    group_y = None
+
+    def flush() -> None:
+        if not group:
+            return
+        members = sorted((runs[i] for i in group), key=lambda r: r.x)
+        y = max(r.y for r in members)
+        parts = [members[0].text]
+        for prev, cur in zip(members, members[1:]):
+            gap = cur.x - prev.end_x
+            crossed = any(
+                prev.end_x <= v.x <= cur.x
+                and v.y <= y <= v.y + v.length + spec.LINE_Y_TOL
+                for v in vrules
+            )
+            if crossed or gap > spec.TAB_GAP_PTS:
+                parts.append("\t")
+            elif gap > spec.SPACE_GAP_FACTOR * cur.size:
+                parts.append(" ")
+            parts.append(cur.text)
+        text = "".join(parts)
+        if text.strip():
+            lines.append(
+                Line(
+                    page=page_idx,
+                    y=y,
+                    x=members[0].x,
+                    end_x=members[-1].end_x,
+                    text=text,
+                )
+            )
+        group.clear()
+
+    for i in order:
+        ry = runs[i].y
+        if group_y is None or abs(group_y - ry) <= spec.LINE_Y_TOL:
+            group.append(int(i))
+            group_y = ry if group_y is None else group_y
+        else:
+            flush()
+            group.append(int(i))
+            group_y = ry
+    flush()
+    return lines
+
+
+def reading_order(page_idx: int, page: Page) -> list[Placed]:
+    """Order one page's lines + media placements: header zone first,
+    then body (column-major if a clean two-column split exists), then
+    footer zone; each zone top-to-bottom, left-to-right."""
+    items: list[Placed] = [
+        Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "")
+        for ln in cluster_lines(page_idx, page)
+    ] + [
+        Placed(page_idx, im.y, im.x, im.x + im.w, True, "", im.media_ref)
+        for im in page.images
+    ]
+    header = [it for it in items if it.y >= spec.TOP_ZONE_Y]
+    footer = [it for it in items if it.y <= spec.BOT_ZONE_Y]
+    body = [it for it in items if spec.BOT_ZONE_Y < it.y < spec.TOP_ZONE_Y]
+
+    def topdown(seq: list[Placed]) -> list[Placed]:
+        return sorted(seq, key=lambda it: (-it.y, it.x))
+
+    left = [it for it in body if it.end_x < spec.COL_SPLIT_X]
+    right = [it for it in body if it.x >= spec.COL_SPLIT_X]
+    two_col = (
+        len(body) >= spec.COL_MIN_TOTAL
+        and len(left) >= spec.COL_MIN_SIDE
+        and len(right) >= spec.COL_MIN_SIDE
+        and len(left) + len(right) == len(body)
+    )
+    ordered_body = topdown(left) + topdown(right) if two_col else topdown(body)
+    return topdown(header) + ordered_body + topdown(footer)
+
+
+_NORM_WS = re.compile(r"\s+")
+_NORM_DIGIT = re.compile(r"\d")
+
+
+def normalize_line(text: str) -> str:
+    """Boilerplate-frequency normalization: lowercase, digits → '#',
+    collapse whitespace."""
+    return _NORM_WS.sub(" ", _NORM_DIGIT.sub("#", text.lower())).strip()
+
+
+def strip_boilerplate(
+    placed: list[Placed], n_pages: int
+) -> list[Placed]:
+    """Drop header/footer-zone lines whose normalized text repeats on
+    >= 2 distinct pages and >= BOILER_FRAC of all pages, every
+    occurrence in-zone (``BASELINE.json:6``)."""
+    if n_pages < spec.BOILER_MIN_PAGES:
+        return placed
+    pages_of: dict[str, set[int]] = {}
+    always_zoned: dict[str, bool] = {}
+    for it in placed:
+        if it.is_media:
+            continue
+        key = normalize_line(it.text)
+        in_zone = it.y >= spec.TOP_ZONE_Y or it.y <= spec.BOT_ZONE_Y
+        pages_of.setdefault(key, set()).add(it.page)
+        always_zoned[key] = always_zoned.get(key, True) and in_zone
+    min_pages = max(2, int(np.ceil(spec.BOILER_FRAC * n_pages)))
+    boiler = {
+        k
+        for k, pgs in pages_of.items()
+        if len(pgs) >= min_pages and always_zoned[k]
+    }
+    return [
+        it
+        for it in placed
+        if it.is_media or normalize_line(it.text) not in boiler
+    ]
+
+
+def pdf_to_items(pages: list[Page]) -> list[Placed]:
+    """Full per-PDF layout pass: cluster → order → boilerplate strip,
+    concatenated across pages in page order."""
+    placed: list[Placed] = []
+    for idx, page in enumerate(pages):
+        placed.extend(reading_order(idx, page))
+    return strip_boilerplate(placed, n_pages=len(pages))

@@ -1,0 +1,253 @@
+"""From-scratch PDF-subset tokenizer (U2 in SURVEY.md §2.9).
+
+Parses the closed subset of ``FIXTURES.md §1.1`` (uncompressed content
+streams; text ops BT/ET Tf Td TD Tm T* Tj TJ '; ``re`` + S/f rulings;
+``cm /ImN Do`` image placements) into per-page glyph runs, ruling
+segments, and image placements.  Runs inside the Arrow batch kernel —
+one call per PDF byte stream, regex lexing per content stream (no
+per-row Python at the Spark API level, per ``BASELINE.json:15``).
+
+Spec source: ``BASELINE.json:6`` ("text-object tokenization").  The
+reference repo has no parser to cite (``/root/reference/README.md:1``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from accountant_pdf_extract_spark import spec
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_XOBJ_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_XOBJ_ENTRY_RE = re.compile(rb"/(Im\d+)\s+(\d+)\s+0\s+R")
+_NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
+
+# Content-stream token: a (string), a [TJ array], a number, or an op.
+_TOK_RE = re.compile(
+    r"""\(((?:[^()\\]|\\.)*)\)      # 1: literal string
+      | \[                          # TJ array opens (elements re-lexed)
+      | \]
+      | (/[A-Za-z0-9]+)             # 2: name
+      | ([-+]?\d*\.?\d+)            # 3: number
+      | ([A-Za-z'"*]+)              # 4: operator
+    """,
+    re.X,
+)
+
+_ESC_RE = re.compile(r"\\([()\\n])")
+
+
+def _unescape(s: str) -> str:
+    return _ESC_RE.sub(lambda m: "\n" if m.group(1) == "n" else m.group(1), s)
+
+
+@dataclass
+class Run:
+    x: float
+    y: float
+    size: float
+    text: str
+
+    @property
+    def end_x(self) -> float:
+        return self.x + spec.CHAR_W_FACTOR * self.size * len(self.text)
+
+
+@dataclass
+class Rule:
+    horiz: bool
+    x: float
+    y: float
+    length: float
+
+
+@dataclass
+class Image:
+    x: float
+    y: float
+    w: float
+    h: float
+    media_ref: str
+
+
+@dataclass
+class Page:
+    runs: list[Run]
+    rules: list[Rule]
+    images: list[Image]
+
+
+def parse_pdf(data: bytes) -> list[Page]:
+    """Tokenize a PDF-subset byte stream into per-page primitives."""
+    objs: dict[int, bytes] = {}
+    streams: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        body = m.group(2)
+        objs[num] = body
+        sm = _STREAM_RE.search(body)
+        if sm:
+            streams[num] = sm.group(1)
+
+    # Page order: the /Pages /Kids list if present, else object order.
+    page_nums: list[int] = []
+    for num, body in objs.items():
+        if b"/Type /Pages" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+            break
+    if not page_nums:
+        page_nums = [
+            n for n, b in sorted(objs.items())
+            if b"/Type /Page" in b and b"/Type /Pages" not in b
+        ]
+
+    pages: list[Page] = []
+    for pn in page_nums:
+        body = objs.get(pn, b"")
+        cm = _CONTENTS_RE.search(body)
+        content = streams.get(int(cm.group(1)), b"") if cm else b""
+        xobj_refs: dict[str, str] = {}
+        xm = _XOBJ_RE.search(body)
+        if xm:
+            for em in _XOBJ_ENTRY_RE.finditer(xm.group(1)):
+                target = objs.get(int(em.group(2)), b"")
+                nm = _NAME_RE.search(target)
+                if nm:
+                    xobj_refs[em.group(1).decode("latin-1")] = _unescape(
+                        nm.group(1).decode("latin-1")
+                    )
+        pages.append(_parse_content(content.decode("latin-1"), xobj_refs))
+    return pages
+
+
+def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
+    runs: list[Run] = []
+    rules: list[Rule] = []
+    images: list[Image] = []
+
+    size = 10.0
+    leading = 12.0
+    line_x = 0.0  # text line origin
+    x = 0.0
+    y = 0.0
+    ctm = (1.0, 1.0, 0.0, 0.0)  # (a, d, e, f) — only scale+translate used
+    stack: list[tuple[float, float, float, float]] = []
+    nums: list[float] = []
+    names: list[str] = []
+    strings: list[str] = []
+    tj_parts: list[tuple[bool, object]] = []  # (is_string, val) inside [...]
+    in_array = False
+
+    def emit(txt: str) -> None:
+        nonlocal x
+        if txt:
+            runs.append(Run(x=x, y=y, size=size, text=txt))
+            x += spec.CHAR_W_FACTOR * size * len(txt)
+
+    for m in _TOK_RE.finditer(content):
+        if m.group(0) == "[":
+            in_array = True
+            tj_parts = []
+            continue
+        if m.group(0) == "]":
+            in_array = False
+            continue
+        if m.group(1) is not None:  # literal string
+            s = _unescape(m.group(1))
+            if in_array:
+                tj_parts.append((True, s))
+            else:
+                strings.append(s)
+            continue
+        if m.group(2) is not None:  # /Name
+            names.append(m.group(2)[1:])
+            continue
+        if m.group(3) is not None:  # number
+            v = float(m.group(3))
+            if in_array:
+                tj_parts.append((False, v))
+            else:
+                nums.append(v)
+            continue
+
+        op = m.group(4)
+        if op == "Tf":
+            if nums:
+                size = nums[-1]
+        elif op == "TL":
+            if nums:
+                leading = nums[-1]
+        elif op == "Td":
+            if len(nums) >= 2:
+                line_x += nums[-2]
+                y += nums[-1]
+                x = line_x
+        elif op == "TD":
+            if len(nums) >= 2:
+                leading = -nums[-1]
+                line_x += nums[-2]
+                y += nums[-1]
+                x = line_x
+        elif op == "Tm":
+            if len(nums) >= 6:
+                line_x = nums[-2]
+                y = nums[-1]
+                x = line_x
+        elif op in ("T*",):
+            y -= leading
+            x = line_x
+        elif op == "Tj":
+            if strings:
+                emit(strings[-1])
+        elif op == "'":
+            y -= leading
+            x = line_x
+            if strings:
+                emit(strings[-1])
+        elif op == "TJ":
+            buf: list[str] = []
+            for is_str, val in tj_parts:
+                if is_str:
+                    buf.append(str(val))
+                elif float(val) <= spec.TJ_SPACE_THRESH:  # type: ignore[arg-type]
+                    buf.append(" ")
+            emit("".join(buf))
+            tj_parts = []
+        elif op == "BT":
+            line_x = x = y = 0.0
+        elif op == "re":
+            if len(nums) >= 4:
+                rx, ry, rw, rh = nums[-4:]
+                if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
+                    rules.append(Rule(horiz=True, x=rx, y=ry, length=rw))
+                elif abs(rw) <= spec.RULE_EPS and rh > spec.RULE_EPS:
+                    rules.append(Rule(horiz=False, x=rx, y=ry, length=rh))
+        elif op == "cm":
+            if len(nums) >= 6:
+                a, b_, c_, d, e, f = nums[-6:]
+                ctm = (a, d, e, f)
+        elif op == "q":
+            stack.append(ctm)
+        elif op == "Q":
+            ctm = stack.pop() if stack else (1.0, 1.0, 0.0, 0.0)
+        elif op == "Do":
+            if names:
+                ref = xobj_refs.get(names[-1])
+                if ref:
+                    images.append(
+                        Image(x=ctm[2], y=ctm[3], w=ctm[0], h=ctm[1], media_ref=ref)
+                    )
+        # ET, S, f, W, n etc. need no action beyond operand reset.
+        if op not in ("q", "Q"):
+            nums = []
+        strings = []
+        names = [] if op == "Do" else names
+
+    return Page(runs=runs, rules=rules, images=images)

@@ -1,0 +1,79 @@
+"""The extraction plan (SURVEY.md §3): declared with the DataFrame API
+so Catalyst owns pushdown/pruning/physical strategy; exactly ONE
+shuffle in the whole job — the spec-mandated salted repartition on
+``hash(doc_id)`` (``BASELINE.json:6,14``) that defeats giant-PDF skew
+by spreading docs uniformly over fine-grained tasks (AQE coalesces the
+tail).  Everything downstream is map-only: the fused Arrow kernel, then
+the sink.  At 100 TB this shape means: parquet/Iceberg scan with column
+pruning → one exchange → embarrassingly parallel extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.operators.kernel import extract_batches
+from accountant_pdf_extract_spark.schema import (
+    FLAT_FIELDS_SCHEMA,
+    assert_input_schema,
+)
+
+SALT_COL = "_salt_bucket"
+
+
+def salt(df: DataFrame, buckets: int = 1024) -> DataFrame:
+    """J5: deterministic salt bucket from the doc id hash."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets)).cast("int")
+    )
+
+
+def extract(
+    df: DataFrame,
+    salt_buckets: int = 1024,
+    num_partitions: int | None = None,
+    keep_salt: bool = False,
+) -> DataFrame:
+    """Interleaved input table → flattened output spans + fields.
+
+    One row per output span: (doc_id, kind, text, media_ref, order,
+    invoice_id, invoice_date, due_date, currency, total, amounts,
+    account_codes).
+    """
+    assert_input_schema(df.select("doc_id", "spans"))
+    spark = df.sparkSession
+    np = num_partitions or spark.sparkContext.defaultParallelism * 4
+    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
+    out = salted.select("doc_id", "spans").mapInArrow(
+        extract_batches, schema=FLAT_FIELDS_SCHEMA
+    )
+    if keep_salt:
+        out = out.withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("int"),
+        )
+    return out
+
+
+def spans_view(flat: DataFrame) -> DataFrame:
+    """Span-sequence view: (doc_id, kind, text, media_ref, order) — the
+    fixture-comparable projection (``BASELINE.json:15``)."""
+    return flat.select("doc_id", "kind", "text", "media_ref", "order")
+
+
+def doc_view(flat: DataFrame) -> DataFrame:
+    """Re-nest the flat output to one row per doc with the ordered
+    spans array + fields struct (X2 collect, SURVEY.md §2.3)."""
+    return flat.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("order", "kind", "text", "media_ref"))
+        ).alias("spans"),
+        F.first("invoice_id", ignorenulls=False).alias("invoice_id"),
+        F.first("invoice_date").alias("invoice_date"),
+        F.first("due_date").alias("due_date"),
+        F.first("currency").alias("currency"),
+        F.first("total").alias("total"),
+        F.first("amounts").alias("amounts"),
+        F.first("account_codes").alias("account_codes"),
+    )

@@ -1,0 +1,52 @@
+"""SparkSession builder tuned for the extraction workload.
+
+Local testing runs ``local[N]`` single-JVM; the same configs are the
+ones we would ship in ``spark-submit --conf`` on a real cluster
+(documented per config).  No custom Catalyst rules anywhere — the plan
+is declared with the DataFrame API and Catalyst/AQE do the physical
+planning (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Documents can be megabytes each (giant-PDF tail) — 10k rows/Arrow
+# batch would balloon memory in the Python workers. 256 docs/batch keeps
+# batches ~tens of MB worst-case while still amortizing IPC overhead.
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app: str = "accountant_pdf_extract_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # AQE: runtime coalesce + skew-join splitting (on top of our
+        # explicit doc_id-hash salting for map-side UDF skew).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else max(32, cpus * 2)),
+        )
+        # Arrow is the only executor<->Python transport we use.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS)
+        )
+        # Large text payloads: 64-bit offsets end-to-end.
+        .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,279 @@
+"""Deterministic synthetic interleaved-document corpus (S3 in
+SURVEY.md §2.1).
+
+Everything is keyed on ``(seed, doc_key)`` through
+``numpy.random.default_rng`` — no wall clock, no global RNG — so any
+doc regenerates bit-identically on any executor (idempotent task
+retry, reproducible fixtures).  Two Spark builders:
+
+* ``interleaved_from_documents(spark, sf_dir)`` — wraps the driver's
+  read-only ``documents`` parquet (``TESTDATA.md``) into the pinned
+  input shape ``(doc_id:string, spans:array<struct<kind,text,
+  media_ref,offset>>)`` using each doc's own text as vocabulary.
+* ``synth_interleaved(spark, n_docs, seed)`` — standalone corpus from
+  ``spark.range`` (used by bench at arbitrary scale).
+
+Both run the per-doc builder inside ``mapInArrow`` — vectorized Arrow
+batches, never per-row Python UDFs (``BASELINE.json:15``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterator
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
+
+ARROW_INPUT = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field(
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("kind", pa.string()),
+                        pa.field("text", pa.string()),
+                        pa.field("media_ref", pa.string()),
+                        pa.field("offset", pa.int32()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+DEFAULT_WORDS = (
+    "ledger balance debit credit journal asset liability revenue expense "
+    "equity invoice payment remittance statement quarter fiscal audit "
+    "accrual deferral voucher receipt batch posting reconcile trial"
+).split()
+
+_COMPANIES = ["ACME GmbH", "Globex Corp", "Initech LLC", "Umbrella SA"]
+_CCYS = ["USD", "EUR", "GBP"]
+
+
+def _fmt_amount(val: Decimal, ccy: str, neg: bool = False) -> str:
+    usd = f"{val:,.2f}"
+    if ccy == "USD":
+        s = f"${usd}"
+    elif ccy == "EUR":
+        s = usd.replace(",", "_").replace(".", ",").replace("_", ".") + " €"
+    else:
+        s = "£" + usd.replace(",", " ")
+    return f"({s})" if neg else s
+
+
+def _fmt_date(d: dt.date, style: int) -> str:
+    if style == 0:
+        return d.isoformat()
+    if style == 1:
+        return d.strftime("%d.%m.%Y")
+    if style == 2:
+        return d.strftime("%d/%m/%Y")
+    return f"{d.strftime('%B')} {d.day}, {d.year}"
+
+
+def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
+    return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n))
+
+
+def make_invoice_pdf(rng: np.random.Generator, vocab: list[str]) -> str:
+    """A multi-page invoice in the PDF subset: header/footer
+    boilerplate, anchor fields, a ruled or whitespace-gap items table,
+    optional image placement / two-column page."""
+    giant = rng.random() < 0.01
+    n_pages = int(rng.integers(20, 51)) if giant else int(rng.integers(1, 4))
+    company = _COMPANIES[int(rng.integers(0, len(_COMPANIES)))]
+    # € is not latin-1-encodable, and pdf payloads travel as latin-1
+    # strings (FIXTURES.md §1.1) — EUR invoices are exercised through
+    # text/html spans instead.
+    ccy = ["USD", "GBP"][int(rng.integers(0, 2))]
+    year = 2024 + int(rng.integers(0, 2))
+    inv_no = f"INV-{year}-{int(rng.integers(0, 10000)):04d}"
+    base = dt.date(year, 1 + int(rng.integers(0, 12)), 1 + int(rng.integers(0, 28)))
+    due = base + dt.timedelta(days=int(rng.integers(10, 60)))
+    style = int(rng.integers(0, 4))
+    ruled = bool(rng.random() < 0.5)
+
+    pages: list[PageBuilder] = []
+
+    pg = PageBuilder()
+    pg.text(72, 760, f"{company} - Statement")
+    pg.text(72, 30, f"Page 1 of {n_pages}")
+    pg.text(72, 700, "INVOICE", size=14)
+    pg.text(72, 676, f"Invoice No: {inv_no}")
+    pg.text(72, 658, f"Date: {_fmt_date(base, style)}")
+    pg.text(72, 640, f"Due: {_fmt_date(due, style)}")
+    pg.text(72, 622, f"Account: {int(rng.integers(100, 9999))}-{int(rng.integers(10, 9999))}")
+
+    n_rows = int(rng.integers(2, 6))
+    y = 580.0
+    top_y = y + 14
+    total = Decimal(0)
+    pg.text(72, y, "Item")
+    pg.text(300, y, "Qty")
+    pg.text(450, y, "Amount")
+    if ruled:
+        pg.hrule(72, y - 4, 468)
+    for _ in range(n_rows):
+        y -= 18
+        amt = Decimal(int(rng.integers(100, 500000))) / 100
+        total += amt
+        pg.text(72, y, _words(rng, vocab, int(rng.integers(1, 4))))
+        pg.text(300, y, str(int(rng.integers(1, 20))))
+        pg.text(450, y, _fmt_amount(amt, ccy))
+    if ruled:
+        pg.vrule(290, y - 6, top_y - (y - 6))
+        pg.vrule(440, y - 6, top_y - (y - 6))
+    y -= 24
+    pg.text(72, y, f"Total: {_fmt_amount(total, ccy)}")
+    pages.append(pg)
+
+    for p in range(2, n_pages + 1):
+        pg = PageBuilder()
+        pg.text(72, 760, f"{company} - Statement")
+        pg.text(72, 30, f"Page {p} of {n_pages}")
+        layout = int(rng.integers(0, 10))
+        if layout < 2 and not giant:
+            # Two-column page.  Baselines are staggered: same-y runs
+            # across the gutter are, by spec, table rows (tab-joined);
+            # column-major reading order applies to independent flows.
+            for i in range(4):
+                pg.text(72, 700 - 18 * i, _words(rng, vocab, 4)[:44])
+            for i in range(4):
+                pg.text(320, 691 - 18 * i, _words(rng, vocab, 4)[:44])
+        else:
+            n_lines = int(rng.integers(18, 25)) if giant else int(rng.integers(5, 12))
+            lines = [_words(rng, vocab, int(rng.integers(4, 9))) for _ in range(n_lines)]
+            pg.text_block(72, 700, lines, leading=16)
+        if rng.random() < 0.25:
+            ref = f"media://sha/{int(rng.integers(0, 2**62)):016x}"
+            pg.image(150, 200, 120, 80, ref)
+        pages.append(pg)
+
+    return build_pdf(pages)
+
+
+def make_html(rng: np.random.Generator, vocab: list[str]) -> str:
+    company = _COMPANIES[int(rng.integers(0, len(_COMPANIES)))]
+    paras = [
+        _words(rng, vocab, int(rng.integers(8, 20)))
+        for _ in range(int(rng.integers(1, 4)))
+    ]
+    body = "".join(f"<p>{p} &amp; co</p>\n" for p in paras)
+    return (
+        "<html><head><title>x</title><style>body{color:#000}</style>"
+        "<script>var t=1;</script></head><body>\n"
+        '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>\n'
+        f"<header><h1>{company} portal</h1></header>\n"
+        f"{body}"
+        f"<footer>(c) {company}</footer>\n"
+        "</body></html>"
+    )
+
+
+def build_doc(
+    doc_key: int, seed: int, vocab: list[str]
+) -> list[tuple[str, str, str, int]]:
+    """One interleaved document, bit-deterministic in (seed, doc_key)."""
+    rng = np.random.default_rng([seed, doc_key & 0x7FFFFFFF])
+    vocab = vocab if vocab else DEFAULT_WORDS
+    spans: list[tuple[str, str, str, int]] = []
+    n = 1 + int(rng.integers(0, 5))
+    for i in range(n):
+        r = rng.random()
+        if i == 0 or r < 0.45:
+            kind = "text"
+        elif r < 0.70:
+            kind = "pdf"
+        elif r < 0.85:
+            kind = "html"
+        else:
+            kind = "media"
+        if kind == "text":
+            if rng.random() < 0.2:
+                # EUR invoice snippet as plain text (EUR symbol can't ride in the
+                # latin-1 pdf payloads).
+                amt = Decimal(int(rng.integers(100, 500000))) / 100
+                d = dt.date(2025, 1 + int(rng.integers(0, 12)), 1 + int(rng.integers(0, 28)))
+                txt = (
+                    f"Rechnung Nr: RE-{int(rng.integers(100, 99999))} "
+                    f"Datum: {_fmt_date(d, 1)} "
+                    f"Summe: {_fmt_amount(amt, 'EUR')}"
+                )
+                spans.append(("text", txt, "", i))
+            else:
+                spans.append(("text", _words(rng, vocab, int(rng.integers(5, 15))), "", i))
+        elif kind == "pdf":
+            spans.append(("pdf", make_invoice_pdf(rng, vocab), "", i))
+        elif kind == "html":
+            spans.append(("html", make_html(rng, vocab), "", i))
+        else:
+            ref = f"media://sha/{int(rng.integers(0, 2**62)):016x}"
+            spans.append(("media", "", ref, i))
+    return spans
+
+
+def _spans_to_arrow(rows: list[tuple[str, list]]) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array(
+                [
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in r[1]
+                    ]
+                    for r in rows
+                ],
+                ARROW_INPUT.field("spans").type,
+            ),
+        ],
+        schema=ARROW_INPUT,
+    )
+
+
+def interleaved_from_documents(
+    spark: SparkSession, sf_dir: str, seed: int = 42
+) -> DataFrame:
+    """Wrap the driver's ``documents`` table into the pinned
+    interleaved input shape, deterministically keyed on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            rows = []
+            for did, text in zip(ids, texts):
+                vocab = (text or "").split() or DEFAULT_WORDS
+                rows.append((f"doc-{did:08d}", build_doc(int(did), seed, vocab)))
+            yield _spans_to_arrow(rows)
+
+    return docs.mapInArrow(gen, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+
+
+def synth_interleaved(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Standalone corpus: ``spark.range`` → per-doc builder."""
+    rng_free = spark.range(0, n_docs, numPartitions=partitions or max(32, n_docs // 2000))
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            rows = [
+                (f"doc-{i:08d}", build_doc(int(i), seed, DEFAULT_WORDS))
+                for i in ids
+            ]
+            yield _spans_to_arrow(rows)
+
+    return rng_free.mapInArrow(gen, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")

@@ -1,0 +1,70 @@
+"""Shared layout/heuristic constants — the single source of truth for
+both the engine kernels and the code-disjoint test oracle
+(``tests/oracle.py``).
+
+These pin the PDF-subset geometry heuristics (line clustering,
+whitespace-gap columns, boilerplate zones) so golden fixtures are a
+spec, not an accident.  Spec source: ``/root/repo/BASELINE.json:6``
+(north_star: "x/y line clustering, reading-order sort, table/cell
+detection via ruling-line and whitespace-gap heuristics ...
+boilerplate headers/footers stripped via repeated-line frequency
+heuristics across pages").  The reference repo contains no code to
+cite (``/root/reference/README.md:1``).
+"""
+
+# Page geometry (US Letter, the only MediaBox the synth writer emits).
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+# Header/footer zones: top/bottom 8% of page height (y >= 728.64 /
+# y <= 63.36 on US Letter).  Body copy conventionally starts around
+# y=700–720, so a 15% zone would swallow real content.
+TOP_ZONE_Y = 0.92 * PAGE_H  # y >= this → header zone
+BOT_ZONE_Y = 0.08 * PAGE_H  # y <= this → footer zone
+
+# Line clustering: two glyph runs belong to the same line iff their
+# baseline y differs by no more than this (points).
+LINE_Y_TOL = 2.0
+
+# Run joining within a line (gap measured from estimated end-x of the
+# previous run to start-x of the next):
+#   gap >  TAB_GAP_PTS                → tab (whitespace-gap column)
+#   gap >  SPACE_GAP_FACTOR * size    → single space
+#   else                              → direct concatenation
+TAB_GAP_PTS = 18.0
+SPACE_GAP_FACTOR = 0.25
+
+# Nominal glyph advance: width of one character = CHAR_W_FACTOR * font size.
+# (The synth writer and the parser share this monospace-ish estimate.)
+CHAR_W_FACTOR = 0.5
+
+# TJ array kerning: a numeric adjustment <= this (thousandths of an em)
+# renders as a single space.
+TJ_SPACE_THRESH = -180.0
+
+# Ruling lines: a stroked/filled `re` rect with height <= RULE_EPS is a
+# horizontal rule; width <= RULE_EPS is a vertical rule.
+RULE_EPS = 2.0
+
+# Boilerplate (repeated header/footer) strip: only for docs with >= 2
+# pages; a normalized line is boilerplate iff it occurs on >= 2 distinct
+# pages AND on >= BOILER_FRAC of all pages AND every occurrence lies in
+# the header or footer zone.
+BOILER_MIN_PAGES = 2
+BOILER_FRAC = 0.6
+
+# Two-column detection: body items must all lie strictly left
+# (end_x < COL_SPLIT_X) or start right (x >= COL_SPLIT_X), with at
+# least COL_MIN_SIDE items per side and COL_MIN_TOTAL body items.
+COL_SPLIT_X = PAGE_W / 2.0
+COL_MIN_SIDE = 2
+COL_MIN_TOTAL = 6
+
+# HTML main-content heuristics (boilerpipe-style, from-scratch):
+HTML_MIN_CHARS = 10          # keep a block iff its text length >= this
+HTML_MAX_LINK_DENSITY = 0.5  # ... and anchor-text chars / total chars <= this
+HTML_DROP_TAGS = ("script", "style", "nav", "header", "footer", "aside")
+HTML_BLOCK_TAGS = (
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
+    "li", "tr", "table", "ul", "ol", "br", "section", "article",
+)

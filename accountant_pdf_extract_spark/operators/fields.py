@@ -105,8 +105,12 @@ def extract_fields(lines: list[str]) -> dict:
         line_dates = dates_in(line)
         if line_dates and invoice_date is None:
             invoice_date = line_dates[0][1]
-        if line_dates and due_date is None and _DUE.search(line):
-            due_date = line_dates[0][1]
+        if line_dates and due_date is None:
+            dm = _DUE.search(line)
+            if dm:
+                # first date after the anchor, else first on the line
+                after = [d for p, d in line_dates if p > dm.start()]
+                due_date = after[0] if after else line_dates[0][1]
         line_amounts = amounts_in(line)
         all_amounts.extend((c, v) for _, c, v in line_amounts)
         if line_amounts and _TOTAL.search(line):

@@ -1,0 +1,189 @@
+"""Generate the committed golden fixtures (run manually; outputs are
+committed so CI never depends on regeneration):
+
+    python tests/make_fixtures.py
+
+Writes tests/fixtures/{fixture_docs,golden_spans,golden_fields}.parquet.
+Inputs: 40 seeded synth docs (seed=7) + handcrafted edge documents
+covering every heuristic (FIXTURES.md §1.2).  Golden outputs come from
+the code-disjoint oracle (tests/oracle.py), NOT the engine.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
+from accountant_pdf_extract_spark.sources.synth import DEFAULT_WORDS, build_doc
+from tests.oracle import oracle_extract
+
+FIXDIR = pathlib.Path(__file__).parent / "fixtures"
+
+SPAN_T = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+
+def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
+    docs: list[tuple[str, list[tuple[str, str, str, int]]]] = []
+
+    docs.append(("edge-empty", []))
+    docs.append(("edge-ws-text", [("text", "   \t  ", "", 0)]))
+    docs.append(("edge-media-only", [("media", "", "media://sha/00deadbeef00cafe", 0)]))
+    docs.append(("edge-unknown-kind", [("zzz", "ignore me", "", 0), ("text", "kept", "", 1)]))
+
+    # empty pdf: one page, no text ops
+    pg = PageBuilder()
+    docs.append(("edge-pdf-notext", [("pdf", build_pdf([pg]), "", 0)]))
+
+    # locale amounts + dates + account codes, one per line
+    docs.append(
+        (
+            "edge-locales",
+            [
+                (
+                    "text",
+                    "Factura Num: FC-2025-777",
+                    "",
+                    0,
+                ),
+                ("text", "Fecha: 07/03/2025 vencimiento: 15/04/2025", "", 1),
+                ("text", "Summe: 1.234,56 €", "", 2),
+                ("text", "Balance: £12 345.00", "", 3),
+                ("text", "adjustment ($987.65) noted", "", 4),
+                ("text", "Konto: 4000.12 and 1200-4711", "", 5),
+                ("text", "Dated March 7, 2025 and 07.03.2025", "", 6),
+            ],
+        )
+    )
+
+    # handcrafted pdf exercising Tm / T* / TD / TJ and ruled grid
+    pg = PageBuilder()
+    pg.ops.append("BT /F1 10 Tf 1 0 0 1 72 700 Tm (From Tm op) Tj ET")
+    pg.ops.append(
+        "BT /F1 10 Tf 16 TL 72 660 Td (line one) Tj T* (line two) Tj ET"
+    )
+    pg.ops.append("BT /F1 10 Tf 72 600 TD (td line a) Tj ET")
+    pg.text_tj(72, 560, ["part", -250.0, "gap", -50.0, "close"], size=10)
+    pg.hrule(72, 540, 300)
+    pg.text(72, 520, "cellA")
+    pg.text(200, 520, "cellB")
+    pg.vrule(180, 500, 60)
+    docs.append(("edge-ops", [("pdf", build_pdf([pg]), "", 0)]))
+
+    # html with entities, links, nested drop tags
+    html = (
+        "<html><body><header><nav><a href='/'>Home</a></nav>deco</header>"
+        "<p>Tom &amp; Jerry&#39;s ledger entry is long enough.</p>"
+        "<div><a href='/x'>tiny</a></div>"
+        "<div>Mostly <a href='/y'>link text that dominates this here block</a> x</div>"
+        "<ul><li>first bullet item line</li><li>second bullet item line</li></ul>"
+        "</body></html>"
+    )
+    docs.append(("edge-html", [("html", html, "", 0)]))
+
+    # interleaving: text, media, pdf, text with explicit offsets reversed
+    pg = PageBuilder()
+    pg.text(72, 700, "pdf body line")
+    docs.append(
+        (
+            "edge-interleave",
+            [
+                ("text", "tail text", "", 3),
+                ("pdf", build_pdf([pg]), "", 2),
+                ("media", "", "media://sha/0123456789abcdef", 1),
+                ("text", "head text", "", 0),
+            ],
+        )
+    )
+    return docs
+
+
+def main() -> None:
+    FIXDIR.mkdir(exist_ok=True)
+    docs = handcrafted()
+    for k in range(40):
+        docs.append((f"fix-{k:04d}", build_doc(k, 7, DEFAULT_WORDS)))
+
+    in_ids, in_spans = [], []
+    g_doc, g_kind, g_text, g_ref, g_ord = [], [], [], [], []
+    f_rows: dict[str, list] = {
+        "doc_id": [], "invoice_id": [], "invoice_date": [], "due_date": [],
+        "currency": [], "total": [], "amounts": [], "account_codes": [],
+    }
+
+    for doc_id, spans in docs:
+        in_ids.append(doc_id)
+        in_spans.append(
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": o}
+                for k, t, m, o in spans
+            ]
+        )
+        out, fields = oracle_extract(spans)
+        for kind, text, ref, order in out:
+            g_doc.append(doc_id)
+            g_kind.append(kind)
+            g_text.append(text)
+            g_ref.append(ref)
+            g_ord.append(order)
+        f_rows["doc_id"].append(doc_id)
+        for key in (
+            "invoice_id", "invoice_date", "due_date", "currency", "total",
+            "amounts", "account_codes",
+        ):
+            f_rows[key].append(fields[key])
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(in_ids, pa.string()),
+                "spans": pa.array(in_spans, pa.list_(SPAN_T)),
+            }
+        ),
+        FIXDIR / "fixture_docs.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(g_doc, pa.string()),
+                "kind": pa.array(g_kind, pa.string()),
+                "text": pa.array(g_text, pa.string()),
+                "media_ref": pa.array(g_ref, pa.string()),
+                "order": pa.array(g_ord, pa.int32()),
+            }
+        ),
+        FIXDIR / "golden_spans.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(f_rows["doc_id"], pa.string()),
+                "invoice_id": pa.array(f_rows["invoice_id"], pa.string()),
+                "invoice_date": pa.array(f_rows["invoice_date"], pa.date32()),
+                "due_date": pa.array(f_rows["due_date"], pa.date32()),
+                "currency": pa.array(f_rows["currency"], pa.string()),
+                "total": pa.array(f_rows["total"], pa.decimal128(18, 2)),
+                "amounts": pa.array(
+                    f_rows["amounts"], pa.list_(pa.decimal128(18, 2))
+                ),
+                "account_codes": pa.array(
+                    f_rows["account_codes"], pa.list_(pa.string())
+                ),
+            }
+        ),
+        FIXDIR / "golden_fields.parquet",
+    )
+    print(f"wrote {len(docs)} fixture docs, {len(g_doc)} golden spans")
+
+
+if __name__ == "__main__":
+    main()

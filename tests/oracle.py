@@ -1,0 +1,471 @@
+"""Pure single-document oracle — deliberately slow, obviously correct,
+code-disjoint from the engine (shares only the *spec*: the constants in
+``accountant_pdf_extract_spark/spec.py`` and the regex rule strings in
+``functions/rules.py``, both of which ARE the specification the golden
+fixtures pin).
+
+Implements the same semantics as ``operators/doccore.extract_doc`` in a
+straight-line procedural style with no numpy and no shared helper code.
+Used to generate ``tests/fixtures/golden_spans.parquet`` /
+``golden_fields.parquet`` and by the property tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+from decimal import Decimal
+
+from accountant_pdf_extract_spark import spec
+from accountant_pdf_extract_spark.functions import rules
+
+# --------------------------------------------------------------------------
+# PDF-subset reading (independent implementation)
+# --------------------------------------------------------------------------
+
+
+def _pdf_objects(raw: str) -> dict[int, str]:
+    objs = {}
+    pos = 0
+    while True:
+        m = re.compile(r"(\d+)\s+0\s+obj\b", re.S).search(raw, pos)
+        if not m:
+            break
+        end = raw.find("endobj", m.end())
+        if end < 0:
+            break
+        objs[int(m.group(1))] = raw[m.end() : end]
+        pos = end + 6
+    return objs
+
+
+def _page_object_numbers(objs: dict[int, str]) -> list[int]:
+    for body in objs.values():
+        if "/Type /Pages" in body:
+            km = re.search(r"/Kids\s*\[([^\]]*)\]", body)
+            if km:
+                return [int(x) for x in re.findall(r"(\d+)\s+0\s+R", km.group(1))]
+    return [
+        n
+        for n, b in sorted(objs.items())
+        if "/Type /Page" in b and "/Type /Pages" not in b
+    ]
+
+
+def _unesc(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            out.append("\n" if nxt == "n" else nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+class _TextState:
+    def __init__(self) -> None:
+        self.size = 10.0
+        self.leading = 12.0
+        self.lx = 0.0
+        self.x = 0.0
+        self.y = 0.0
+
+
+def _interpret(content: str, xobjs: dict[str, str]):
+    """Returns (runs, vrules, hrules, images); runs = (x, y, size, txt)."""
+    runs, vrules, hrules, images = [], [], [], []
+    st = _TextState()
+    ctm = [1.0, 1.0, 0.0, 0.0]
+    saved = []
+    operands: list = []
+
+    token_pat = re.compile(
+        r"\(((?:[^()\\]|\\.)*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
+        r"|([-+]?\d*\.?\d+)|([A-Za-z'\"*]+)"
+    )
+
+    def advance(txt: str) -> None:
+        if txt:
+            runs.append((st.x, st.y, st.size, txt))
+            st.x = st.x + spec.CHAR_W_FACTOR * st.size * len(txt)
+
+    arr: list | None = None
+    for tok in token_pat.finditer(content):
+        string, open_b, close_b, name, number, op = tok.groups()
+        if open_b:
+            arr = []
+            continue
+        if close_b:
+            operands.append(arr)
+            arr = None
+            continue
+        if string is not None:
+            (arr if arr is not None else operands).append(("str", _unesc(string)))
+            continue
+        if name:
+            operands.append(("name", name[1:]))
+            continue
+        if number:
+            v = float(number)
+            if arr is not None:
+                arr.append(("num", v))
+            else:
+                operands.append(("num", v))
+            continue
+
+        nums = [
+            v for o in operands if isinstance(o, tuple) and o[0] == "num"
+            for v in [o[1]]
+        ]
+        if op == "Tf" and nums:
+            st.size = nums[-1]
+        elif op == "TL" and nums:
+            st.leading = nums[-1]
+        elif op == "Td" and len(nums) >= 2:
+            st.lx += nums[-2]
+            st.y += nums[-1]
+            st.x = st.lx
+        elif op == "TD" and len(nums) >= 2:
+            st.leading = -nums[-1]
+            st.lx += nums[-2]
+            st.y += nums[-1]
+            st.x = st.lx
+        elif op == "Tm" and len(nums) >= 6:
+            st.lx = nums[-2]
+            st.y = nums[-1]
+            st.x = st.lx
+        elif op == "T*":
+            st.y -= st.leading
+            st.x = st.lx
+        elif op == "BT":
+            st.lx = st.x = st.y = 0.0
+        elif op == "Tj":
+            strs = [v for t, v in operands if t == "str"]
+            if strs:
+                advance(strs[-1])
+        elif op == "'":
+            st.y -= st.leading
+            st.x = st.lx
+            strs = [v for t, v in operands if t == "str"]
+            if strs:
+                advance(strs[-1])
+        elif op == "TJ":
+            parts = []
+            last_arr = next(
+                (o for o in reversed(operands) if isinstance(o, list)), []
+            )
+            for t, v in last_arr:
+                if t == "str":
+                    parts.append(v)
+                elif v <= spec.TJ_SPACE_THRESH:
+                    parts.append(" ")
+            advance("".join(parts))
+        elif op == "re" and len(nums) >= 4:
+            rx, ry, rw, rh = nums[-4:]
+            if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
+                hrules.append((rx, ry, rw))
+            elif abs(rw) <= spec.RULE_EPS and rh > spec.RULE_EPS:
+                vrules.append((rx, ry, rh))
+        elif op == "cm" and len(nums) >= 6:
+            ctm = [nums[-6], nums[-3], nums[-2], nums[-1]]
+        elif op == "q":
+            saved.append(list(ctm))
+            continue  # keep operands (mirrors engine)
+        elif op == "Q":
+            ctm = saved.pop() if saved else [1.0, 1.0, 0.0, 0.0]
+            continue
+        elif op == "Do":
+            names = [
+                o[1] for o in operands if isinstance(o, tuple) and o[0] == "name"
+            ]
+            if names and names[-1] in xobjs:
+                images.append((ctm[2], ctm[3], ctm[0], ctm[1], xobjs[names[-1]]))
+        operands = []
+    return runs, vrules, hrules, images
+
+
+def _end_x(run) -> float:
+    x, _y, size, txt = run
+    return x + spec.CHAR_W_FACTOR * size * len(txt)
+
+
+def _lines_of(runs, vrules):
+    """Cluster runs into lines; returns (y, x, end_x, text) tuples."""
+    ordered = sorted(runs, key=lambda r: (-r[1], r[0]))
+    groups: list[list] = []
+    for run in ordered:
+        if groups and abs(groups[-1][0][1] - run[1]) <= spec.LINE_Y_TOL:
+            groups[-1].append(run)
+        else:
+            groups.append([run])
+    lines = []
+    for grp in groups:
+        grp = sorted(grp, key=lambda r: r[0])
+        line_y = max(r[1] for r in grp)
+        text = grp[0][3]
+        for prev, cur in zip(grp, grp[1:]):
+            gap = cur[0] - _end_x(prev)
+            has_vrule = False
+            for vx, vy, vlen in vrules:
+                if _end_x(prev) <= vx <= cur[0] and vy <= line_y <= vy + vlen + spec.LINE_Y_TOL:
+                    has_vrule = True
+                    break
+            if has_vrule or gap > spec.TAB_GAP_PTS:
+                text += "\t" + cur[3]
+            elif gap > spec.SPACE_GAP_FACTOR * cur[2]:
+                text += " " + cur[3]
+            else:
+                text += cur[3]
+        if text.strip():
+            lines.append((line_y, grp[0][0], _end_x(grp[-1]), text))
+    return lines
+
+
+def _order_page(lines, images):
+    """items: (y, x, end_x, is_media, text, ref) in reading order."""
+    items = [(y, x, ex, False, t, "") for (y, x, ex, t) in lines]
+    items += [(y, x, x + w, True, "", ref) for (x, y, w, _h, ref) in images]
+    header = [it for it in items if it[0] >= spec.TOP_ZONE_Y]
+    footer = [it for it in items if it[0] <= spec.BOT_ZONE_Y]
+    body = [it for it in items if spec.BOT_ZONE_Y < it[0] < spec.TOP_ZONE_Y]
+    td = lambda seq: sorted(seq, key=lambda it: (-it[0], it[1]))  # noqa: E731
+    left = [it for it in body if it[2] < spec.COL_SPLIT_X]
+    right = [it for it in body if it[1] >= spec.COL_SPLIT_X]
+    if (
+        len(body) >= spec.COL_MIN_TOTAL
+        and len(left) >= spec.COL_MIN_SIDE
+        and len(right) >= spec.COL_MIN_SIDE
+        and len(left) + len(right) == len(body)
+    ):
+        mid = td(left) + td(right)
+    else:
+        mid = td(body)
+    return td(header) + mid + td(footer)
+
+
+def _norm(text: str) -> str:
+    return re.sub(r"\s+", " ", re.sub(r"\d", "#", text.lower())).strip()
+
+
+def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
+    """PDF payload (latin-1 string) → [(kind, text, media_ref)]."""
+    objs = _pdf_objects(payload)
+    streams = {}
+    for n, body in objs.items():
+        sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
+        if sm:
+            streams[n] = sm.group(1)
+
+    per_page = []
+    for pn in _page_object_numbers(objs):
+        body = objs.get(pn, "")
+        cm = re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
+        content = streams.get(int(cm.group(1)), "") if cm else ""
+        xobjs = {}
+        xm = re.search(r"/XObject\s*<<(.*?)>>", body, re.S)
+        if xm:
+            for em in re.finditer(r"/(Im\d+)\s+(\d+)\s+0\s+R", xm.group(1)):
+                nm = re.search(
+                    r"/Name\s*\(((?:[^()\\]|\\.)*)\)", objs.get(int(em.group(2)), "")
+                )
+                if nm:
+                    xobjs[em.group(1)] = _unesc(nm.group(1))
+        runs, vrules, _hrules, images = _interpret(content, xobjs)
+        per_page.append(_order_page(_lines_of(runs, vrules), images))
+
+    n_pages = len(per_page)
+    # boilerplate bookkeeping
+    page_seen: dict[str, set[int]] = {}
+    zoned: dict[str, bool] = {}
+    for pi, items in enumerate(per_page):
+        for (y, _x, _ex, is_media, text, _ref) in items:
+            if is_media:
+                continue
+            key = _norm(text)
+            page_seen.setdefault(key, set()).add(pi)
+            in_zone = y >= spec.TOP_ZONE_Y or y <= spec.BOT_ZONE_Y
+            zoned[key] = zoned.get(key, True) and in_zone
+    drop: set[str] = set()
+    if n_pages >= spec.BOILER_MIN_PAGES:
+        need = max(2, math.ceil(spec.BOILER_FRAC * n_pages))
+        for key, pgs in page_seen.items():
+            if len(pgs) >= need and zoned[key]:
+                drop.add(key)
+
+    out = []
+    for items in per_page:
+        for (_y, _x, _ex, is_media, text, ref) in items:
+            if is_media:
+                out.append(("media", "", ref))
+            elif _norm(text) not in drop:
+                out.append(("text", text, ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# HTML (independent implementation)
+# --------------------------------------------------------------------------
+
+_ENT = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+
+
+def _strip_tags(s: str) -> str:
+    s = re.sub(r"<[^>]+>", " ", s)
+    for k, v in _ENT.items():
+        s = s.replace(k, v)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def html_spans(payload: str) -> list[tuple[str, str, str]]:
+    if not payload:
+        return []
+    s = re.sub(r"<!--.*?-->", " ", payload, flags=re.S)
+    while True:
+        before = s
+        for tag in spec.HTML_DROP_TAGS:
+            s = re.sub(
+                rf"<{tag}\b[^>]*>.*?</{tag}\s*>", " ", s, flags=re.S | re.I
+            )
+        if s == before:
+            break
+    splitter = re.compile(
+        r"</?(?:" + "|".join(spec.HTML_BLOCK_TAGS) + r")\b[^>]*/?>", re.I
+    )
+    out = []
+    for frag in splitter.split(s):
+        text = _strip_tags(frag)
+        if len(text) < spec.HTML_MIN_CHARS:
+            continue
+        link_len = 0
+        for am in re.finditer(r"<a\b[^>]*>(.*?)</a\s*>", frag, re.S | re.I):
+            link_len += len(_strip_tags(am.group(1)))
+        if link_len and link_len / len(text) > spec.HTML_MAX_LINK_DENSITY:
+            continue
+        out.append(("text", text, ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Fields (independent implementation; the regex strings are the spec)
+# --------------------------------------------------------------------------
+
+_MONTHS3 = {m[:3]: i + 1 for i, m in enumerate(rules.MONTHS)}
+
+
+def _parse_num(s: str) -> Decimal:
+    s = s.replace("\u00a0", "").replace(" ", "")
+    seps = [i for i, c in enumerate(s) if c in ",."]
+    if seps and len(s) - seps[-1] - 1 == 2:
+        ip = "".join(c for c in s[: seps[-1]] if c.isdigit())
+        return Decimal(ip + "." + s[seps[-1] + 1 :]).quantize(Decimal("0.01"))
+    return Decimal("".join(c for c in s if c.isdigit())).quantize(Decimal("0.01"))
+
+
+def _line_dates(line: str) -> list[tuple[int, dt.date]]:
+    res = []
+    for pat, order in (
+        (rules.DATE_ISO, "ymd"),
+        (rules.DATE_DOTTED, "dmy"),
+        (rules.DATE_SLASH, "dmy"),
+        (rules.DATE_MONTHNAME, "mdy"),
+    ):
+        for m in re.finditer(pat, line):
+            g = m.groups()
+            try:
+                if order == "ymd":
+                    d = dt.date(int(g[0]), int(g[1]), int(g[2]))
+                elif order == "dmy":
+                    d = dt.date(int(g[2]), int(g[1]), int(g[0]))
+                else:
+                    d = dt.date(int(g[2]), _MONTHS3[g[0].lower()[:3]], int(g[1]))
+            except (ValueError, KeyError):
+                continue
+            res.append((m.start(), d))
+    return sorted(res, key=lambda p: p[0])
+
+
+def _line_amounts(line: str) -> list[tuple[int, str, Decimal]]:
+    res = []
+    for m in re.finditer(rules.AMOUNT_LEAD, line):
+        val = _parse_num(m.group(3))
+        if m.group(1) and m.group(4):
+            val = -val
+        res.append((m.start(), rules.CURRENCY[m.group(2)], val))
+    for m in re.finditer(rules.AMOUNT_TRAIL_EUR, line):
+        val = _parse_num(m.group(2))
+        if m.group(1) and m.group(4):
+            val = -val
+        res.append((m.start(), "EUR", val))
+    return sorted(res, key=lambda p: p[0])
+
+
+def doc_fields(text_lines: list[str]) -> dict:
+    joined = "\n".join(text_lines)
+    idm = re.search(rules.INVOICE_ID, joined)
+    inv_date = due = None
+    amounts: list[tuple[str, Decimal]] = []
+    total = None
+    total_ccy = None
+    codes: list[str] = []
+    for line in text_lines:
+        ds = _line_dates(line)
+        if ds and inv_date is None:
+            inv_date = ds[0][1]
+        if ds and due is None:
+            dm = re.search(rules.DUE_ANCHOR, line)
+            if dm:
+                later = [d for p, d in ds if p > dm.start()]
+                due = later[0] if later else ds[0][1]
+        ams = _line_amounts(line)
+        amounts += [(c, v) for _p, c, v in ams]
+        if ams and re.search(rules.TOTAL_ANCHOR, line):
+            total = ams[0][2]
+            total_ccy = ams[0][1]
+        if re.search(rules.ACCOUNT_ANCHOR, line):
+            for cm in re.finditer(rules.ACCOUNT_CODE, line):
+                if cm.group(1) not in codes:
+                    codes.append(cm.group(1))
+    return {
+        "invoice_id": idm.group(1).upper() if idm else None,
+        "invoice_date": inv_date,
+        "due_date": due,
+        "currency": total_ccy or (amounts[0][0] if amounts else None),
+        "total": total,
+        "amounts": [v for _c, v in amounts],
+        "account_codes": codes,
+    }
+
+
+# --------------------------------------------------------------------------
+# Whole document
+# --------------------------------------------------------------------------
+
+
+def oracle_extract(spans) -> tuple[list[tuple[str, str, str, int]], dict]:
+    """spans: iterable of (kind, text, media_ref, offset)."""
+    indexed = list(enumerate(spans))
+    indexed.sort(key=lambda p: p[1][3] if p[1][3] is not None else p[0])
+    flat: list[tuple[str, str, str]] = []
+    for _i, (kind, text, ref, _off) in indexed:
+        text = text or ""
+        ref = ref or ""
+        if kind == "text" and text.strip():
+            flat.append(("text", text, ""))
+        elif kind == "media" and ref:
+            flat.append(("media", "", ref))
+        elif kind == "pdf" and text:
+            flat.extend(pdf_spans(text))
+        elif kind == "html":
+            flat.extend(html_spans(text))
+    numbered = [(k, t, r, i) for i, (k, t, r) in enumerate(flat)]
+    fields = doc_fields([t for (k, t, _r, _i) in numbered if k == "text"])
+    return numbered, fields

@@ -1,0 +1,185 @@
+"""Unit tests per kernel (SURVEY.md §5.2): tokenizer ops, clustering
+tolerances, table heuristics, boilerplate, html, field rules."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from accountant_pdf_extract_spark.operators.doccore import extract_doc
+from accountant_pdf_extract_spark.operators.fields import (
+    amounts_in,
+    dates_in,
+    extract_fields,
+    parse_amount,
+)
+from accountant_pdf_extract_spark.operators.htmlstrip import strip_html
+from accountant_pdf_extract_spark.operators.layout import normalize_line
+from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
+
+
+def _pdf(*pages: PageBuilder) -> bytes:
+    return build_pdf(list(pages)).encode("latin-1")
+
+
+def test_tokenizer_td_tj():
+    pg = PageBuilder()
+    pg.text(72, 700, "hello (world) \\ ok")
+    pages = parse_pdf(_pdf(pg))
+    assert len(pages) == 1
+    assert pages[0].runs[0].text == "hello (world) \\ ok"
+    assert pages[0].runs[0].x == 72 and pages[0].runs[0].y == 700
+
+
+def test_tokenizer_tj_kerning():
+    pg = PageBuilder()
+    pg.text_tj(72, 700, ["a", -250.0, "b", -100.0, "c"])
+    pages = parse_pdf(_pdf(pg))
+    assert pages[0].runs[0].text == "a bc"
+
+
+def test_tokenizer_text_block_tstar():
+    pg = PageBuilder()
+    pg.text_block(72, 700, ["first", "second", "third"], leading=20)
+    pages = parse_pdf(_pdf(pg))
+    ys = [r.y for r in pages[0].runs]
+    assert ys == [700, 680, 660]
+
+
+def test_line_clustering_tolerance():
+    pg = PageBuilder()
+    pg.text(72, 700.0, "left")
+    pg.text(120, 701.5, "same line")  # within 2pt tolerance
+    pg.text(72, 680.0, "next line")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    texts = [t for _, t, _, _ in out]
+    assert texts == ["left\tsame line", "next line"]  # 48pt gap → tab? no:
+    # 72+0.5*10*4=92 end; 120-92=28 > 18 → tab. Correct.
+
+
+def test_space_vs_concat_gap():
+    pg = PageBuilder()
+    pg.text(72, 700, "ab")  # end_x = 82
+    pg.text(83, 700, "cd")  # gap 1 < 2.5 → concat
+    pg.text(72, 680, "ef")  # end_x = 82
+    pg.text(90, 680, "gh")  # gap 8 → space (2.5 < 8 <= 18)
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    texts = [t for _, t, _, _ in out]
+    assert texts == ["abcd", "ef gh"]
+
+
+def test_ruled_table_tab():
+    pg = PageBuilder()
+    pg.text(72, 500, "A")
+    pg.text(100, 500, "B")  # gap 100-77=23 > 18 → tab anyway
+    pg.text(72, 480, "C")
+    pg.text(90, 480, "D")  # gap 13 → space, but vrule at 85 → tab
+    pg.vrule(85, 470, 40)
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    texts = [t for _, t, _, _ in out]
+    assert texts == ["A\tB", "C\tD"]
+
+
+def test_boilerplate_strip_multipage():
+    pages = []
+    for i in range(3):
+        pg = PageBuilder()
+        pg.text(72, 760, "Corp Header 99")
+        pg.text(72, 30, f"Page {i+1} of 3")
+        pg.text(72, 500, f"unique body {i}")
+        pages.append(pg)
+    out, _ = extract_doc([("pdf", build_pdf(pages), "", 0)])
+    texts = [t for _, t, _, _ in out]
+    assert texts == ["unique body 0", "unique body 1", "unique body 2"]
+
+
+def test_boilerplate_kept_single_page():
+    pg = PageBuilder()
+    pg.text(72, 760, "Corp Header")
+    pg.text(72, 500, "body")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [t for _, t, _, _ in out] == ["Corp Header", "body"]
+
+
+def test_normalize_line():
+    assert normalize_line("Page 3 of 12") == "page # of ##"
+
+
+def test_image_media_ref_passthrough():
+    pg = PageBuilder()
+    pg.text(72, 700, "before")
+    pg.image(100, 400, 120, 80, "media://sha/feedface00000000")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert out == [
+        ("text", "before", "", 0),
+        ("media", "", "media://sha/feedface00000000", 1),
+    ]
+
+
+def test_html_drop_and_entities():
+    blocks = strip_html(
+        "<body><script>x=1</script><nav><a href='/'>A B C D E</a></nav>"
+        "<p>Tom &amp; Jerry keep the books.</p></body>"
+    )
+    assert blocks == ["Tom & Jerry keep the books."]
+
+
+def test_html_link_density():
+    blocks = strip_html(
+        "<div><a href='/'>all of this text is a link here</a></div>"
+        "<div>plain long enough content <a href='/'>tiny</a></div>"
+    )
+    assert blocks == ["plain long enough content tiny"]
+
+
+def test_parse_amount_locales():
+    assert parse_amount("1,234.56") == Decimal("1234.56")
+    assert parse_amount("1.234,56") == Decimal("1234.56")
+    assert parse_amount("12 345.00") == Decimal("12345.00")
+    assert parse_amount("500") == Decimal("500.00")
+    assert parse_amount("1,234") == Decimal("1234.00")
+
+
+def test_amounts_in_forms():
+    got = amounts_in("x $1,234.56 and 1.234,56 € and ($987.65) and £12 345.00")
+    vals = [(c, v) for _, c, v in got]
+    assert ("USD", Decimal("1234.56")) in vals
+    assert ("EUR", Decimal("1234.56")) in vals
+    assert ("USD", Decimal("-987.65")) in vals
+    assert ("GBP", Decimal("12345.00")) in vals
+
+
+def test_dates_in_forms():
+    line = "2025-03-07 07.04.2025 07/05/2025 March 7, 2025 Mar 8, 2025"
+    ds = [d for _, d in dates_in(line)]
+    assert ds == [
+        dt.date(2025, 3, 7),
+        dt.date(2025, 4, 7),
+        dt.date(2025, 5, 7),
+        dt.date(2025, 3, 7),
+        dt.date(2025, 3, 8),
+    ]
+
+
+def test_account_code_guard_excludes_dates():
+    f = extract_fields(["Account opened 2025-03-07 code 1200-4711"])
+    assert f["account_codes"] == ["1200-4711"]
+
+
+def test_due_after_anchor():
+    f = extract_fields(["Fecha: 07/03/2025 vencimiento: 15/04/2025"])
+    assert f["invoice_date"] == dt.date(2025, 3, 7)
+    assert f["due_date"] == dt.date(2025, 4, 15)
+
+
+def test_total_last_anchor_wins():
+    f = extract_fields(["Subtotal: $10.00", "Total: $15.00", "Balance: $5.00"])
+    assert f["total"] == Decimal("5.00")
+
+
+def test_offset_ordering():
+    out, _ = extract_doc(
+        [("text", "b", "", 1), ("text", "a", "", 0), ("media", "", "m", 2)]
+    )
+    assert out == [("text", "a", "", 0), ("text", "b", "", 1), ("media", "", "m", 2)]

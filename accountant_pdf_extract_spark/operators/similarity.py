@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale mandate:
+
+* ``brute_force_topk_df`` — pure-Catalyst exploded-join dot product,
+  exact, oracle-checkable.  Fine when the query set is small; the
+  join fans out |queries| × |corpus| × dim rows, so gate query count.
+* ``brute_force_topk_pandas`` — the scale path for top-k against a
+  SMALL query set: queries are collected to a numpy matrix and
+  broadcast; a ``mapInPandas`` pass computes per-batch numpy
+  GEMM + per-doc top-k, then one final global top-k per query.
+  No shuffle of the corpus at all — map-side everything except the
+  final k·|queries|-row reduction.
+* ``lsh_bucketed_topk`` — random-hyperplane LSH variant: corpus and
+  queries bucketed by sign-pattern; candidates only within matching
+  buckets (+ optional multi-probe), then exact rescoring.
+
+Quantization note: for engine-vs-oracle determinism the DF path works
+on milli-quantized integer components (round(x*1000)::bigint) so dot
+products are exact integers — float sum order never matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantized_components(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, pos, milli-quantized component) — exact-integer base
+    relation for deterministic dot products."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("pos", "comp"),
+    )
+
+
+def brute_force_topk_df(
+    df: DataFrame,
+    query_max_id: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by integer-quantized dot product; queries = rows
+    with id < query_max_id.  Ties break on candidate id (deterministic)."""
+    comps = quantized_components(df, id_col, vec_col)
+    q = comps.where(F.col("vid") < query_max_id).select(
+        F.col("vid").alias("qid"), "pos", F.col("comp").alias("qc")
+    )
+    c = comps.select(F.col("vid").alias("cid"), "pos", F.col("comp").alias("cc"))
+    dots = (
+        q.join(c, "pos")
+        .where(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_micro"), F.asc("cid"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "dot_micro", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    df: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Scale path: numpy GEMM per Arrow batch against the broadcast
+    query matrix; per-batch top-k then global top-k.  Corpus is never
+    shuffled; the reduction is k·|queries| rows per partition."""
+    spark = df.sparkSession
+    qn = queries.astype(np.float32)
+    if metric == "cosine":
+        qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((qn, query_ids.astype(np.int64)))
+
+    def score(batches):
+        qm, qids = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            if metric == "cosine":
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+            sims = qm @ mat.T  # |q| x |batch|
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                "qid": np.repeat(qids, kk),
+                "cid": ids[idx].ravel(),
+                "score": np.take_along_axis(sims, idx, 1).ravel().astype("float64"),
+            }
+            yield pd.DataFrame(out)
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score, schema="qid long, cid long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        partial.where(F.col("qid") != F.col("cid"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (bit-packed long) via
+    mapInPandas GEMM — the bucketing primitive for ANN at scale."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes.astype(np.float32))
+
+    def sig(batches):
+        pl = bc.value
+        weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            bits = (mat @ pl.T) > 0
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].to_numpy(dtype=np.int64),
+                    "bucket": (bits @ weights).astype(np.int64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(sig, schema="vid long, bucket long")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_max_id: int = 20,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: bucket by hyperplane signature, exact-rescore within
+    buckets.  Recall < 1 by design; the scale win is that candidate
+    pairs only form inside buckets (hash-partitioned equi-join)."""
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sigs = hyperplane_signature(df, planes, id_col, vec_col)
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(sigs, "vid")
+    q = vecs.where(F.col("vid") < query_max_id).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    c = vecs.select(F.col("vid").alias("cid"), F.col("v").alias("cv"), "bucket")
+    dots = (
+        q.join(c, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "dot", "rank")
+    )

@@ -1,0 +1,94 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword heuristic), quality scoring, token counting,
+document fingerprinting.  All pure Catalyst expressions — JVM-side,
+whole-stage-codegen-friendly, no Python in the hot path.
+
+Each has a driver-checkable query twin in ``plans/q_text.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language id.  Public knowledge (most-frequent function
+# words); deliberately small so the SQL oracle twin stays readable.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "de"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digit runs + punctuation
+    marks via regex — a deterministic stand-in for a real tokenizer."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t))
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over stopword-hit counts; 'unk' when all zero.  Ties
+    break by the fixed language order (deterministic)."""
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    out = F.lit("unk")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        out = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features, plus a
+    single [0,1] quality score (simple monotone combination)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tok = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_stop = stopword_hits(c, "en")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    avg_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-collapsed, lowercased text (content-defined identity)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))

@@ -1,0 +1,65 @@
+"""Kernel-backed pipeline entries — not SQL-expressible, so the driver
+records rows-only checks; the real correctness gate for these is the
+golden span-sequence fixture suite (``tests/test_golden_spans.py``,
+``BASELINE.json:15``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.plans.driver_queries import register
+from accountant_pdf_extract_spark.plans.pipeline import doc_view, extract, spans_view
+from accountant_pdf_extract_spark.sources.synth import interleaved_from_documents
+
+
+@register("q_extract_spans")
+def q_extract_spans(spark, sf):
+    """Full extraction: ordered span sequences (rows-only check)."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    return spans_view(extract(docs, salt_buckets=256, num_partitions=32))
+
+
+@register("q_extract_fields")
+def q_extract_fields(spark, sf):
+    """Doc-level accounting fields (rows-only check)."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    dv = doc_view(flat)
+    return dv.select(
+        "doc_id",
+        "invoice_id",
+        "invoice_date",
+        "due_date",
+        "currency",
+        "total",
+        F.array_join(
+            F.transform("amounts", lambda a: a.cast("string")), ","
+        ).alias("amounts_csv"),
+        F.array_join("account_codes", ",").alias("codes_csv"),
+    )
+
+
+@register("q_salt")
+def q_salt(spark, sf):
+    """Salt-bucket distribution evidence (rows-only): per-bucket doc
+    counts for the skew-defeating repartition key."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    return (
+        docs.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register("q_span_stats")
+def q_span_stats(spark, sf):
+    """Output span mix per kind (rows-only)."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    return flat.groupBy("kind").agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -1,0 +1,515 @@
+"""Relational operator battery over the TPC-H-ish testdata
+(SURVEY.md §2.2–2.8 driver keys).  Determinism rules: no cross-row
+double aggregation — money sums go through integer cents or DECIMAL;
+window orders carry a unique tiebreaker; arrays are stringified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from accountant_pdf_extract_spark.plans.driver_queries import register, t
+
+# ---------------------------------------------------------------- P: project/filter
+
+
+@register(
+    "q_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_project(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "q_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def q_filter(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .where((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_valid",
+    """
+    SELECT doc_id, text FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0 AND n_chars >= 100
+    """,
+)
+def q_valid(spark, sf):
+    return (
+        t(spark, sf, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & (F.length(F.trim("text")) > 0)
+            & (F.col("n_chars") >= 100)
+        )
+        .select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------- A: aggregates
+
+
+@register(
+    "q_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg(spark, sf):
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("disc_price_cents"),
+        )
+    )
+
+
+@register(
+    "q_distinct",
+    """
+    SELECT count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_distinct(spark, sf):
+    return t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------- J: joins
+
+
+@register(
+    "q_join_bcast",
+    """
+    SELECT r.r_name, count(*) AS n_customers,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_bcast(spark, sf):
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_smj",
+    """
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_smj(spark, sf):
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+        )
+    )
+
+
+@register(
+    "q_join_anti",
+    """
+    SELECT c_mktsegment, count(*) AS n_no_order
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_anti(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_no_order"))
+    )
+
+
+@register(
+    "q_join_semi",
+    """
+    SELECT c_mktsegment, count(*) AS n_big_customers
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_big_customers"))
+    )
+
+
+# ---------------------------------------------------------------- W: windows
+
+
+@register(
+    "q_rownum",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def q_rownum(spark, sf):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+    )
+
+
+@register(
+    "q_rank",
+    """
+    SELECT s_nationkey, s_suppkey, r FROM (
+      SELECT s_nationkey, s_suppkey,
+             rank() OVER (PARTITION BY s_nationkey
+                          ORDER BY s_acctbal DESC, s_suppkey) AS r
+      FROM supplier) WHERE r <= 3
+    """,
+)
+def q_rank(spark, sf):
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        t(spark, sf, "supplier")
+        .withColumn("r", F.rank().over(w))
+        .where(F.col("r") <= 3)
+        .select("s_nationkey", "s_suppkey", "r")
+    )
+
+
+@register(
+    "q_lag",
+    """
+    SELECT user_id, event_id,
+           CAST(round(value * 100) AS BIGINT)
+             - lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+    FROM events
+    """,
+)
+def q_lag(spark, sf):
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (cents - F.lag(cents).over(w)).alias("delta_cents"),
+        )
+    )
+
+
+@register(
+    "q_frame",
+    """
+    SELECT user_id, event_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM events
+    """,
+)
+def q_frame(spark, sf):
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "events").select(
+        "user_id", "event_id", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+# ---------------------------------------------------------------- O: sort/limit/set
+
+
+@register(
+    "q_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark, sf):
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_union",
+    """
+    SELECT s_name AS name, 'supplier' AS src FROM supplier
+    UNION ALL
+    SELECT c_name AS name, 'customer' AS src FROM customer
+    """,
+)
+def q_union(spark, sf):
+    s = t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    c = t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    return s.unionByName(c)
+
+
+@register(
+    "q_except",
+    """
+    SELECT o_orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS o_orderkey FROM lineitem
+    """,
+)
+def q_except(spark, sf):
+    o = t(spark, sf, "orders").select("o_orderkey")
+    li = t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return o.exceptAll(li.distinct()).distinct()
+
+
+@register(
+    "q_intersect",
+    """
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_intersect(spark, sf):
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+# ---------------------------------------------------------------- scalar: json/date
+
+
+@register(
+    "q_json",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           count(*) AS n
+    FROM events GROUP BY k_val
+    """,
+)
+def q_json(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_dates",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY day
+    """,
+)
+def q_dates(spark, sf):
+    return (
+        t(spark, sf, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_date_roundtrip",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%d.%m.%Y') AS dotted,
+           CAST(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y') AS DATE) AS parsed
+    FROM orders
+    """,
+)
+def q_date_roundtrip(spark, sf):
+    dotted = F.date_format("o_orderdate", "dd.MM.yyyy")
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        dotted.alias("dotted"),
+        F.to_date(dotted, "dd.MM.yyyy").alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------- HOF / arrays
+
+
+@register(
+    "q_hof",
+    """
+    SELECT vec_id,
+           list_sum(list_transform(embedding,
+                    x -> CAST(round(x * 1000) AS BIGINT))) AS sum_milli,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def q_hof(spark, sf):
+    return t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_milli"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "q_explode",
+    """
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp_milli
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+)
+def q_explode(spark, sf):
+    return (
+        t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 1000).cast("long"),
+                )
+            ).alias("pos", "comp_milli"),
+        )
+    )
+
+
+@register(
+    "q_collect",
+    """
+    SELECT label,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS ids,
+           count(*) AS n
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_collect(spark, sf):
+    return (
+        t(spark, sf, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -1,0 +1,321 @@
+"""Text-analysis / dedup / similarity driver keys over ``documents``
+and ``embeddings`` — these exercise the package operators in
+``operators/{textstats,dedup,similarity}.py`` with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.operators import dedup, similarity, textstats
+from accountant_pdf_extract_spark.plans.driver_queries import register, t
+
+# ---------------------------------------------------------------- scalar text
+
+
+@register(
+    "q_regex",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '\b(s[a-z]+)', 1) AS first_s_word,
+           regexp_extract(text, '([a-z]+)$', 1) AS last_word
+    FROM documents
+    """,
+)
+def q_regex(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_extract("text", r"([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "q_strnorm",
+    """
+    SELECT doc_id,
+           upper(substr(trim(text), 1, 20)) AS head_upper,
+           length(text) AS n,
+           replace(substr(text, 1, 30), ' ', '_') AS underscored
+    FROM documents
+    """,
+)
+def q_strnorm(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.upper(F.substring(F.trim(F.col("text")), 1, 20)).alias("head_upper"),
+        F.length("text").alias("n"),
+        F.regexp_replace(F.substring("text", 1, 30), " ", "_").alias("underscored"),
+    )
+
+
+@register(
+    "q_linefreq",
+    """
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_linefreq(spark, sf):
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@register(
+    "q_amounts",
+    r"""
+    SELECT o_orderkey,
+           '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_str,
+           CAST(regexp_extract('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                               '\$([0-9.]+)', 1) AS DECIMAL(18,2)) AS parsed
+    FROM orders
+    """,
+)
+def q_amounts(spark, sf):
+    amount_str = F.concat(
+        F.lit("$"), F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        amount_str.alias("amount_str"),
+        F.regexp_extract(amount_str, r"\$([0-9.]+)", 1)
+        .cast("decimal(18,2)")
+        .alias("parsed"),
+    )
+
+
+# ---------------------------------------------------------------- textstats ops
+
+
+@register(
+    "q_tokcount",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q_tokcount(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "q_quality",
+    """
+    SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['the','and','of','to','a','in','is'], w)))
+          AS n_stopwords
+    FROM documents WHERE length(trim(text)) > 0
+    """,
+)
+def q_quality(spark, sf):
+    c = F.col("text")
+    return (
+        t(spark, sf, "documents")
+        .where(F.length(F.trim(c)) > 0)
+        .select(
+            "doc_id",
+            F.size(textstats.tokens(c)).alias("n_tokens"),
+            textstats.stopword_hits(c, "en").alias("n_stopwords"),
+        )
+    )
+
+
+@register(
+    "q_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['the','and','of','to','a','in','is'], w))) AS s_en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))) AS s_de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['le','la','les','et','est','une','des'], w))) AS s_fr,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['el','la','los','y','es','una','de'], w))) AS s_es
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unk'
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es' END AS lang_guess
+    FROM scored
+    """,
+)
+def q_langid(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@register(
+    "q_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf):
+    return t(spark, sf, "documents").select(
+        "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------- dedup ops
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT content_hash, count(*) AS n_members, min(doc_id) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+          FROM documents)
+    GROUP BY content_hash
+    """,
+)
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dup_groups(t(spark, sf, "documents"))
+
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id AS sid,
+           substr(norm, i, 8) AS shingle
+    FROM (SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents WHERE doc_id < 40),
+         unnest(range(1, greatest(length(norm) - 6, 1))) AS r(i)
+"""
+
+
+@register(
+    "q_dedup_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS a, b.sid AS b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.sid < b.sid
+      GROUP BY a.sid, b.sid)
+    SELECT i.a, i.b,
+           CAST(floor(1000.0 * i.n_common / (na.n + nb.n - i.n_common)) AS BIGINT)
+             AS jaccard_milli
+    FROM inter i
+    JOIN sizes na ON na.sid = i.a
+    JOIN sizes nb ON nb.sid = i.b
+    WHERE CAST(floor(1000.0 * i.n_common / (na.n + nb.n - i.n_common)) AS BIGINT) >= 100
+    """,
+)
+def q_dedup_jaccard(spark, sf):
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return dedup.jaccard_pairs(docs, k=8, threshold_milli=100)
+
+
+@register(
+    "q_dedup_minhash",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (SELECT sid, band, shingle
+               FROM sh, unnest([0,1,2,3]) AS b(band))
+    SELECT sid, band,
+           min(md5(CAST(band AS VARCHAR) || '-' || shingle)) AS bucket
+    FROM banded GROUP BY sid, band
+    """,
+)
+def q_dedup_minhash(spark, sf):
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return dedup.minhash_bands(docs, k=8, bands=4)
+
+
+@register(
+    "q_dedup_minhash_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (SELECT sid, band, shingle
+               FROM sh, unnest([0,1,2,3]) AS b(band)),
+    buckets AS (
+      SELECT sid, band,
+             min(md5(CAST(band AS VARCHAR) || '-' || shingle)) AS bucket
+      FROM banded GROUP BY sid, band)
+    SELECT DISTINCT x.sid AS a, y.sid AS b
+    FROM buckets x JOIN buckets y USING (band, bucket)
+    WHERE x.sid < y.sid
+    """,
+)
+def q_dedup_minhash_pairs(spark, sf):
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return dedup.minhash_candidate_pairs(dedup.minhash_bands(docs, k=8, bands=4))
+
+
+@register(
+    "q_dedup_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id AS sid,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0),
+    votes AS (
+      SELECT sid, pos,
+             sum(CASE WHEN strpos('89abcdef', substr(md5(tok), pos + 1, 1)) > 0
+                      THEN 1 ELSE -1 END) AS v
+      FROM toks, unnest(range(0, 16)) AS p(pos)
+      WHERE tok <> ''
+      GROUP BY sid, pos)
+    SELECT sid,
+           CAST(sum(CASE WHEN v > 0 THEN (1 << pos) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY sid
+    """,
+)
+def q_dedup_simhash(spark, sf):
+    return dedup.simhash16(t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@register(
+    "q_embed_topk",
+    """
+    WITH comps AS (
+      SELECT vec_id AS vid,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp
+      FROM embeddings),
+    dots AS (
+      SELECT q.vid AS qid, c.vid AS cid, sum(q.comp * c.comp) AS dot_micro
+      FROM comps q JOIN comps c USING (pos)
+      WHERE q.vid < 10 AND q.vid <> c.vid
+      GROUP BY q.vid, c.vid),
+    ranked AS (
+      SELECT qid, cid, dot_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot_micro DESC, cid) AS rank
+      FROM dots)
+    SELECT qid, cid, dot_micro, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_embed_topk(spark, sf):
+    return similarity.brute_force_topk_df(
+        t(spark, sf, "embeddings"), query_max_id=10, k=5
+    )

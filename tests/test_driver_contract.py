@@ -1,0 +1,64 @@
+"""Pins the driver contract: every queries() entry runs; every
+oracle-paired entry matches DuckDB exactly (row count + column names +
+sorted normalized values) at sf0.001.  (The driver itself re-checks at
+sf0.01; full-scale parity is exercised via ``python -m tools.parity``.)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tools.parity import TABLES, rows_of
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__
+
+    return __spark_entry__.queries(), __spark_entry__.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'")
+    return con
+
+
+def test_every_query_has_callable(contract):
+    qs, oracles = contract
+    assert len(qs) >= 38
+    assert set(oracles) <= set(qs)
+    # SQL-expressible coverage: at least 85% oracle-paired
+    assert len(oracles) / len(qs) > 0.85
+
+
+def test_oracle_parity(spark, contract, duck):
+    qs, oracles = contract
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        sdf = qs[name](spark, SF_DIR)
+        scols = sdf.columns
+        srec = [tuple(r) for r in sdf.collect()]
+        res = duck.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drec = res.fetchall()
+        if sorted(scols) != sorted(dcols):
+            failures.append(f"{name}: cols {sorted(scols)} != {sorted(dcols)}")
+        elif len(srec) != len(drec):
+            failures.append(f"{name}: rows {len(srec)} != {len(drec)}")
+        elif rows_of(scols, srec) != rows_of(dcols, drec):
+            failures.append(f"{name}: values differ")
+    assert not failures, failures
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__
+
+    df = __spark_entry__.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["doc_id", "kind", "text", "media_ref", "order"]

@@ -21,6 +21,17 @@ def norm_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Explode-heavy ops (shingles, token votes) fan out 100–1000× per
+    row; if the scan produced too few partitions (small local files),
+    one cheap row-level repartition up front buys full-width fan-out.
+    At scale the input has >= cores partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5-of-normalized-text groups with member count and
     the kept (minimum) id — one hash aggregate, fully parallel."""
@@ -40,6 +51,7 @@ def shingle_df(
     """Exploded distinct (id, shingle) pairs — the base relation for
     Jaccard and MinHash.  substring with a dynamic start needs the
     SQL-expr form of transform()."""
+    df = ensure_parallelism(df)
     out = df.select(
         F.col(id_col).alias("sid"),
         F.explode(
@@ -122,6 +134,7 @@ def simhash16(
     """16-bit SimHash from token md5 nibbles: each hex digit of
     md5(token) votes ±1 on its bit position; fingerprint packs the
     sign bits.  Pure Catalyst (explode + groupBy + bit math)."""
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),

@@ -191,3 +191,47 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("qid", "cid", "dot", "rank")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    max_id: int = 100,
+    threshold_milli: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup variant): cosine in
+    thousandths over milli-quantized components, so both engines
+    compute floor(1000 * dot / sqrt(na * nb)) from exact integers.
+    At scale, gate the pair space through ``hyperplane_signature``
+    buckets instead of the id-range cap used for the oracle query."""
+    comps = quantized_components(df, id_col, vec_col).where(
+        F.col("vid") < max_id
+    )
+    a = comps.select(F.col("vid").alias("a"), "pos", F.col("comp").alias("ac"))
+    b = comps.select(F.col("vid").alias("b"), "pos", F.col("comp").alias("bc"))
+    dots = (
+        a.join(b, "pos")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("dot"))
+    )
+    norms = comps.groupBy("vid").agg(
+        F.sum(F.col("comp") * F.col("comp")).alias("nsq")
+    )
+    na = norms.select(F.col("vid").alias("a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("vid").alias("b"), F.col("nsq").alias("nb"))
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.lit(1000) * F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("cos_milli"),
+        )
+        .where(F.col("cos_milli") >= threshold_milli)
+    )

@@ -63,3 +63,16 @@ def q_span_stats(spark, sf):
         F.count("*").alias("n_spans"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register("q_span_filter")
+def q_span_filter(spark, sf):
+    """P3: span-kind predicate via array HOF — route pdf spans without
+    exploding (rows-only; operates on the interleaved input shape)."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s["kind"] == "pdf")).alias("n_pdf"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        F.size("spans").alias("n_spans"),
+    )

@@ -513,3 +513,59 @@ def q_collect(spark, sf):
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "q_sort",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 100
+    """,
+)
+def q_sort(spark, sf):
+    return (
+        t(spark, sf, "customer")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(100)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q_hof_filter",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           len(list_filter(embedding, x -> x < 0)) AS n_neg
+    FROM embeddings
+    """,
+)
+def q_hof_filter(spark, sf):
+    e = t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x < 0)).alias("n_neg"),
+    )
+
+
+@register("q_approx_distinct")
+def q_approx_distinct(spark, sf):
+    """HLL++ sketch (rows-only: sketch values are engine-specific)."""
+    return t(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register("q_hash")
+def q_hash(spark, sf):
+    """xxhash64/sha2 fingerprints (rows-only: DuckDB lacks xxhash64)."""
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.xxhash64("text").alias("xx64"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        F.pmod(F.xxhash64("text"), F.lit(64)).cast("int").alias("bucket"),
+    )

@@ -319,3 +319,31 @@ def q_embed_topk(spark, sf):
     return similarity.brute_force_topk_df(
         t(spark, sf, "embeddings"), query_max_id=10, k=5
     )
+
+
+@register(
+    "q_dedup_embed",
+    """
+    WITH comps AS (
+      SELECT vec_id AS vid,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp
+      FROM embeddings WHERE vec_id < 100),
+    dots AS (
+      SELECT a.vid AS a, b.vid AS b, sum(a.comp * b.comp) AS dot
+      FROM comps a JOIN comps b USING (pos)
+      WHERE a.vid < b.vid
+      GROUP BY a.vid, b.vid),
+    norms AS (SELECT vid, sum(comp * comp) AS nsq FROM comps GROUP BY vid)
+    SELECT d.a, d.b,
+           CAST(floor(1000 * d.dot / sqrt(na.nsq * nb.nsq)) AS BIGINT) AS cos_milli
+    FROM dots d
+    JOIN norms na ON na.vid = d.a
+    JOIN norms nb ON nb.vid = d.b
+    WHERE CAST(floor(1000 * d.dot / sqrt(na.nsq * nb.nsq)) AS BIGINT) >= 250
+    """,
+)
+def q_dedup_embed(spark, sf):
+    return similarity.cosine_near_dup_pairs(
+        t(spark, sf, "embeddings"), max_id=100, threshold_milli=250
+    )

@@ -1,0 +1,105 @@
+"""Iceberg-shaped document-table layer (S2, SURVEY.md §2.1): an
+append-only parquet table whose reads go through snapshot manifests —
+the same semantics (atomic append, snapshot pinning / time travel,
+file-list pruning) the Iceberg Spark catalog serves.
+
+Why hand-rolled: this sandbox has no network and no
+``iceberg-spark-runtime`` jar (SURVEY.md §0.2).  On a real cluster the
+swap is one line per call site:
+
+    DocTable(root).read(spark)              →  spark.read.format("iceberg").load(tbl)
+    DocTable(root).append(df)               →  df.writeTo(tbl).append()
+    DocTable(root).read(spark, snapshot_id) →  spark.read.option("snapshot-id", id)...
+
+Protocol: data files land under ``data/`` with unique names; a
+snapshot JSON (atomic rename) lists the complete file set visible at
+that snapshot plus the parent pointer.  Readers list files from the
+manifest — never from the directory — so a crashed writer can leave
+orphan files without corrupting any reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DocTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.meta_dir = os.path.join(root, "metadata")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+
+    # -- metadata ------------------------------------------------------------
+
+    def snapshots(self) -> list[dict]:
+        snaps = []
+        for name in os.listdir(self.meta_dir):
+            if name.endswith(".json"):
+                with open(os.path.join(self.meta_dir, name)) as f:
+                    snaps.append(json.load(f))
+        return sorted(snaps, key=lambda s: s["sequence"])
+
+    def current_snapshot(self) -> dict | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    def _files_at(self, snapshot_id: str | None) -> list[str]:
+        snaps = self.snapshots()
+        if not snaps:
+            return []
+        if snapshot_id is None:
+            return snaps[-1]["files"]
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s["files"]
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
+
+    # -- write ---------------------------------------------------------------
+
+    def append(self, df: DataFrame) -> str:
+        """Atomic append: write new data files, then seal a snapshot
+        whose manifest = parent files + new files."""
+        commit_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.data_dir, f"commit-{commit_id}")
+        df.write.mode("error").parquet(staging)
+        new_files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        parent = self.current_snapshot()
+        snap = {
+            "snapshot_id": f"snap-{commit_id}",
+            "sequence": (parent["sequence"] + 1) if parent else 1,
+            "parent": parent["snapshot_id"] if parent else None,
+            "files": (parent["files"] if parent else []) + new_files,
+            "added_files": len(new_files),
+            "ts_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self.meta_dir, f".{snap['snapshot_id']}.tmp")
+        final = os.path.join(self.meta_dir, f"{snap['snapshot_id']}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return snap["snapshot_id"]
+
+    # -- read ----------------------------------------------------------------
+
+    def read(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Manifest-based scan (snapshot pinning = time travel).  An
+        empty table raises — callers should create before reading."""
+        files = self._files_at(snapshot_id)
+        if not files:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        return spark.read.parquet(*files)

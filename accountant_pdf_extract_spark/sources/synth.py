@@ -83,12 +83,21 @@ def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
     return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n))
 
 
-def make_invoice_pdf(rng: np.random.Generator, vocab: list[str]) -> str:
+def make_invoice_pdf(
+    rng: np.random.Generator,
+    vocab: list[str],
+    min_pages: int = 1,
+    max_pages: int = 3,
+) -> str:
     """A multi-page invoice in the PDF subset: header/footer
     boilerplate, anchor fields, a ruled or whitespace-gap items table,
     optional image placement / two-column page."""
     giant = rng.random() < 0.01
-    n_pages = int(rng.integers(20, 51)) if giant else int(rng.integers(1, 4))
+    n_pages = (
+        int(rng.integers(20, 51))
+        if giant
+        else int(rng.integers(min_pages, max_pages + 1))
+    )
     company = _COMPANIES[int(rng.integers(0, len(_COMPANIES)))]
     # € is not latin-1-encodable, and pdf payloads travel as latin-1
     # strings (FIXTURES.md §1.1) — EUR invoices are exercised through
@@ -179,12 +188,27 @@ def make_html(rng: np.random.Generator, vocab: list[str]) -> str:
 
 
 def build_doc(
-    doc_key: int, seed: int, vocab: list[str]
+    doc_key: int, seed: int, vocab: list[str], heavy: bool = False
 ) -> list[tuple[str, str, str, int]]:
-    """One interleaved document, bit-deterministic in (seed, doc_key)."""
+    """One interleaved document, bit-deterministic in (seed, doc_key).
+
+    ``heavy=True`` is the bench-corpus profile: every doc carries a
+    multi-page PDF plus an HTML span, so per-doc parse compute (not
+    per-task overhead) dominates — the realistic shape for measuring
+    throughput/scaling of the extraction kernel.
+    """
     rng = np.random.default_rng([seed, doc_key & 0x7FFFFFFF])
     vocab = vocab if vocab else DEFAULT_WORDS
     spans: list[tuple[str, str, str, int]] = []
+    if heavy:
+        spans.append(("text", _words(rng, vocab, 10), "", 0))
+        pdf = make_invoice_pdf(rng, vocab, min_pages=4, max_pages=10)
+        spans.append(("pdf", pdf, "", 1))
+        spans.append(("html", make_html(rng, vocab), "", 2))
+        if rng.random() < 0.3:
+            ref = f"media://sha/{int(rng.integers(0, 2**62)):016x}"
+            spans.append(("media", "", ref, 3))
+        return spans
     n = 1 + int(rng.integers(0, 5))
     for i in range(n):
         r = rng.random()
@@ -262,7 +286,11 @@ def interleaved_from_documents(
 
 
 def synth_interleaved(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    heavy: bool = False,
 ) -> DataFrame:
     """Standalone corpus: ``spark.range`` → per-doc builder."""
     rng_free = spark.range(0, n_docs, numPartitions=partitions or max(32, n_docs // 2000))
@@ -271,7 +299,7 @@ def synth_interleaved(
         for batch in batches:
             ids = batch.column("id").to_pylist()
             rows = [
-                (f"doc-{i:08d}", build_doc(int(i), seed, DEFAULT_WORDS))
+                (f"doc-{i:08d}", build_doc(int(i), seed, DEFAULT_WORDS, heavy))
                 for i in ids
             ]
             yield _spans_to_arrow(rows)

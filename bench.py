@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = wall seconds of the flagship end-to-end extraction (decode →
+pdf layout parse → html strip → boilerplate strip → fields → assemble)
+over the interleaved corpus derived from the sf documents table.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``python -m bench.scaling`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from accountant_pdf_extract_spark.session import get_spark
+    from accountant_pdf_extract_spark.plans import driver_queries
+
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    qs = driver_queries.queries()
+    # cheap Catalyst queries first, heavy kernel queries last, so GC
+    # churn from giant-PDF batches doesn't pollute relational timings
+    headline = [
+        "q_agg",
+        "q_join_smj",
+        "q_rownum",
+        "q_linefreq",
+        "q_tokcount",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_dedup_simhash",
+        "q_embed_topk",
+        "q_extract_fields",
+        "q_extract_spans",   # flagship end-to-end extraction
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    out = {
+        "metric": "end-to-end interleaved-doc extraction wall time (flagship) + headline query seconds",
+        "value": timings["q_extract_spans"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

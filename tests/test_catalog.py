@@ -1,0 +1,50 @@
+"""Iceberg-shaped table layer: atomic append, snapshot pinning /
+time travel, manifest-based reads (orphan files invisible)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from accountant_pdf_extract_spark.sources.catalog import DocTable
+
+
+def test_append_and_time_travel(spark, tmp_path: pathlib.Path):
+    tbl = DocTable(str(tmp_path / "tbl"))
+    df1 = spark.range(0, 10).selectExpr("cast(id as string) AS doc_id")
+    s1 = tbl.append(df1)
+    df2 = spark.range(10, 25).selectExpr("cast(id as string) AS doc_id")
+    s2 = tbl.append(df2)
+
+    assert tbl.read(spark).count() == 25                     # current
+    assert tbl.read(spark, snapshot_id=s1).count() == 10     # pinned
+    assert tbl.read(spark, snapshot_id=s2).count() == 25
+    snaps = tbl.snapshots()
+    assert [s["sequence"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == s1
+
+
+def test_orphan_files_invisible(spark, tmp_path: pathlib.Path):
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(spark.range(5).selectExpr("cast(id as string) AS doc_id"))
+    # a crashed writer leaves data files with no snapshot -> readers
+    # must not see them
+    orphan_dir = pathlib.Path(tbl.data_dir) / "commit-deadbeef"
+    spark.range(100).selectExpr("cast(id as string) AS doc_id").write.parquet(
+        str(orphan_dir)
+    )
+    assert tbl.read(spark).count() == 5
+
+
+def test_unknown_snapshot_raises(spark, tmp_path: pathlib.Path):
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(spark.range(3).selectExpr("cast(id as string) AS doc_id"))
+    with pytest.raises(KeyError):
+        tbl.read(spark, snapshot_id="snap-nope")
+
+
+def test_empty_table_raises(spark, tmp_path: pathlib.Path):
+    tbl = DocTable(str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark)

@@ -1,0 +1,81 @@
+"""Streaming ingestion (AvailableNow → foreachBatch → same pipeline)
+and multimodal plumbing (binary payload kernels, resize/frame plans)."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.operators import multimodal
+from accountant_pdf_extract_spark.sources.synth import synth_interleaved
+
+
+def test_stream_extract_available_now(spark, tmp_path: pathlib.Path):
+    from accountant_pdf_extract_spark.streaming.ingest import stream_extract
+
+    inp = str(tmp_path / "in")
+    synth_interleaved(spark, 40, seed=5, partitions=4).write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    stream_extract(
+        spark, inp, out, str(tmp_path / "ckpt"),
+        salt_buckets=8, num_partitions=4,
+    )
+    got = spark.read.parquet(out)
+    # identical to the batch pipeline on the same input
+    from accountant_pdf_extract_spark.plans.pipeline import extract, spans_view
+    batch = spans_view(
+        extract(spark.read.parquet(inp), salt_buckets=8, num_partitions=4)
+    )
+    key = ["doc_id", "order", "kind", "text", "media_ref"]
+    assert sorted(map(tuple, got.select(*key).collect())) == sorted(
+        map(tuple, batch.select(*key).collect())
+    )
+
+    # incremental: a second drain with no new files adds nothing
+    n1 = got.count()
+    stream_extract(
+        spark, inp, out, str(tmp_path / "ckpt"),
+        salt_buckets=8, num_partitions=4,
+    )
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_media_features_fake_codec(spark):
+    media = multimodal.synth_media(spark, 30, seed=9)
+    feats = multimodal.image_features(media, fake_codec=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert 16 <= r["width"] <= 512
+        assert 0 <= r["mean_intensity"] <= 255
+        assert 0 <= r["byte_entropy_milli"] <= 8000
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode(b"\x89PNG-not-really-data", fake_codec=False)
+
+
+def test_resize_plan(spark):
+    media = multimodal.synth_media(spark, 20, seed=9)
+    plan = multimodal.resize_plan(media, max_side=224).collect()
+    for r in plan:
+        assert max(r["target_w"], r["target_h"]) <= 224
+        # aspect preserved within rounding
+        if r["width"] >= r["height"]:
+            assert r["target_w"] >= r["target_h"] - 1
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, 50, seed=9)
+    frames = multimodal.frame_sample_plan(media, every_ms=500)
+    agg = frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()
+    vids = media.where(F.col("modality") == "video").collect()
+    expect = {
+        r["media_ref"]: max(r["duration_ms"] - 1, 0) // 500 + 1 for r in vids
+    }
+    got = {r["media_ref"]: r["n"] for r in agg}
+    assert got == expect

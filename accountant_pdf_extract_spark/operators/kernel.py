@@ -25,19 +25,30 @@ def extract_batches(
 ) -> Iterator[pa.RecordBatch]:
     for batch in batches:
         doc_ids = batch.column("doc_id").to_pylist()
-        span_lists = batch.column("spans").to_pylist()
+        # Decode the list<struct> column via flat child arrays + offsets
+        # instead of to_pylist() (which builds a dict per span — ~2x
+        # slower on string-heavy batches).
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        # .offsets index absolutely into .values (even for sliced
+        # arrays and null slots, which repeat the offset) — never use
+        # .flatten() here, it re-bases and breaks on slices.
+        list_offsets = spans_col.offsets.to_pylist()
+        flat = spans_col.values
+        f_kind = flat.field("kind").to_pylist()
+        f_text = flat.field("text").to_pylist()
+        f_ref = flat.field("media_ref").to_pylist()
+        f_off = flat.field("offset").to_pylist()
 
         col_doc, col_kind, col_text, col_ref, col_order = [], [], [], [], []
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
         col_total, col_amounts, col_codes = [], [], []
 
-        for doc_id, spans in zip(doc_ids, span_lists):
-            spans = spans or []
+        for i, doc_id in enumerate(doc_ids):
+            lo, hi = list_offsets[i], list_offsets[i + 1]
             out, fields = extract_doc(
-                [
-                    (s["kind"], s["text"], s["media_ref"], s["offset"])
-                    for s in spans
-                ]
+                list(zip(f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]))
             )
             for kind, text, ref, order in out:
                 col_doc.append(doc_id)

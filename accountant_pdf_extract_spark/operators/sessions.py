@@ -1,0 +1,87 @@
+"""Sessionization + grouped-map statistics over the events stream
+table — the batch expression of stateful event-series analysis
+(SURVEY.md §2.10 notes the commit-log batch-incremental stance; these
+give the windowed/stateful surface in pure DataFrame form).
+
+``sessionize`` is the classic gap-based session assignment as two
+window functions (lag + running sum) — no Python, one shuffle on the
+partition key.  ``grouped_stats`` is the grouped-map ``applyInPandas``
+surface (pandas per group, numpy inside) used where per-group logic
+outgrows SQL aggregates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session index: a new session starts when the
+    gap from the previous event exceeds ``gap_minutes``."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_s = gap_minutes * 60
+    is_new = (
+        F.when(
+            F.col(ts_col).cast("timestamp").cast("long")
+            - F.lag(F.col(ts_col).cast("timestamp").cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+    )
+    return events.select(
+        user_col,
+        id_col,
+        ts_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_idx"),
+    )
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per (user, session): event count + span seconds."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        ).alias("span_s"),
+    )
+
+
+def grouped_stats(events: DataFrame) -> DataFrame:
+    """Per-user robust stats via grouped-map ``applyInPandas`` (the
+    A5 custom vectorized aggregate surface): median/IQR on integer
+    cents — numpy per group, Arrow in/out, no per-row Python."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                # linear interpolation == DuckDB quantile_cont
+                "median_cents": [float(cents.quantile(0.5))],
+                "iqr_cents": [
+                    float(cents.quantile(0.75)) - float(cents.quantile(0.25))
+                ],
+            }
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
+        stats,
+        schema="user_id long, n_events long, median_cents double, iqr_cents double",
+    )

@@ -569,3 +569,69 @@ def q_hash(spark, sf):
         F.sha2(F.col("text"), 256).alias("sha256"),
         F.pmod(F.xxhash64("text"), F.lit(64)).cast("int").alias("bucket"),
     )
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS session_idx
+    FROM lagd
+    """,
+)
+def q_sessionize(spark, sf):
+    from accountant_pdf_extract_spark.operators.sessions import sessionize
+
+    return sessionize(t(spark, sf, "events"), gap_minutes=30).select(
+        "user_id", "event_id", "session_idx"
+    )
+
+
+@register(
+    "q_session_stats",
+    """
+    WITH lagd AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_idx
+      FROM lagd)
+    SELECT user_id, session_idx, count(*) AS n_events,
+           CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_s
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_session_stats(spark, sf):
+    from accountant_pdf_extract_spark.operators.sessions import session_stats
+
+    return session_stats(t(spark, sf, "events"), gap_minutes=30)
+
+
+@register(
+    "q_grouped_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS median_cents,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)
+             - quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS iqr_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_grouped_stats(spark, sf):
+    from accountant_pdf_extract_spark.operators.sessions import grouped_stats
+
+    return grouped_stats(t(spark, sf, "events"))

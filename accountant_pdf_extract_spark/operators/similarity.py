@@ -126,55 +126,81 @@ def hyperplane_signature(
     planes: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH signature (bit-packed long) via
-    mapInPandas GEMM — the bucketing primitive for ANN at scale."""
+    """Random-hyperplane LSH signatures via mapInPandas GEMM — the
+    bucketing primitive for ANN at scale.  ``planes`` has shape
+    (n_tables * bits_per_table, dim); output is one row per (vector,
+    table): (vid, table, bucket)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes.astype(np.float32))
+    bits_per = planes.shape[0] // n_tables
 
     def sig(batches):
         pl = bc.value
-        weights = (1 << np.arange(pl.shape[0], dtype=np.int64))
+        weights = 1 << np.arange(bits_per, dtype=np.int64)
         for pdf in batches:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            bits = (mat @ pl.T) > 0
-            yield pd.DataFrame(
-                {
-                    "vid": pdf[id_col].to_numpy(dtype=np.int64),
-                    "bucket": (bits @ weights).astype(np.int64),
-                }
-            )
+            bits = (mat @ pl.T) > 0  # |batch| x (n_tables*bits_per)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            frames = []
+            for t in range(n_tables):
+                chunk = bits[:, t * bits_per : (t + 1) * bits_per]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vid": ids,
+                            "table": np.full(len(ids), t, dtype=np.int32),
+                            "bucket": (chunk @ weights).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
-    return df.select(id_col, vec_col).mapInPandas(sig, schema="vid long, bucket long")
+    return df.select(id_col, vec_col).mapInPandas(
+        sig, schema="vid long, table int, bucket long"
+    )
 
 
 def lsh_bucketed_topk(
     df: DataFrame,
     query_max_id: int = 20,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: bucket by hyperplane signature, exact-rescore within
-    buckets.  Recall < 1 by design; the scale win is that candidate
-    pairs only form inside buckets (hash-partitioned equi-join)."""
+    """ANN via multi-table hyperplane LSH (OR-construction): a pair is
+    a candidate iff it shares a bucket in ANY of ``n_tables`` tables of
+    ``n_planes`` bits; candidates are exact-rescored with a float dot
+    product.  Recall ~ 1-(1-p^b)^L; candidate volume stays near
+    sum-of-bucket-squares per table — the scale win is that pairs only
+    form inside (table, bucket) hash partitions."""
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sigs = hyperplane_signature(df, planes, id_col, vec_col)
+    planes = rng.standard_normal((n_planes * n_tables, dim))
+    sigs = hyperplane_signature(df, planes, id_col, vec_col, n_tables=n_tables)
     vecs = df.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).join(sigs, "vid")
-    q = vecs.where(F.col("vid") < query_max_id).select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
-    c = vecs.select(F.col("vid").alias("cid"), F.col("v").alias("cv"), "bucket")
-    dots = (
-        q.join(c, "bucket")
+    q = sigs.where(F.col("vid") < query_max_id).select(
+        F.col("vid").alias("qid"), "table", "bucket"
+    )
+    c = sigs.select(F.col("vid").alias("cid"), "table", "bucket")
+    cand = (
+        q.join(c, ["table", "bucket"])
         .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    qv = vecs.select(F.col("vid").alias("qid"), F.col("v").alias("qv"))
+    cv = vecs.select(F.col("vid").alias("cid"), F.col("v").alias("cv"))
+    dots = (
+        cand.join(qv, "qid")
+        .join(cv, "cid")
         .select(
             "qid",
             "cid",

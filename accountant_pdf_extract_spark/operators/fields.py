@@ -31,6 +31,7 @@ _MONTH_NUM = {m: i + 1 for i, m in enumerate(rules.MONTHS)}
 _MONTH_NUM.update({m[:3]: i + 1 for i, m in enumerate(rules.MONTHS)})
 
 _CENT = Decimal("0.01")
+_HAS_DIGIT = re.compile(r"\d")
 
 
 def parse_amount(num: str) -> Decimal:
@@ -102,6 +103,10 @@ def extract_fields(lines: list[str]) -> dict:
     seen_codes: set[str] = set()
 
     for line in lines:
+        # dates/amounts/codes all require digits — cheap gate skips the
+        # six regex passes on prose-only lines (the common case)
+        if not _HAS_DIGIT.search(line):
+            continue
         line_dates = dates_in(line)
         if line_dates and invoice_date is None:
             invoice_date = line_dates[0][1]

@@ -151,10 +151,13 @@ def strip_boilerplate(
         return placed
     pages_of: dict[str, set[int]] = {}
     always_zoned: dict[str, bool] = {}
+    norms: list[str | None] = []
     for it in placed:
         if it.is_media:
+            norms.append(None)
             continue
         key = normalize_line(it.text)
+        norms.append(key)
         in_zone = it.y >= spec.TOP_ZONE_Y or it.y <= spec.BOT_ZONE_Y
         pages_of.setdefault(key, set()).add(it.page)
         always_zoned[key] = always_zoned.get(key, True) and in_zone
@@ -166,8 +169,8 @@ def strip_boilerplate(
     }
     return [
         it
-        for it in placed
-        if it.is_media or normalize_line(it.text) not in boiler
+        for it, key in zip(placed, norms)
+        if it.is_media or key not in boiler
     ]
 
 

@@ -30,11 +30,11 @@ _NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
 # Content-stream token: a (string), a [TJ array], a number, or an op.
 _TOK_RE = re.compile(
     r"""\(((?:[^()\\]|\\.)*)\)      # 1: literal string
-      | \[                          # TJ array opens (elements re-lexed)
-      | \]
-      | (/[A-Za-z0-9]+)             # 2: name
-      | ([-+]?\d*\.?\d+)            # 3: number
-      | ([A-Za-z'"*]+)              # 4: operator
+      | (\[)                        # 2: TJ array opens
+      | (\])                        # 3: TJ array closes
+      | (/[A-Za-z0-9]+)             # 4: name
+      | ([-+]?\d*\.?\d+)            # 5: number
+      | ([A-Za-z'"*]+)              # 6: operator
     """,
     re.X,
 )
@@ -152,32 +152,31 @@ def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
             x += spec.CHAR_W_FACTOR * size * len(txt)
 
     for m in _TOK_RE.finditer(content):
-        if m.group(0) == "[":
+        lit, open_b, close_b, name_tok, num_tok, op = m.groups()
+        if open_b is not None:
             in_array = True
             tj_parts = []
             continue
-        if m.group(0) == "]":
+        if close_b is not None:
             in_array = False
             continue
-        if m.group(1) is not None:  # literal string
-            s = _unescape(m.group(1))
+        if lit is not None:  # literal string
+            s = _unescape(lit)
             if in_array:
                 tj_parts.append((True, s))
             else:
                 strings.append(s)
             continue
-        if m.group(2) is not None:  # /Name
-            names.append(m.group(2)[1:])
+        if name_tok is not None:  # /Name
+            names.append(name_tok[1:])
             continue
-        if m.group(3) is not None:  # number
-            v = float(m.group(3))
+        if num_tok is not None:  # number
+            v = float(num_tok)
             if in_array:
                 tj_parts.append((False, v))
             else:
                 nums.append(v)
             continue
-
-        op = m.group(4)
         if op == "Tf":
             if nums:
                 size = nums[-1]

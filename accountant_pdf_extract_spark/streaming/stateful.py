@@ -1,0 +1,65 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(the arbitrary-state API): per-user running event counters that
+survive across micro-batches through the checkpointed state store.
+
+This is the streaming twin of ``operators/sessions.py`` — batch
+sessionization is two window functions; streaming accumulation is
+explicit state.  State schema and output schema are pinned
+StructTypes; the pandas callback sees an iterator of per-key frames.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_counts(
+    events_stream,
+    checkpoint_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+):
+    """Streaming per-user totals: count + value cents, accumulated in
+    the state store across micro-batches and emitted (update mode →
+    parquet append via foreachBatch is overkill here; we emit to the
+    sink each batch)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
+        )
+
+    stateful = events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    writer = (
+        stateful.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, _id: df.write.mode("append").parquet(output_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

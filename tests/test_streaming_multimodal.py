@@ -79,3 +79,46 @@ def test_frame_sample_plan(spark):
     }
     got = {r["media_ref"]: r["n"] for r in agg}
     assert got == expect
+
+
+def test_stateful_running_counts(spark, tmp_path: pathlib.Path):
+    """applyInPandasWithState: state survives across separate
+    availableNow drains via the checkpointed state store."""
+    from accountant_pdf_extract_spark.streaming.stateful import (
+        running_user_counts,
+    )
+
+    inp = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    )
+    batch1.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema("user_id long, value double").parquet(inp)
+    running_user_counts(stream, ckpt, out)
+
+    first = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert first == {1: (2, 1500), 2: (1, 700)}
+
+    # second drain with new files: totals must ACCUMULATE (state kept)
+    batch2 = spark.createDataFrame(
+        [(1, 1.0), (3, 2.0)], "user_id long, value double"
+    )
+    batch2.write.mode("append").parquet(inp)
+    stream2 = spark.readStream.schema("user_id long, value double").parquet(inp)
+    running_user_counts(stream2, ckpt, out)
+
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        uid = r["user_id"]
+        cur = latest.get(uid, (0, 0))
+        cand = (r["n_events"], r["total_cents"])
+        latest[uid] = max(cur, cand)
+    assert latest[1] == (3, 1600)
+    assert latest[2] == (1, 700)
+    assert latest[3] == (1, 200)

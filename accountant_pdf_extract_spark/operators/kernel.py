@@ -47,9 +47,18 @@ def extract_batches(
 
         for i, doc_id in enumerate(doc_ids):
             lo, hi = list_offsets[i], list_offsets[i + 1]
-            out, fields = extract_doc(
-                list(zip(f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi]))
-            )
+            try:
+                out, fields = extract_doc(
+                    list(
+                        zip(f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi])
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 — per-doc fault isolation:
+                # one malformed payload must not kill a 100-TB job; the
+                # doc yields zero spans and the skew shows up in the
+                # commit-log n_docs-vs-output delta.
+                print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+                continue
             for kind, text, ref, order in out:
                 col_doc.append(doc_id)
                 col_kind.append(kind)

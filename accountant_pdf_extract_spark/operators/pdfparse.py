@@ -23,6 +23,7 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _XOBJ_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _XOBJ_ENTRY_RE = re.compile(rb"/(Im\d+)\s+(\d+)\s+0\s+R")
 _NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
@@ -35,15 +36,31 @@ _TOK_RE = re.compile(
       | (/[A-Za-z0-9]+)             # 4: name
       | ([-+]?\d*\.?\d+)            # 5: number
       | ([A-Za-z'"*]+)              # 6: operator
+      | <([0-9A-Fa-f\s]*)>          # 7: hex string
     """,
     re.X,
 )
 
-_ESC_RE = re.compile(r"\\([()\\n])")
+_ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\n])")
 
 
 def _unescape(s: str) -> str:
-    return _ESC_RE.sub(lambda m: "\n" if m.group(1) == "n" else m.group(1), s)
+    def repl(m: re.Match) -> str:
+        g = m.group(1)
+        if g == "n":
+            return "\n"
+        if g[0] in "01234567":
+            return chr(int(g, 8) & 0xFF)
+        return g
+
+    return _ESC_RE.sub(repl, s)
+
+
+def _hex_to_str(h: str) -> str:
+    h = re.sub(r"\s", "", h)
+    if len(h) % 2:
+        h += "0"
+    return bytes.fromhex(h).decode("latin-1")
 
 
 @dataclass
@@ -111,8 +128,13 @@ def parse_pdf(data: bytes) -> list[Page]:
     pages: list[Page] = []
     for pn in page_nums:
         body = objs.get(pn, b"")
-        cm = _CONTENTS_RE.search(body)
-        content = streams.get(int(cm.group(1)), b"") if cm else b""
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+            content = b"\n".join(streams.get(r, b"") for r in refs)
+        else:
+            cm = _CONTENTS_RE.search(body)
+            content = streams.get(int(cm.group(1)), b"") if cm else b""
         xobj_refs: dict[str, str] = {}
         xm = _XOBJ_RE.search(body)
         if xm:
@@ -152,7 +174,15 @@ def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
             x += spec.CHAR_W_FACTOR * size * len(txt)
 
     for m in _TOK_RE.finditer(content):
-        lit, open_b, close_b, name_tok, num_tok, op = m.groups()
+        lit, open_b, close_b, name_tok, num_tok, op, hexs = m.groups()
+        if hexs is not None:
+            lit = None
+            s = _hex_to_str(hexs)
+            if in_array:
+                tj_parts.append((True, s))
+            else:
+                strings.append(s)
+            continue
         if open_b is not None:
             in_array = True
             tj_parts = []

@@ -60,12 +60,26 @@ def _unesc(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < len(s):
             nxt = s[i + 1]
-            out.append("\n" if nxt == "n" else nxt)
-            i += 2
+            if nxt in "01234567":
+                j = i + 1
+                while j < len(s) and j < i + 4 and s[j] in "01234567":
+                    j += 1
+                out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
+                i = j
+            else:
+                out.append("\n" if nxt == "n" else nxt)
+                i += 2
         else:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def _hexdec(h: str) -> str:
+    h = "".join(h.split())
+    if len(h) % 2:
+        h += "0"
+    return bytes.fromhex(h).decode("latin-1")
 
 
 class _TextState:
@@ -87,7 +101,7 @@ def _interpret(content: str, xobjs: dict[str, str]):
 
     token_pat = re.compile(
         r"\(((?:[^()\\]|\\.)*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
-        r"|([-+]?\d*\.?\d+)|([A-Za-z'\"*]+)"
+        r"|([-+]?\d*\.?\d+)|([A-Za-z'\"*]+)|<([0-9A-Fa-f\s]*)>"
     )
 
     def advance(txt: str) -> None:
@@ -97,7 +111,10 @@ def _interpret(content: str, xobjs: dict[str, str]):
 
     arr: list | None = None
     for tok in token_pat.finditer(content):
-        string, open_b, close_b, name, number, op = tok.groups()
+        string, open_b, close_b, name, number, op, hexs = tok.groups()
+        if hexs is not None:
+            (arr if arr is not None else operands).append(("str", _hexdec(hexs)))
+            continue
         if open_b:
             arr = []
             continue
@@ -265,8 +282,13 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     per_page = []
     for pn in _page_object_numbers(objs):
         body = objs.get(pn, "")
-        cm = re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
-        content = streams.get(int(cm.group(1)), "") if cm else ""
+        am = re.search(r"/Contents\s*\[([^\]]*)\]", body)
+        if am:
+            refs = [int(r) for r in re.findall(r"(\d+)\s+0\s+R", am.group(1))]
+            content = "\n".join(streams.get(r, "") for r in refs)
+        else:
+            cm = re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
+            content = streams.get(int(cm.group(1)), "") if cm else ""
         xobjs = {}
         xm = re.search(r"/XObject\s*<<(.*?)>>", body, re.S)
         if xm:

@@ -183,3 +183,38 @@ def test_offset_ordering():
         [("text", "b", "", 1), ("text", "a", "", 0), ("media", "", "m", 2)]
     )
     assert out == [("text", "a", "", 0), ("text", "b", "", 1), ("media", "", "m", 2)]
+
+
+def _raw_pdf(contents: list[str]) -> str:
+    objs = []
+    page_contents = " ".join(
+        f"{4 + i} 0 R" for i in range(len(contents))
+    )
+    head = (
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        f"/Contents [{page_contents}] >> endobj\n"
+    )
+    for i, c in enumerate(contents):
+        objs.append(
+            f"{4 + i} 0 obj << /Length {len(c)} >>\nstream\n{c}endstream endobj\n"
+        )
+    return "%PDF-1.4\n" + head + "".join(objs) + "%%EOF\n"
+
+
+def test_hex_strings_octal_escapes_contents_array():
+    from tests.oracle import pdf_spans
+
+    pdf = _raw_pdf(
+        [
+            "BT /F1 10 Tf 72 700 Td <48656C6C6F20686578> Tj ET\n",
+            "BT /F1 10 Tf 72 680 Td (octal \\101\\102\\103 ok) Tj ET\n"
+            "BT /F1 10 Tf 72 660 Td [(hx) -250 <414243>] TJ ET\n",
+        ]
+    )
+    out, _ = extract_doc([("pdf", pdf, "", 0)])
+    texts = [t for _, t, _, _ in out]
+    assert texts == ["Hello hex", "octal ABC ok", "hx ABC"]
+    # oracle mirrors the extended subset
+    assert [t for k, t, _ in pdf_spans(pdf)] == texts

@@ -62,6 +62,23 @@ def spans_view(flat: DataFrame) -> DataFrame:
     return flat.select("doc_id", "kind", "text", "media_ref", "order")
 
 
+def fields_view(flat: DataFrame) -> DataFrame:
+    """Doc-level accounting fields with ZERO shuffle: the kernel emits
+    the doc's fields on every span row, so the order==0 row carries
+    them per doc.  (doc_view's groupBy is only needed when the nested
+    spans array itself is wanted.)"""
+    return flat.where(F.col("order") == 0).select(
+        "doc_id",
+        "invoice_id",
+        "invoice_date",
+        "due_date",
+        "currency",
+        "total",
+        "amounts",
+        "account_codes",
+    )
+
+
 def doc_view(flat: DataFrame) -> DataFrame:
     """Re-nest the flat output to one row per doc with the ordered
     spans array + fields struct (X2 collect, SURVEY.md §2.3)."""

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.plans.driver_queries import register
-from accountant_pdf_extract_spark.plans.pipeline import doc_view, extract, spans_view
+from accountant_pdf_extract_spark.plans.pipeline import (
+    doc_view,
+    extract,
+    fields_view,
+    spans_view,
+)
 from accountant_pdf_extract_spark.sources.synth import interleaved_from_documents
 
 
@@ -22,10 +27,11 @@ def q_extract_spans(spark, sf):
 
 @register("q_extract_fields")
 def q_extract_fields(spark, sf):
-    """Doc-level accounting fields (rows-only check)."""
+    """Doc-level accounting fields (rows-only check; zero-shuffle
+    fields_view — the groupBy doc_view is only for the nested spans)."""
     docs = interleaved_from_documents(spark, sf, seed=42)
     flat = extract(docs, salt_buckets=256, num_partitions=32)
-    dv = doc_view(flat)
+    dv = fields_view(flat)
     return dv.select(
         "doc_id",
         "invoice_id",

@@ -191,7 +191,7 @@ pure per-doc pipeline in 8 vs 32 OS processes (no Spark) reaches
 
 Flagship end-to-end extraction (synth + decode + parse + strip +
 fields + assemble over the interleaved corpus derived from the sf0.1
-documents table): 3.35 s warm / ~1500 docs/s; per-query breakdown in
+documents table): ~2.5 s warm / ~2000 docs/s; per-query breakdown in
 BENCH_r{{N}}.json.  Heavy-corpus throughput: 2910 docs/s at just 8
 pinned cores (4-10 page PDF + HTML per doc; 1.58 ms/doc kernel).
 """

@@ -54,6 +54,7 @@ def _load() -> None:
     from accountant_pdf_extract_spark.plans import (  # noqa: F401
         q_relational,
         q_text,
+        q_tpch,
         q_pipeline,
     )
 

@@ -347,3 +347,24 @@ def q_dedup_embed(spark, sf):
     return similarity.cosine_near_dup_pairs(
         t(spark, sf, "embeddings"), max_id=100, threshold_milli=250
     )
+
+
+@register(
+    "q_amount_cents_udf",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+    """,
+)
+def q_amount_cents_udf(spark, sf):
+    """Scalar pandas_udf surface: format each price as a display amount
+    string, then vector-parse it back to cents."""
+    from accountant_pdf_extract_spark.functions.amounts import amount_to_cents
+
+    amount_str = F.concat(
+        F.lit("$"), F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey", amount_to_cents(amount_str).alias("cents")
+    )

@@ -122,3 +122,39 @@ def test_stateful_running_counts(spark, tmp_path: pathlib.Path):
     assert latest[1] == (3, 1600)
     assert latest[2] == (1, 700)
     assert latest[3] == (1, 200)
+
+
+def test_watermarked_window_counts(spark, tmp_path: pathlib.Path):
+    """Tumbling-window aggregation with a watermark over a file
+    stream (the classic late-data-tolerant streaming agg)."""
+    inp = str(tmp_path / "win")
+    spark.createDataFrame(
+        [("2025-01-01 10:05:00", 1), ("2025-01-01 10:20:00", 2),
+         ("2025-01-01 11:10:00", 3), ("2025-01-01 11:40:00", 4),
+         ("2025-01-01 10:45:00", 5)],
+        "ts_s string, v int",
+    ).selectExpr("cast(ts_s as timestamp) AS ts", "v").write.parquet(inp)
+
+    stream = spark.readStream.schema("ts timestamp, v int").parquet(inp)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+        .select(F.col("w.start").cast("string").alias("start"), "n", "sv")
+    )
+    out = str(tmp_path / "wout")
+    (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _i: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = {
+        (r["start"], r["n"], r["sv"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # availableNow append-mode emits windows finalized by the watermark
+    # (10:00 window closes once 11:40 arrives; 11:00 stays open)
+    assert ("2025-01-01 10:00:00", 3, 8) in rows

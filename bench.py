@@ -34,6 +34,8 @@ def main() -> None:
     # cheap Catalyst queries first, heavy kernel queries last, so GC
     # churn from giant-PDF batches doesn't pollute relational timings
     headline = [
+        "tpch_q1",
+        "tpch_q5",
         "q_agg",
         "q_join_smj",
         "q_rownum",

@@ -1,0 +1,95 @@
+"""Scale-pattern evidence tests: bucketed co-located joins (no
+Exchange) and salted skew joins (row-identical to plain joins)."""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.operators.skewjoin import salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    # make a skewed big side: every lineitem key plus a hot key burst
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    hot = li.limit(1).crossJoin(spark.range(500).select(F.lit(1).alias("_x"))).drop("_x")
+    big = li.unionByName(hot)
+    small = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+
+    plain = big.join(small, "l_orderkey").groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+    )
+    salted = salted_join(big, small, "l_orderkey", salt_buckets=8).groupBy(
+        "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in >1 salt bucket."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    hot_key = li.first()["l_orderkey"]
+    big = li.where(F.col("l_orderkey") == hot_key).crossJoin(
+        spark.range(400).select(F.lit(1).alias("_y"))
+    ).drop("_y")
+    salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int"),
+    )
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets >= 6
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path: pathlib.Path):
+    """Pre-bucketed tables co-locate join keys at write time — the
+    join plan shows zero shuffle Exchange (the 100 TB pattern for
+    repeatedly-joined fact tables)."""
+    # warehouse.dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored); clear any stale locations first
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for stale in ("spark-warehouse/b_orders", "spark-warehouse/b_lineitem"):
+        shutil.rmtree(stale, ignore_errors=True)
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    (
+        li.withColumn("o_orderkey", F.col("l_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    # small tables would otherwise broadcast — force the SMJ path the
+    # pattern targets (at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -97,3 +97,26 @@ def test_table_cells_roundtrip(cells: list[list[str]]) -> None:
     out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
     got = [t for kind, t, _, _ in out if kind == "text"]
     assert got == ["\t".join(row) for row in cells]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    junk=st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+        max_size=400,
+    ),
+    wrap=st.booleans(),
+)
+def test_parser_never_crashes_on_garbage(junk: str, wrap: bool) -> None:
+    """Crash-safety fuzz: arbitrary latin-1 payloads — including ones
+    dressed up with pdf markers — must parse to something (possibly
+    empty), never raise."""
+    payload = (
+        f"%PDF-1.4\n1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        f"2 0 obj << /Length {len(junk)} >>\nstream\n{junk}\nendstream endobj\n"
+        if wrap
+        else junk
+    )
+    out, fields = extract_doc([("pdf", payload, "", 0)])
+    assert isinstance(out, list)
+    assert isinstance(fields, dict)

@@ -2,9 +2,8 @@
 ``mapInArrow`` pass).
 
 Input batches: (doc_id: string, spans: list<struct<kind,text,media_ref,
-offset>>).  Output batches: one row per output span, flattened, plus
-the doc's extracted fields repeated per row
-(``schema.ARROW_FLAT_FIELDS``).  Arrow in, Arrow out — the only Python
+offset>>).  Output batches: one row per output span, flattened; the doc's
+extracted fields ride on its order==0 row (``schema.ARROW_FLAT_FIELDS``).  Arrow in, Arrow out — the only Python
 boundary in the hot path; no per-row Python at the Spark API level
 (``BASELINE.json:15``).
 """
@@ -65,13 +64,25 @@ def extract_batches(
                 col_text.append(text)
                 col_ref.append(ref)
                 col_order.append(order)
-                col_inv.append(fields["invoice_id"])
-                col_idate.append(fields["invoice_date"])
-                col_ddate.append(fields["due_date"])
-                col_ccy.append(fields["currency"])
-                col_total.append(fields["total"])
-                col_amounts.append(fields["amounts"])
-                col_codes.append(fields["account_codes"])
+                if order == 0:
+                    # fields ride on the doc's first span row only —
+                    # duplicating Decimal/list cells per span row costs
+                    # 20-50x more Arrow build time for zero information
+                    col_inv.append(fields["invoice_id"])
+                    col_idate.append(fields["invoice_date"])
+                    col_ddate.append(fields["due_date"])
+                    col_ccy.append(fields["currency"])
+                    col_total.append(fields["total"])
+                    col_amounts.append(fields["amounts"])
+                    col_codes.append(fields["account_codes"])
+                else:
+                    col_inv.append(None)
+                    col_idate.append(None)
+                    col_ddate.append(None)
+                    col_ccy.append(None)
+                    col_total.append(None)
+                    col_amounts.append(None)
+                    col_codes.append(None)
 
         yield pa.RecordBatch.from_arrays(
             [

@@ -63,10 +63,9 @@ def spans_view(flat: DataFrame) -> DataFrame:
 
 
 def fields_view(flat: DataFrame) -> DataFrame:
-    """Doc-level accounting fields with ZERO shuffle: the kernel emits
-    the doc's fields on every span row, so the order==0 row carries
-    them per doc.  (doc_view's groupBy is only needed when the nested
-    spans array itself is wanted.)"""
+    """Doc-level accounting fields with ZERO shuffle: the kernel puts
+    each doc's fields on its order==0 span row.  (doc_view's groupBy
+    is only needed when the nested spans array itself is wanted.)"""
     return flat.where(F.col("order") == 0).select(
         "doc_id",
         "invoice_id",
@@ -86,11 +85,11 @@ def doc_view(flat: DataFrame) -> DataFrame:
         F.sort_array(
             F.collect_list(F.struct("order", "kind", "text", "media_ref"))
         ).alias("spans"),
-        F.first("invoice_id", ignorenulls=False).alias("invoice_id"),
-        F.first("invoice_date").alias("invoice_date"),
-        F.first("due_date").alias("due_date"),
-        F.first("currency").alias("currency"),
-        F.first("total").alias("total"),
-        F.first("amounts").alias("amounts"),
-        F.first("account_codes").alias("account_codes"),
+        F.first("invoice_id", ignorenulls=True).alias("invoice_id"),
+        F.first("invoice_date", ignorenulls=True).alias("invoice_date"),
+        F.first("due_date", ignorenulls=True).alias("due_date"),
+        F.first("currency", ignorenulls=True).alias("currency"),
+        F.first("total", ignorenulls=True).alias("total"),
+        F.first("amounts", ignorenulls=True).alias("amounts"),
+        F.first("account_codes", ignorenulls=True).alias("account_codes"),
     )

@@ -58,10 +58,10 @@ FIELDS_STRUCT = StructType(
     ]
 )
 
-# Flattened extraction output: one row per output span, plus per-doc
-# extracted accounting fields repeated on each row of the doc (the
-# doc-level view is a cheap groupBy away; the flat view is what the
-# span-sequence fixtures compare).
+# Flattened extraction output: one row per output span; the doc's
+# extracted accounting fields ride on its order==0 row (null on the
+# rest — duplicating them per span wastes Arrow build time).  The
+# flat view is what the span-sequence fixtures compare.
 FLAT_OUT_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),

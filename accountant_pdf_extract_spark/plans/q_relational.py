@@ -635,3 +635,67 @@ def q_grouped_stats(spark, sf):
     from accountant_pdf_extract_spark.operators.sessions import grouped_stats
 
     return grouped_stats(t(spark, sf, "events"))
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_f,
+           sum(CASE WHEN l_linestatus = 'O'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark, sf):
+    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    out = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(cents))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("qty_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("qty_o"),
+    )
+
+
+@register(
+    "q_ntile",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q_ntile(spark, sf):
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return t(spark, sf, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+             AS p50_cents,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.95)
+             AS p95_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark, sf):
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, F.lit(0.5)).alias("p50_cents"),
+            F.percentile(cents, F.lit(0.95)).alias("p95_cents"),
+        )
+    )

@@ -82,3 +82,13 @@ def q_span_filter(spark, sf):
         F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
         F.size("spans").alias("n_spans"),
     )
+
+
+@register("q_corpus_pipeline")
+def q_corpus_pipeline(spark, sf):
+    """Full curation composition: extract -> assemble per-doc text ->
+    exact dedup (keep min id) -> quality filter (rows-only check)."""
+    from accountant_pdf_extract_spark.plans.corpus_pipeline import curate
+
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    return curate(docs, salt_buckets=256, num_partitions=32, min_quality=0.3)

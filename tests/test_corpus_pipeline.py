@@ -1,0 +1,48 @@
+"""The composed curation pipeline: dedup keeps one representative per
+content, the quality gate drops junk, survivors keep ordered text."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accountant_pdf_extract_spark.plans.corpus_pipeline import curate, doc_text
+from accountant_pdf_extract_spark.plans.pipeline import extract
+from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                did,
+                [
+                    {"kind": "text", "text": t, "media_ref": "", "offset": i}
+                    for i, t in enumerate(texts)
+                ],
+            )
+            for did, texts in rows
+        ],
+        INPUT_SCHEMA,
+    )
+
+
+def test_dedup_keeps_min_and_quality_filters(spark):
+    rows = [
+        ("a-1", ["the ledger is in the balance today and it is fine"]),
+        ("a-2", ["the ledger is in the balance today and it is fine"]),  # dup
+        ("b-1", ["!!!"]),  # junk → quality gate
+        ("c-1", ["a completely different entry in the journal is here now"]),
+    ]
+    out = curate(_mkdocs(spark, rows), salt_buckets=8, num_partitions=4).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == ["a-1", "c-1"]
+    for r in out:
+        assert r["quality_score"] >= 0.3
+        assert r["n_tokens"] >= 5
+
+
+def test_doc_text_preserves_order(spark):
+    rows = [("d-1", ["first line", "second line", "third line"])]
+    flat = extract(_mkdocs(spark, rows), salt_buckets=4, num_partitions=2)
+    txt = doc_text(flat).first()["text"]
+    assert txt == "first line\nsecond line\nthird line"

@@ -11,7 +11,6 @@ boundary in the hot path; no per-row Python at the Spark API level
 from __future__ import annotations
 
 from collections.abc import Iterator
-from decimal import Decimal
 
 import pyarrow as pa
 

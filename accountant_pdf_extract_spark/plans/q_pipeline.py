@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.plans.driver_queries import register
 from accountant_pdf_extract_spark.plans.pipeline import (
-    doc_view,
     extract,
     fields_view,
     spans_view,

@@ -3,8 +3,6 @@ content, the quality gate drops junk, survivors keep ordered text."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from accountant_pdf_extract_spark.plans.corpus_pipeline import curate, doc_text
 from accountant_pdf_extract_spark.plans.pipeline import extract
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA

@@ -10,7 +10,6 @@ import pathlib
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.plans.job import run_job
-from accountant_pdf_extract_spark.plans.pipeline import SALT_COL
 from accountant_pdf_extract_spark.sources.commit_log import CommitLog
 from accountant_pdf_extract_spark.sources.synth import synth_interleaved
 

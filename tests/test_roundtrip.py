@@ -120,3 +120,28 @@ def test_parser_never_crashes_on_garbage(junk: str, wrap: bool) -> None:
     out, fields = extract_doc([("pdf", payload, "", 0)])
     assert isinstance(out, list)
     assert isinstance(fields, dict)
+
+
+_para = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789,.")
+    ),
+    min_size=12,
+    max_size=120,
+).map(lambda s: " ".join(s.split())).filter(lambda s: len(s) >= 10)
+
+
+@settings(max_examples=60, deadline=None)
+@given(paras=st.lists(_para, min_size=1, max_size=6))
+def test_html_paragraph_roundtrip(paras: list[str]) -> None:
+    """Paragraph text survives the boilerplate strip exactly; nav/
+    header/footer/script vanish regardless of the paragraphs."""
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        "<html><head><style>a{x:1}</style><script>junk()</script></head>"
+        "<body><nav><a href='/'>L1</a> <a href='/'>L2</a></nav>"
+        f"<header><h1>Site Title Here</h1></header>{body}"
+        "<footer>contact legal imprint</footer></body></html>"
+    )
+    out, _ = extract_doc([("html", html, "", 0)])
+    assert [t for _k, t, _r, _o in out] == paras

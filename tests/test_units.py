@@ -218,3 +218,60 @@ def test_hex_strings_octal_escapes_contents_array():
     assert texts == ["Hello hex", "octal ABC ok", "hx ABC"]
     # oracle mirrors the extended subset
     assert [t for k, t, _ in pdf_spans(pdf)] == texts
+
+
+def test_footer_only_page():
+    pg = PageBuilder()
+    pg.text(72, 30, "Page 1 of 1")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    # single page → no boilerplate strip; footer text survives
+    assert [t for _, t, _, _ in out] == ["Page 1 of 1"]
+
+
+def test_media_in_header_zone_survives_boilerplate():
+    pages = []
+    for i in range(2):
+        pg = PageBuilder()
+        pg.text(72, 760, "Repeat Header")
+        pg.image(100, 760, 50, 20, f"media://sha/{i:016x}")
+        pg.text(72, 400, f"body {i}")
+        pages.append(pg)
+    out, _ = extract_doc([("pdf", build_pdf(pages), "", 0)])
+    kinds = [(k, t or r) for k, t, r, _ in out]
+    # header text stripped on both pages; media pass through
+    assert ("text", "Repeat Header") not in kinds
+    assert ("media", "media://sha/0000000000000000") in kinds
+    assert ("media", "media://sha/0000000000000001") in kinds
+    assert ("text", "body 0") in kinds and ("text", "body 1") in kinds
+
+
+def test_two_col_rejected_when_line_crosses_center():
+    pg = PageBuilder()
+    # 3 left, 3 right, but one long line crosses the center
+    for i in range(3):
+        pg.text(72, 700 - 30 * i, "left side txt")
+        pg.text(340, 685 - 30 * i, "right side txt")
+    pg.text(72, 560, "x" * 60)  # 72 + 300 = 372 end → crosses 306
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    texts = [t for _, t, _, _ in out]
+    # falls back to strict top-down interleave
+    assert texts[0] == "left side txt" and texts[1] == "right side txt"
+
+
+def test_tj_positive_kerning_no_space():
+    pg = PageBuilder()
+    pg.text_tj(72, 700, ["a", 120.0, "b"])
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [t for _, t, _, _ in out] == ["ab"]
+
+
+def test_tj_inside_text_without_bt_state():
+    # raw Tj with no BT: defaults place it at y=0 (footer zone), single
+    # page → still emitted
+    from tests.oracle import pdf_spans
+
+    content = "/F1 10 Tf 72 500 Td (floating) Tj\n"
+    pdf = _raw_pdf([content])
+    out, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [t for _, t, _, _ in out] == ["floating"]
+    assert [t for _k, t, _r in pdf_spans(pdf)] == ["floating"]

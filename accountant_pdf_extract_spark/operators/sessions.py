@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def ntz_epoch_seconds(c):
+    """Seconds-since-epoch of a TIMESTAMP_NTZ wall time, independent of
+    the session timezone (casting NTZ through TIMESTAMP interprets the
+    wall time in the session zone — wrong under a non-UTC driver, and
+    DST transitions would corrupt gap arithmetic).  Matches DuckDB's
+    floor(epoch(ts)) on naive timestamps."""
+    return (
+        F.unix_date(F.to_date(c)) * 86400
+        + F.hour(c) * 3600
+        + F.minute(c) * 60
+        + F.second(c)
+    ).cast("long")
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
@@ -31,8 +45,8 @@ def sessionize(
     gap_s = gap_minutes * 60
     is_new = (
         F.when(
-            F.col(ts_col).cast("timestamp").cast("long")
-            - F.lag(F.col(ts_col).cast("timestamp").cast("long")).over(w)
+            ntz_epoch_seconds(F.col(ts_col))
+            - F.lag(ntz_epoch_seconds(F.col(ts_col))).over(w)
             > gap_s,
             1,
         )
@@ -56,8 +70,8 @@ def session_stats(
     return s.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
         (
-            F.max(F.col("ts").cast("timestamp").cast("long"))
-            - F.min(F.col("ts").cast("timestamp").cast("long"))
+            F.max(ntz_epoch_seconds(F.col("ts")))
+            - F.min(ntz_epoch_seconds(F.col("ts")))
         ).alias("span_s"),
     )
 

@@ -101,3 +101,27 @@ def test_salt_distribution(spark):
     per = {r["b"]: r["count"] for r in counts}
     assert len(per) == 16
     assert max(per.values()) < 4 * min(per.values())
+
+
+def test_commit_log_records_roundtrip(spark, tmp_path: pathlib.Path):
+    log = CommitLog(str(tmp_path / "clog"))
+    recs = [
+        {"partition_id": 3, "input_fingerprint": "abc", "n_docs": 10,
+         "n_spans": 55, "n_fields": 7, "wall_ms": 123},
+        {"partition_id": 5, "input_fingerprint": "def", "n_docs": 2,
+         "n_spans": 9, "n_fields": 1, "wall_ms": 123},
+    ]
+    sid = log.commit(spark, recs, {"job_id": "t", "attempt": "1"})
+    df = log.records(spark)
+    rows = {r["partition_id"]: r for r in df.collect()}
+    assert set(rows) == {3, 5}
+    assert rows[3]["n_spans"] == 55
+    assert rows[3]["lineage"]["job_id"] == "t"
+    assert rows[5]["snapshot_id"] == sid
+    assert log.committed_buckets() == {3, 5}
+
+
+def test_commit_log_empty_records(spark, tmp_path: pathlib.Path):
+    log = CommitLog(str(tmp_path / "clog2"))
+    assert log.records(spark).count() == 0
+    assert log.committed_buckets() == set()

@@ -51,3 +51,16 @@ def test_extracted_fields(spark):
             assert got_k[doc_id] == vals, doc_id
         else:
             assert vals == (None, None, None, None, None, (), ()), doc_id
+
+
+def test_partition_invariance(spark):
+    """Identical results at any salt bucket count / partitioning —
+    the property that makes rows-only driver checks and cluster-size
+    changes safe."""
+    from accountant_pdf_extract_spark.plans.pipeline import extract, spans_view
+
+    docs = spark.read.parquet(str(FIXDIR / "fixture_docs.parquet"))
+    cols = ["doc_id", "order", "kind", "text", "media_ref"]
+    a = _rows(spans_view(extract(docs, salt_buckets=2, num_partitions=2)), cols)
+    b = _rows(spans_view(extract(docs, salt_buckets=512, num_partitions=64)), cols)
+    assert a == b and len(a) > 0

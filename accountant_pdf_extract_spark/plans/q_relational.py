@@ -699,3 +699,56 @@ def q_percentile(spark, sf):
             F.percentile(cents, F.lit(0.95)).alias("p95_cents"),
         )
     )
+
+
+@register(
+    "q_like",
+    """
+    SELECT p_brand, count(*) AS n,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS price_cents
+    FROM part
+    WHERE p_type LIKE '%ARD%' AND p_size BETWEEN 5 AND 40
+    GROUP BY p_brand
+    """,
+)
+def q_like(spark, sf):
+    return (
+        t(spark, sf, "part")
+        .where(F.col("p_type").like("%ARD%") & F.col("p_size").between(5, 40))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "q_promo_share",
+    """
+    SELECT CAST(floor(
+             1000.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                 ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+           ) AS BIGINT) AS promo_milli
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_promo_share(spark, sf):
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.floor(F.lit(1000.0) * F.sum(promo) / F.sum(cents))
+            .cast("long")
+            .alias("promo_milli")
+        )
+    )

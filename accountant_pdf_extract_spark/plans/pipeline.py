@@ -82,8 +82,18 @@ def doc_view(flat: DataFrame) -> DataFrame:
     """Re-nest the flat output to one row per doc with the ordered
     spans array + fields struct (X2 collect, SURVEY.md §2.3)."""
     return flat.groupBy("doc_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("order", "kind", "text", "media_ref"))
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("order", "kind", "text", "media_ref"))
+            ),
+            # re-project into the pinned span struct order
+            # (kind, text, media_ref, order) — schema.SPAN_OUT_STRUCT
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["order"].alias("order"),
+            ),
         ).alias("spans"),
         F.first("invoice_id", ignorenulls=True).alias("invoice_id"),
         F.first("invoice_date", ignorenulls=True).alias("invoice_date"),

@@ -64,3 +64,22 @@ def test_partition_invariance(spark):
     a = _rows(spans_view(extract(docs, salt_buckets=2, num_partitions=2)), cols)
     b = _rows(spans_view(extract(docs, salt_buckets=512, num_partitions=64)), cols)
     assert a == b and len(a) > 0
+
+
+def test_doc_view_spans_schema_pinned(spark):
+    """doc_view's nested span element must match SPAN_OUT_STRUCT."""
+    from accountant_pdf_extract_spark.plans.pipeline import doc_view, extract
+    from accountant_pdf_extract_spark.schema import SPAN_OUT_STRUCT
+    from pyspark.sql.types import ArrayType
+
+    docs = spark.read.parquet(str(FIXDIR / "fixture_docs.parquet"))
+    dv = doc_view(extract(docs, salt_buckets=8, num_partitions=4))
+    spans_type = dict(zip(dv.schema.names, [f.dataType for f in dv.schema.fields]))["spans"]
+    assert isinstance(spans_type, ArrayType)
+    got = [(f.name, f.dataType.simpleString()) for f in spans_type.elementType.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in SPAN_OUT_STRUCT.fields]
+    assert got == want
+    # and order inside the array is ascending by `order`
+    row = dv.where(dv.doc_id == "fix-0000").first()
+    orders = [s["order"] for s in row["spans"]]
+    assert orders == sorted(orders) and orders[0] == 0

@@ -90,6 +90,21 @@ def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
     )
     docs.append(("edge-html", [("html", html, "", 0)]))
 
+    # giant multi-page PDF (the skew tail): 25 pages, repeated
+    # header/footer boilerplate, body paragraphs — pins the giant path
+    giant_pages = []
+    for p in range(25):
+        pg = PageBuilder()
+        pg.text(72, 760, "MegaCorp Ltd - Annual Statement")
+        pg.text(72, 30, f"Page {p + 1} of 25")
+        pg.text_block(
+            72, 700,
+            [f"page {p} line {i} of the giant body" for i in range(12)],
+            leading=18,
+        )
+        giant_pages.append(pg)
+    docs.append(("edge-giant-pdf", [("pdf", build_pdf(giant_pages), "", 0)]))
+
     # interleaving: text, media, pdf, text with explicit offsets reversed
     pg = PageBuilder()
     pg.text(72, 700, "pdf body line")

@@ -268,8 +268,12 @@ def interleaved_from_documents(
 ) -> DataFrame:
     """Wrap the driver's ``documents`` table into the pinned
     interleaved input shape, deterministically keyed on doc_id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    from accountant_pdf_extract_spark.operators.dedup import ensure_parallelism
+
+    # single small local parquet file → one scan task would serialize
+    # the whole synth+shuffle stage; fan out first (no-op at scale)
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     )
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

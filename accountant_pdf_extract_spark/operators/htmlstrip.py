@@ -34,16 +34,27 @@ _ENTITIES = {
     "&lt;": "<",
     "&gt;": ">",
     "&quot;": '"',
-    "&#39;": "'",
     "&apos;": "'",
     "&nbsp;": " ",
 }
-_ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+_ENTITY_RE = re.compile(
+    "|".join(re.escape(k) for k in _ENTITIES) + r"|&#x([0-9A-Fa-f]{1,6});|&#(\d{1,7});"
+)
+
+
+def _entity(m: re.Match) -> str:
+    if m.group(1) is not None:  # &#xHH;
+        cp = int(m.group(1), 16)
+    elif m.group(2) is not None:  # &#NNN;
+        cp = int(m.group(2))
+    else:
+        return _ENTITIES[m.group(0)]
+    return chr(cp) if 0 < cp <= 0x10FFFF else ""
 
 
 def _clean(fragment: str) -> str:
     txt = _TAG_RE.sub(" ", fragment)
-    txt = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], txt)
+    txt = _ENTITY_RE.sub(_entity, txt)
     return _WS_RE.sub(" ", txt).strip()
 
 

@@ -336,12 +336,22 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
 
 _ENT = {
     "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
-    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+    "&apos;": "'", "&nbsp;": " ",
 }
 
 
 def _strip_tags(s: str) -> str:
     s = re.sub(r"<[^>]+>", " ", s)
+    s = re.sub(
+        r"&#x([0-9A-Fa-f]{1,6});",
+        lambda m: chr(int(m.group(1), 16)) if 0 < int(m.group(1), 16) <= 0x10FFFF else "",
+        s,
+    )
+    s = re.sub(
+        r"&#(\d{1,7});",
+        lambda m: chr(int(m.group(1))) if 0 < int(m.group(1)) <= 0x10FFFF else "",
+        s,
+    )
     for k, v in _ENT.items():
         s = s.replace(k, v)
     return re.sub(r"\s+", " ", s).strip()

@@ -275,3 +275,12 @@ def test_tj_inside_text_without_bt_state():
     out, _ = extract_doc([("pdf", pdf, "", 0)])
     assert [t for _, t, _, _ in out] == ["floating"]
     assert [t for _k, t, _r in pdf_spans(pdf)] == ["floating"]
+
+
+def test_html_numeric_entities():
+    from tests.oracle import html_spans
+
+    html = "<p>caf&#233; costs &#x24;5 &amp; tax &#39;today&#39; here</p>"
+    got = strip_html(html)
+    assert got == ["café costs $5 & tax 'today' here"]
+    assert [t for _k, t, _r in html_spans(html)] == got

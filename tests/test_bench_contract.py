@@ -1,0 +1,35 @@
+"""The driver parses bench.py stdout as ONE JSON line with pinned
+keys — guard that contract (run at sf0.001 to keep it fast)."""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+ROOT = pathlib.Path(__file__).parent.parent
+
+
+def test_bench_one_json_line():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        env=env,
+        timeout=500,
+        check=True,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, out.stdout
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
+    assert payload["sf"] == 0.001
+    assert "q_extract_spans" in payload["queries"]
+    assert all(v > 0 for v in payload["queries"].values())

@@ -74,9 +74,9 @@ def q_valid(spark, sf):
     """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_price_cents
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_price_cents
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -137,7 +137,7 @@ def q_cube(spark, sf):
     "q_join_bcast",
     """
     SELECT r.r_name, count(*) AS n_customers,
-           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -166,7 +166,7 @@ def q_join_bcast(spark, sf):
     """
     SELECT o.o_orderstatus,
            count(*) AS n_items,
-           sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS qty_cents
+           CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
     """,
@@ -295,9 +295,9 @@ def q_lag(spark, sf):
     "q_frame",
     """
     SELECT user_id, event_id,
-           sum(CAST(round(value * 100) AS BIGINT))
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM events
     """,
 )
@@ -443,8 +443,8 @@ def q_date_roundtrip(spark, sf):
     "q_hof",
     """
     SELECT vec_id,
-           list_sum(list_transform(embedding,
-                    x -> CAST(round(x * 1000) AS BIGINT))) AS sum_milli,
+           CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
            len(embedding) AS dim
     FROM embeddings
     """,
@@ -581,9 +581,9 @@ def q_hash(spark, sf):
                   THEN 1 ELSE 0 END AS is_new
       FROM events)
     SELECT user_id, event_id,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS session_idx
+                             AND CURRENT ROW) AS BIGINT) AS session_idx
     FROM lagd
     """,
 )
@@ -606,9 +606,9 @@ def q_sessionize(spark, sf):
       FROM events),
     sess AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS session_idx
+                               AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM lagd)
     SELECT user_id, session_idx, count(*) AS n_events,
            CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS span_s
@@ -641,10 +641,10 @@ def q_grouped_stats(spark, sf):
     "q_pivot",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'F'
-               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_f,
-           sum(CASE WHEN l_linestatus = 'O'
-               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS qty_o
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_f,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+               THEN CAST(round(l_quantity * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_o
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -705,7 +705,7 @@ def q_percentile(spark, sf):
     "q_like",
     """
     SELECT p_brand, count(*) AS n,
-           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS price_cents
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
     FROM part
     WHERE p_type LIKE '%ARD%' AND p_size BETWEEN 5 AND 40
     GROUP BY p_brand

@@ -74,21 +74,25 @@ def q_linefreq(spark, sf):
     r"""
     SELECT o_orderkey,
            '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_str,
-           CAST(regexp_extract('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                               '\$([0-9.]+)', 1) AS DECIMAL(18,2)) AS parsed
+           CAST(CAST(regexp_extract('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                               '\$([0-9.]+)', 1) AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS parsed_cents
     FROM orders
     """,
 )
 def q_amounts(spark, sf):
+    # Integer cents on both sides: DECIMAL surfaces as float64 through
+    # DuckDB's .df()/Arrow path while Spark returns Decimal objects, so a
+    # DECIMAL output column can never hash-match across engines.
     amount_str = F.concat(
         F.lit("$"), F.col("o_totalprice").cast("decimal(18,2)").cast("string")
     )
     return t(spark, sf, "orders").select(
         "o_orderkey",
         amount_str.alias("amount_str"),
-        F.regexp_extract(amount_str, r"\$([0-9.]+)", 1)
-        .cast("decimal(18,2)")
-        .alias("parsed"),
+        (F.regexp_extract(amount_str, r"\$([0-9.]+)", 1).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("parsed_cents"),
     )
 
 
@@ -303,7 +307,8 @@ def q_dedup_simhash(spark, sf):
              CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp
       FROM embeddings),
     dots AS (
-      SELECT q.vid AS qid, c.vid AS cid, sum(q.comp * c.comp) AS dot_micro
+      SELECT q.vid AS qid, c.vid AS cid,
+             CAST(sum(q.comp * c.comp) AS BIGINT) AS dot_micro
       FROM comps q JOIN comps c USING (pos)
       WHERE q.vid < 10 AND q.vid <> c.vid
       GROUP BY q.vid, c.vid),

@@ -18,10 +18,10 @@ _CUTOFF = "1998-09-01"
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_CUTOFF} 00:00:00'
@@ -48,7 +48,7 @@ def tpch_q1(spark, sf):
     "tpch_q3",
     """
     SELECT l.l_orderkey,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            CAST(o.o_orderdate AS DATE) AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -83,7 +83,7 @@ def tpch_q3(spark, sf):
     "tpch_q5",
     """
     SELECT n.n_name,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -122,7 +122,7 @@ def tpch_q5(spark, sf):
 @register(
     "tpch_q6",
     """
-    SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS revenue_cents,
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'

@@ -38,21 +38,22 @@ def test_every_query_has_callable(contract):
 
 
 def test_oracle_parity(spark, contract, duck):
+    # Typed comparison through the same pandas/Arrow path the driver uses
+    # (Spark toPandas vs DuckDB .df()) — int-kind vs float-kind vs Decimal
+    # are distinct, so an uncast HUGEINT sum in an oracle fails here too.
     qs, oracles = contract
     failures = []
     for name, sql in sorted(oracles.items()):
-        sdf = qs[name](spark, SF_DIR)
-        scols = sdf.columns
-        srec = [tuple(r) for r in sdf.collect()]
-        res = duck.execute(sql)
-        dcols = [d[0] for d in res.description]
-        drec = res.fetchall()
-        if sorted(scols) != sorted(dcols):
-            failures.append(f"{name}: cols {sorted(scols)} != {sorted(dcols)}")
-        elif len(srec) != len(drec):
-            failures.append(f"{name}: rows {len(srec)} != {len(drec)}")
-        elif rows_of(scols, srec) != rows_of(dcols, drec):
-            failures.append(f"{name}: values differ")
+        spd = qs[name](spark, SF_DIR).toPandas()
+        dpd = duck.execute(sql).df()
+        if sorted(spd.columns) != sorted(dpd.columns):
+            failures.append(
+                f"{name}: cols {sorted(spd.columns)} != {sorted(dpd.columns)}"
+            )
+        elif len(spd) != len(dpd):
+            failures.append(f"{name}: rows {len(spd)} != {len(dpd)}")
+        elif rows_of(spd) != rows_of(dpd):
+            failures.append(f"{name}: typed values differ")
     assert not failures, failures
 
 

@@ -1,11 +1,24 @@
 """Developer harness mimicking the driver's correctness check: run
 every queries() entry under Spark and its oracle_sql twin under DuckDB
-on the same sf dir; compare row count, column names, and sorted value
-tuples.  Usage:  python -m tools.parity [sf_dir] [name ...]
+on the same sf dir; compare row count, column names, and a TYPED value
+hash through the same pandas/Arrow conversion path the driver uses
+(Spark ``toPandas()`` vs DuckDB ``.df()``).
+
+The typed comparison is the important part: DuckDB surfaces
+``sum(BIGINT)`` as HUGEINT -> float64 and DECIMAL as float64 through
+``.df()``, while Spark returns int64 / Decimal objects.  Round 1's
+string-based comparison collapsed those distinctions and disagreed with
+the driver on 11 queries; this version distinguishes int-kind vs
+float-kind vs Decimal exactly (integer *widths* are normalized — the
+driver accepted Spark int32 rank vs DuckDB int64 rank).
+
+Usage:  python -m tools.parity [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import sys
 
@@ -18,22 +31,68 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Canonical typed token for one cell.
+
+    - null-ish (None, NaN, NaT) -> ("null",)
+    - integer kinds (any width, numpy or python) -> ("i", int)
+    - float kinds -> ("f", exact repr)  [type-distinct from int]
+    - Decimal -> ("dec", normalized string)  [type-distinct from float]
+    - date/datetime -> ("t", isoformat)
+    - bool -> ("b", value)
+    - list/array -> ("a", tuple of tokens)
+    - str/bytes -> ("s", value)
+    """
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+            return ("null",)
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, datetime.datetime):
+        return ("t", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("t", datetime.datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (str, bytes)):
+        return ("s", v)
+    # numpy scalars / pandas Timestamp / arrays
+    kind = getattr(getattr(v, "dtype", None), "kind", None)
+    if kind in ("i", "u"):
+        return ("i", int(v))
+    if kind == "f":
+        f = float(v)
+        return ("null",) if math.isnan(f) else ("f", repr(f))
+    if kind == "b":
+        return ("b", bool(v))
+    if kind == "M" or hasattr(v, "isoformat"):
+        try:
+            if v != v:  # NaT
+                return ("null",)
+        except Exception:  # noqa: BLE001
+            pass
+        iso = v.isoformat()
+        # normalize date-only isoformat to midnight datetime
+        if len(iso) == 10:
+            iso += "T00:00:00"
+        return ("t", iso)
+    if isinstance(v, (list, tuple)) or kind is not None:
+        return ("a", tuple(norm_cell(x) for x in v))
+    return ("s", str(v))
 
 
-def rows_of(cols, records):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(norm_cell(r[i]) for i in idx) for r in records
-    )
+def rows_of(df):
+    """Sorted list of typed row tuples, columns ordered by name."""
+    cols = sorted(df.columns)
+    recs = [
+        tuple(norm_cell(row[c]) for c in cols)
+        for row in df[cols].to_dict("records")
+    ]
+    return sorted(recs)
 
 
 def main() -> None:
@@ -53,49 +112,57 @@ def main() -> None:
     qs = __spark_entry__.queries()
     oracles = __spark_entry__.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    failed = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srec = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srec)} rows")
+            print(f"rows-only {name}: {len(spd)} rows")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drec = res.fetchall()
+            dpd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         ok = True
-        if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if sorted(spd.columns) != sorted(dpd.columns):
+            print(
+                f"FAIL {name}: cols spark={sorted(spd.columns)} "
+                f"duck={sorted(dpd.columns)}"
+            )
             ok = False
-        elif len(srec) != len(drec):
-            print(f"FAIL {name}: rowcount spark={len(srec)} duck={len(drec)}")
+        elif len(spd) != len(dpd):
+            print(f"FAIL {name}: rowcount spark={len(spd)} duck={len(dpd)}")
             ok = False
         else:
-            sr = rows_of(scols, srec)
-            dr = rows_of(dcols, drec)
+            sr = rows_of(spd)
+            dr = rows_of(dpd)
             if sr != dr:
                 diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-                print(f"FAIL {name}: values differ; first diffs: {diff}")
+                print(f"FAIL {name}: typed values differ; first diffs: {diff}")
                 ok = False
         if ok:
-            print(f"PASS {name}: {len(srec)} rows")
+            print(f"PASS {name}: {len(spd)} rows")
             n_pass += 1
         else:
             n_fail += 1
+            failed.append(name)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failed:
+        print("failed:", " ".join(failed))
+        spark.stop()
+        sys.exit(1)
     spark.stop()
 
 

@@ -1,7 +1,8 @@
 """From-scratch PDF-subset tokenizer (U2 in SURVEY.md §2.9).
 
-Parses the closed subset of ``FIXTURES.md §1.1`` (uncompressed content
-streams; text ops BT/ET Tf Td TD Tm T* Tj TJ '; ``re`` + S/f rulings;
+Parses the closed subset of ``FIXTURES.md §1.1`` (plain or
+FlateDecode-compressed content streams; text ops BT/ET Tf Td TD Tm T*
+Tj TJ '; ``re`` + S/f rulings;
 ``cm /ImN Do`` image placements) into per-page glyph runs, ruling
 segments, and image placements.  Runs inside the Arrow batch kernel —
 one call per PDF byte stream, regex lexing per content stream (no
@@ -14,6 +15,7 @@ reference repo has no parser to cite (``/root/reference/README.md:1``).
 from __future__ import annotations
 
 import re
+import zlib
 from dataclasses import dataclass
 
 from accountant_pdf_extract_spark import spec
@@ -109,7 +111,12 @@ def parse_pdf(data: bytes) -> list[Page]:
         objs[num] = body
         sm = _STREAM_RE.search(body)
         if sm:
-            streams[num] = sm.group(1)
+            raw = sm.group(1)
+            # Filter declared in the stream dict (before the 'stream'
+            # keyword — never match inside stream data itself).
+            if b"/FlateDecode" in body[: sm.start()]:
+                raw = zlib.decompress(raw)
+            streams[num] = raw
 
     # Page order: the /Pages /Kids list if present, else object order.
     page_nums: list[int] = []

@@ -1,8 +1,9 @@
 """Deterministic PDF-subset writer used by the synthetic corpus.
 
-Emits exactly the closed, uncompressed, latin-1-safe PDF subset pinned
-in ``FIXTURES.md §1.1`` — the same subset ``operators/pdfparse.py``
-reads.  Text ops BT/ET Tf Td TD Tm T* Tj TJ ', rect rulings ``re S/f``,
+Emits exactly the closed, latin-1-safe PDF subset pinned in
+``FIXTURES.md §1.1`` — the same subset ``operators/pdfparse.py``
+reads.  Content streams are plain by default; ``compress=True`` emits
+FlateDecode (zlib) streams.  Text ops BT/ET Tf Td TD Tm T* Tj TJ ', rect rulings ``re S/f``,
 image XObjects via ``q ... cm /ImN Do Q`` whose dict carries the
 ``media_ref`` in ``/Name``.
 
@@ -70,8 +71,18 @@ class PageBuilder:
         return "\n".join(self.ops) + "\n"
 
 
-def build_pdf(pages: list[PageBuilder]) -> str:
-    """Assemble pages into a PDF-subset document (latin-1 string)."""
+def build_pdf(pages: list[PageBuilder], compress: bool = False) -> str:
+    """Assemble pages into a PDF-subset document (latin-1 string).
+
+    ``compress=True`` emits FlateDecode content streams (zlib level 6,
+    deterministic).  Compressed bytes ride losslessly in the latin-1
+    string plane (all 256 byte values map 1:1).  If the compressed
+    bytes happen to contain a structural marker (``endstream`` /
+    ``endobj`` — would confuse the regex-based subset parsers), that
+    page falls back to an uncompressed stream; the closed world keeps
+    both forms parseable."""
+    import zlib
+
     objs: list[str] = []  # objs[i] = body of object i+1
 
     def add(body: str) -> int:
@@ -83,9 +94,20 @@ def build_pdf(pages: list[PageBuilder]) -> str:
     page_nums: list[int] = []
     for pg in pages:
         content = pg.content()
-        stream_num = add(
-            f"<< /Length {len(content.encode('latin-1'))} >>\nstream\n{content}endstream"
-        )
+        raw = content.encode("latin-1")
+        stream_body = None
+        if compress:
+            comp = zlib.compress(raw, 6)
+            if b"endstream" not in comp and b"endobj" not in comp:
+                stream_body = (
+                    f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
+                    f"stream\n{comp.decode('latin-1')}endstream"
+                )
+        if stream_body is None:
+            stream_body = (
+                f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
+            )
+        stream_num = add(stream_body)
         xobj_entries = []
         for i, ref in enumerate(pg.images, start=1):
             im_num = add(

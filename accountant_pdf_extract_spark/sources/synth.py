@@ -166,7 +166,9 @@ def make_invoice_pdf(
             pg.image(150, 200, 120, 80, ref)
         pages.append(pg)
 
-    return build_pdf(pages)
+    # Deterministic compressed subset (~1/3 of docs) without consuming
+    # an rng draw (which would shift every downstream synth value).
+    return build_pdf(pages, compress=len(pages) % 3 == 0)
 
 
 def make_html(rng: np.random.Generator, vocab: list[str]) -> str:

@@ -277,7 +277,12 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     for n, body in objs.items():
         sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
         if sm:
-            streams[n] = sm.group(1)
+            s = sm.group(1)
+            if "/FlateDecode" in body[: sm.start()]:
+                import zlib
+
+                s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
+            streams[n] = s
 
     per_page = []
     for pn in _page_object_numbers(objs):
@@ -340,20 +345,43 @@ _ENT = {
 }
 
 
+def _decode_entities(s: str) -> str:
+    """Single left-to-right pass over the ORIGINAL string: each '&'
+    consumes at most one entity (named, &#xHH; or &#NNN;) and decoded
+    output is never rescanned — so double-encoded input like '&#38;lt;'
+    yields literal '&lt;' (HTML-spec behavior), not '<'.  Independent
+    scanner implementation; must stay semantics-equal to the engine's
+    one-shot alternation regex substitution."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        amp = s.find("&", i)
+        if amp < 0:
+            out.append(s[i:])
+            break
+        out.append(s[i:amp])
+        rest = s[amp:]
+        named = next((k for k in _ENT if rest.startswith(k)), None)
+        if named:
+            out.append(_ENT[named])
+            i = amp + len(named)
+            continue
+        m = re.match(r"&#x([0-9A-Fa-f]{1,6});", rest) or re.match(
+            r"&#(\d{1,7});", rest
+        )
+        if m:
+            cp = int(m.group(1), 16) if rest[2] in "x" else int(m.group(1))
+            out.append(chr(cp) if 0 < cp <= 0x10FFFF else "")
+            i = amp + m.end()
+        else:
+            out.append("&")
+            i = amp + 1
+    return "".join(out)
+
+
 def _strip_tags(s: str) -> str:
     s = re.sub(r"<[^>]+>", " ", s)
-    s = re.sub(
-        r"&#x([0-9A-Fa-f]{1,6});",
-        lambda m: chr(int(m.group(1), 16)) if 0 < int(m.group(1), 16) <= 0x10FFFF else "",
-        s,
-    )
-    s = re.sub(
-        r"&#(\d{1,7});",
-        lambda m: chr(int(m.group(1))) if 0 < int(m.group(1)) <= 0x10FFFF else "",
-        s,
-    )
-    for k, v in _ENT.items():
-        s = s.replace(k, v)
+    s = _decode_entities(s)
     return re.sub(r"\s+", " ", s).strip()
 
 

@@ -284,3 +284,38 @@ def test_html_numeric_entities():
     got = strip_html(html)
     assert got == ["café costs $5 & tax 'today' here"]
     assert [t for _k, t, _r in html_spans(html)] == got
+
+
+def test_flate_compressed_pdf_roundtrip():
+    # Same document compressed and plain must extract identical spans,
+    # in both the engine parser and the oracle.
+    from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
+    from tests.oracle import pdf_spans
+
+    pg = PageBuilder()
+    pg.text(72, 760, "Acme Corp - Statement")
+    pg.text(72, 700, "INVOICE", size=14)
+    pg.text(72, 676, "Invoice No: INV-2024-0042")
+    pg.text_block(72, 640, ["alpha beta gamma", "delta epsilon"], leading=16)
+    pg.hrule(72, 600, 468)
+    plain = build_pdf([pg], compress=False)
+    comp = build_pdf([pg], compress=True)
+    assert comp != plain and "/FlateDecode" in comp
+    out_plain, _ = extract_doc([("pdf", plain, "", 0)])
+    out_comp, _ = extract_doc([("pdf", comp, "", 0)])
+    assert out_comp == out_plain and len(out_comp) > 0
+    assert pdf_spans(comp) == pdf_spans(plain)
+    assert [t for _k, t, _r in pdf_spans(comp)] == [
+        t for _k, t, _r, _o in out_comp
+    ]
+
+
+def test_html_double_encoded_entities_single_pass():
+    # Decoded output must not be rescanned: '&#38;lt;' is '&' + 'lt;'
+    # (literal '&lt;' text), NOT '<'.  Same for '&amp;amp;' -> '&amp;'.
+    from tests.oracle import html_spans
+
+    html = "<p>escaped tag looks like &#38;lt;b&#38;gt; and &amp;amp; stays text</p>"
+    got = strip_html(html)
+    assert got == ["escaped tag looks like &lt;b&gt; and &amp; stays text"]
+    assert [t for _k, t, _r in html_spans(html)] == got

@@ -42,7 +42,13 @@ def extract_doc(
                 out.append(("media", "", media_ref))
         elif kind == "pdf":
             if text:
-                for it in pdf_to_items(parse_pdf(text.encode("latin-1"))):
+                # PDF payloads travel as latin-1 strings (FIXTURES.md
+                # §1.1); a stray non-latin-1 char must degrade to '?'
+                # for that char only — never drop the whole document
+                # (the oracle applies the same replacement).
+                for it in pdf_to_items(
+                    parse_pdf(text.encode("latin-1", errors="replace"))
+                ):
                     if it.is_media:
                         out.append(("media", "", it.media_ref))
                     else:

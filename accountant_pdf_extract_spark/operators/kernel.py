@@ -20,7 +20,13 @@ from accountant_pdf_extract_spark.schema import ARROW_FLAT_FIELDS
 
 def extract_batches(
     batches: Iterator[pa.RecordBatch],
+    on_drop=None,
 ) -> Iterator[pa.RecordBatch]:
+    """``on_drop(doc_id, exc)`` is invoked for each document whose
+    extraction raised (per-doc fault isolation); the default logs to
+    executor stdout.  ``plans.pipeline.extract`` wires an accumulator
+    through it so dropped-doc counts surface as a driver-readable
+    metric, not just a buried print."""
     for batch in batches:
         doc_ids = batch.column("doc_id").to_pylist()
         # Decode the list<struct> column via flat child arrays + offsets
@@ -55,7 +61,13 @@ def extract_batches(
                 # one malformed payload must not kill a 100-TB job; the
                 # doc yields zero spans and the skew shows up in the
                 # commit-log n_docs-vs-output delta.
-                print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+                if on_drop is not None:
+                    on_drop(doc_id, exc)
+                else:
+                    print(
+                        f"extract_doc failed for {doc_id!r}: {exc!r}",
+                        flush=True,
+                    )
                 continue
             for kind, text, ref, order in out:
                 col_doc.append(doc_id)

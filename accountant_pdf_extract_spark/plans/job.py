@@ -26,6 +26,19 @@ from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, extract, salt
 from accountant_pdf_extract_spark.sources.commit_log import CommitLog
 
 
+def write_bucketed_input(
+    df: DataFrame, path: str, salt_buckets: int = 1024
+) -> None:
+    """Persist the interleaved input physically partitioned by the salt
+    bucket.  Resume then reads this table and the committed-bucket
+    anti-filter becomes a PartitionFilter at the scan (verified by
+    ``tests/test_resume.py::test_resume_partition_pruning``) — skipped
+    buckets are never read, instead of read-then-dropped."""
+    salt(df, salt_buckets).write.mode("overwrite").partitionBy(SALT_COL).parquet(
+        path
+    )
+
+
 def run_job(
     spark: SparkSession,
     input_df: DataFrame,
@@ -62,7 +75,10 @@ def run_job(
     wall_ms = int((time.monotonic() - t0) * 1000)
 
     # Per-bucket lineage metrics from the (already materialized) output:
-    # order-independent fingerprint + span/doc/field counts.
+    # order-independent fingerprint + span/doc/field counts.  The output
+    # is partitioned by SALT_COL, so the NOT-IN on committed buckets is a
+    # PartitionFilter — previously committed bucket directories are never
+    # read here, only the freshly written ones.
     out = spark.read.parquet(output_path)
     stats = (
         out.where(~F.col(SALT_COL).isin(sorted(done)) if done else F.lit(True))
@@ -82,7 +98,10 @@ def run_job(
             "n_docs": r["n_docs"],
             "n_spans": r["n_spans"],
             "n_fields": r["n_fields"],
-            "wall_ms": wall_ms,
+            # whole-job wall time, identical across this snapshot's
+            # buckets (hence the name — per-bucket skew lives in the
+            # Spark task metrics, not here)
+            "job_wall_ms": wall_ms,
         }
         for r in stats
     ]
@@ -90,6 +109,10 @@ def run_job(
         "job_id": job_id,
         "salt_buckets": str(salt_buckets),
         "engine": "accountant_pdf_extract_spark",
+        # per-doc fault-isolation metric (accumulated during the write
+        # action above): docs whose extraction raised and yielded no
+        # spans — recorded so data loss is auditable from the log
+        "dropped_docs": str(flat.dropped_docs_acc.value),
     }
     snapshot_id = log.commit(spark, records, lineage) if records else None
     return {
@@ -102,7 +125,6 @@ def run_job(
 
 def main() -> None:
     from accountant_pdf_extract_spark.session import get_spark
-    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
     from accountant_pdf_extract_spark.sources.synth import synth_interleaved
 
     p = argparse.ArgumentParser()
@@ -121,7 +143,11 @@ def main() -> None:
     if args.synth_docs:
         inp = synth_interleaved(spark, args.synth_docs)
     else:
-        inp = spark.read.schema(INPUT_SCHEMA).parquet(args.input)
+        # No forced schema: a bucket-partitioned input (written by
+        # write_bucketed_input) must keep its _salt_bucket partition
+        # column so resume prunes at the scan.  extract() still
+        # validates doc_id+spans via assert_input_schema.
+        inp = spark.read.parquet(args.input)
     res = run_job(
         spark,
         inp,

@@ -23,7 +23,16 @@ SALT_COL = "_salt_bucket"
 
 
 def salt(df: DataFrame, buckets: int = 1024) -> DataFrame:
-    """J5: deterministic salt bucket from the doc id hash."""
+    """J5: deterministic salt bucket from the doc id hash.
+
+    If the input already carries a physical ``_salt_bucket`` column
+    (written by ``plans.job.write_bucketed_input`` — i.e. the table is
+    partitioned by bucket on disk), it is trusted as-is: filters on it
+    then prune PARTITIONS at the scan instead of running post-scan.
+    Caller contract: the stored bucket must have been computed with the
+    same formula and bucket count."""
+    if SALT_COL in df.columns:
+        return df
     return df.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(buckets)).cast("int")
     )
@@ -45,14 +54,30 @@ def extract(
     spark = df.sparkSession
     np = num_partitions or spark.sparkContext.defaultParallelism * 4
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
+
+    # Dropped-doc metric: per-doc extraction failures increment an
+    # accumulator (driver-readable after any action via the returned
+    # DataFrame's ``dropped_docs_acc`` attribute) in addition to the
+    # executor-stdout line — silent data loss is not acceptable at
+    # 10^12 docs.
+    dropped = spark.sparkContext.accumulator(0)
+
+    def run(batches):
+        def note(doc_id, exc):
+            dropped.add(1)
+            print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+
+        yield from extract_batches(batches, on_drop=note)
+
     out = salted.select("doc_id", "spans").mapInArrow(
-        extract_batches, schema=FLAT_FIELDS_SCHEMA
+        run, schema=FLAT_FIELDS_SCHEMA
     )
     if keep_salt:
         out = out.withColumn(
             SALT_COL,
             F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("int"),
         )
+    out.dropped_docs_acc = dropped
     return out
 
 

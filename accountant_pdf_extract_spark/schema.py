@@ -109,7 +109,7 @@ COMMIT_LOG_SCHEMA = StructType(
         StructField("n_docs", LongType()),
         StructField("n_spans", LongType()),
         StructField("n_fields", LongType()),
-        StructField("wall_ms", LongType()),
+        StructField("job_wall_ms", LongType()),
         StructField("lineage", MapType(StringType(), StringType())),
         StructField("snapshot_id", StringType()),
     ]

@@ -81,7 +81,7 @@ class CommitLog:
                 "n_docs": int(r["n_docs"]),
                 "n_spans": int(r["n_spans"]),
                 "n_fields": int(r["n_fields"]),
-                "wall_ms": int(r["wall_ms"]),
+                "job_wall_ms": int(r["job_wall_ms"]),
                 "lineage": dict(lineage),
                 "snapshot_id": snapshot_id,
             }

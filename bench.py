@@ -58,13 +58,13 @@ def main() -> None:
 
     # headline flagship: best of two (first run already warmed workers;
     # a single noisy measurement would misstate round-over-round trend)
+    flagship_runs = [timings["q_extract_spans"]]
     t0 = time.monotonic()
     qs["q_extract_spans"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    timings["q_extract_spans"] = round(
-        min(timings["q_extract_spans"], time.monotonic() - t0), 3
-    )
+    flagship_runs.append(round(time.monotonic() - t0, 3))
+    timings["q_extract_spans"] = min(flagship_runs)
 
     out = {
         "metric": "end-to-end interleaved-doc extraction wall time (flagship) + headline query seconds",
@@ -73,6 +73,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "cpus": cpus,
+        # measurement protocol, so round-over-round consumers can tell:
+        # flagship value = best of the recorded runs; every other query
+        # is a single warm run
+        "policy": "flagship_best_of_2",
+        "flagship_runs": flagship_runs,
     }
     print(json.dumps(out))
     spark.stop()

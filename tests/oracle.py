@@ -272,6 +272,9 @@ def _norm(text: str) -> str:
 
 def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     """PDF payload (latin-1 string) → [(kind, text, media_ref)]."""
+    # Mirror the engine's byte-level view: non-latin-1 chars degrade to
+    # '?' (the engine encodes with errors="replace" before parsing).
+    payload = payload.encode("latin-1", errors="replace").decode("latin-1")
     objs = _pdf_objects(payload)
     streams = {}
     for n, body in objs.items():

@@ -33,3 +33,24 @@ def test_bench_one_json_line():
     assert payload["sf"] == 0.001
     assert "q_extract_spans" in payload["queries"]
     assert all(v > 0 for v in payload["queries"].values())
+
+
+def test_package_zip_matches_source(tmp_path):
+    """The --py-files artifact must byte-equal the package tree (built
+    fresh — the zip is never committed, so it can't go stale)."""
+    import pathlib
+    import zipfile
+
+    from tools.package import PKG, ROOT, build
+
+    out = build(tmp_path / "pkg.zip")
+    src = {
+        str(p.relative_to(ROOT)): p.read_bytes() for p in PKG.rglob("*.py")
+    }
+    with zipfile.ZipFile(out) as zf:
+        names = set(zf.namelist())
+        assert names == set(src), names ^ set(src)
+        for name in names:
+            assert zf.read(name) == src[name], name
+    # sanity: the zip actually carries the package (udtfs regression)
+    assert "accountant_pdf_extract_spark/operators/udtfs.py" in names

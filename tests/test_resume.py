@@ -58,7 +58,7 @@ def test_exact_resume(spark, tmp_path: pathlib.Path):
     kept_records = [
         {
             "partition_id": b, "input_fingerprint": "x", "n_docs": 0,
-            "n_spans": 0, "n_fields": 0, "wall_ms": 0,
+            "n_spans": 0, "n_fields": 0, "job_wall_ms": 0,
         }
         for b in sorted(all_buckets - set(lost))
     ]
@@ -85,6 +85,51 @@ def test_exact_resume(spark, tmp_path: pathlib.Path):
     assert res3["processed_buckets"] == []
 
 
+def test_resume_partition_pruning(spark, tmp_path: pathlib.Path):
+    """With the input physically partitioned by the salt bucket, the
+    committed-bucket anti-filter must prune at the scan (a
+    PartitionFilter), not post-scan — plus end-to-end: resuming over
+    the bucketed input recomputes only the missing buckets."""
+    from accountant_pdf_extract_spark.plans.job import write_bucketed_input
+    from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, salt
+
+    inp = synth_interleaved(spark, 80, seed=5, partitions=4)
+    bucketed = str(tmp_path / "bucketed_in")
+    write_bucketed_input(inp, bucketed, salt_buckets=BUCKETS)
+    binp = spark.read.parquet(bucketed)
+    assert SALT_COL in binp.columns
+
+    done = {0, 1, 2, 3}
+    filtered = salt(binp, BUCKETS).where(~F.col(SALT_COL).isin(sorted(done)))
+    filtered.createOrReplaceTempView("pruned_in")
+    plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM pruned_in").first()[0]
+    scan = plan[plan.index("PartitionFilters") :]
+    assert SALT_COL in scan.splitlines()[0], scan.splitlines()[0]
+
+    # end-to-end: full run over the bucketed input, lose half the
+    # commits, resume — only lost buckets recomputed, output identical
+    out = str(tmp_path / "pout")
+    log_path = str(tmp_path / "plog")
+    res1 = run_job(spark, binp, out, log_path,
+                   salt_buckets=BUCKETS, num_partitions=8, job_id="b1")
+    reference = _collect(spark, out)
+    log = CommitLog(log_path)
+    all_buckets = set(res1["processed_buckets"])
+    lost = sorted(all_buckets)[: len(all_buckets) // 2]
+    snaps = log.snapshots()
+    kept = [
+        {"partition_id": b, "input_fingerprint": "x", "n_docs": 0,
+         "n_spans": 0, "n_fields": 0, "job_wall_ms": 0}
+        for b in sorted(all_buckets - set(lost))
+    ]
+    log.drop_snapshots({snaps[0]["snapshot_id"]})
+    log.commit(spark, kept, {"job_id": "b1-partial"})
+    res2 = run_job(spark, binp, out, log_path,
+                   salt_buckets=BUCKETS, num_partitions=8, job_id="b2")
+    assert res2["processed_buckets"] == sorted(lost)
+    assert _collect(spark, out) == reference
+
+
 def test_salt_distribution(spark):
     """Salting evidence: doc counts per bucket stay within a sane
     envelope for uniform ids (no empty/overloaded buckets at 16x
@@ -107,9 +152,9 @@ def test_commit_log_records_roundtrip(spark, tmp_path: pathlib.Path):
     log = CommitLog(str(tmp_path / "clog"))
     recs = [
         {"partition_id": 3, "input_fingerprint": "abc", "n_docs": 10,
-         "n_spans": 55, "n_fields": 7, "wall_ms": 123},
+         "n_spans": 55, "n_fields": 7, "job_wall_ms": 123},
         {"partition_id": 5, "input_fingerprint": "def", "n_docs": 2,
-         "n_spans": 9, "n_fields": 1, "wall_ms": 123},
+         "n_spans": 9, "n_fields": 1, "job_wall_ms": 123},
     ]
     sid = log.commit(spark, recs, {"job_id": "t", "attempt": "1"})
     df = log.records(spark)

@@ -310,6 +310,19 @@ def test_flate_compressed_pdf_roundtrip():
     ]
 
 
+def test_non_latin1_pdf_span_degrades_not_drops():
+    # A stray non-latin-1 char in a pdf payload must degrade to '?' for
+    # that char only — the document still extracts, and the oracle
+    # (which applies the same replacement) agrees.
+    from tests.oracle import pdf_spans
+
+    content = "BT /F1 10 Tf 72 700 Td (café €5 invoice) Tj ET\n"
+    pdf = _raw_pdf([content])
+    out, _ = extract_doc([("pdf", pdf, "", 0), ("text", "tail", "", 1)])
+    assert [t for _, t, _, _ in out] == ["café ?5 invoice", "tail"]
+    assert [t for _k, t, _r in pdf_spans(pdf)] == ["café ?5 invoice"]
+
+
 def test_html_double_encoded_entities_single_pass():
     # Decoded output must not be rescanned: '&#38;lt;' is '&' + 'lt;'
     # (literal '&lt;' text), NOT '<'.  Same for '&amp;amp;' -> '&amp;'.

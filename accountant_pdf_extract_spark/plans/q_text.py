@@ -354,6 +354,19 @@ def q_dedup_embed(spark, sf):
     )
 
 
+@register("q_dedup_embed_lsh")
+def q_dedup_embed_lsh(spark, sf):
+    """The 100-TB embedding near-dup path: hyperplane-LSH-bucketed
+    candidates + exact integer-quantized rescore.  Rows-only (the
+    numpy plane matrix isn't reproducible in DuckDB SQL); correctness
+    is gated by the subset+recall pytest instead — every emitted pair
+    is provably a pair q_dedup_embed's brute-force semantics would
+    emit."""
+    return similarity.cosine_near_dup_pairs_lsh(
+        t(spark, sf, "embeddings"), threshold_milli=250
+    )
+
+
 @register(
     "q_amount_cents_udf",
     """

@@ -68,6 +68,53 @@ def test_lsh_recall_quantified(spark):
     assert recall(8) >= 0.4  # coarser config still usable, and cheaper
 
 
+def test_near_dup_lsh_subset_and_recall(spark):
+    """The LSH-gated near-dup path must emit a strict SUBSET of the
+    brute-force pairs (exact rescore => no false positives), with
+    recall >= 0.95 at the recall-oriented default config; the
+    selectivity-oriented config (8x8) must actually prune candidates
+    to < 5% of all pairs while staying a subset.  All deterministic
+    (seeded planes, fixed data)."""
+    emb = _emb(spark)
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_near_dup_pairs(
+            emb, max_id=10**9, threshold_milli=250
+        ).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold_milli=250
+        ).collect()
+    }
+    assert got <= exact
+    assert len(got & exact) / len(exact) >= 0.95  # measured 0.977
+
+    # selectivity-oriented config: strong candidate pruning
+    sigs = similarity.hyperplane_signature(
+        emb, None, n_tables=8, seed=42, n_bits=64
+    )
+    sa = sigs.select(F.col("vid").alias("a"), "table", "bucket")
+    sb = sigs.select(F.col("vid").alias("b"), "table", "bucket")
+    n_cand = (
+        sa.join(sb, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    n = emb.count()
+    assert n_cand < 0.05 * n * (n - 1) / 2  # measured 0.035
+    tight = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold_milli=250, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert tight <= exact
+
+
 def test_lsh_candidates_prune(spark):
     """Bucketing must actually prune: fewer scored pairs than the full
     cross product."""

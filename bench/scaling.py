@@ -191,9 +191,10 @@ pure per-doc pipeline in 8 vs 32 OS processes (no Spark) reaches
 
 Flagship end-to-end extraction (synth + decode + parse + strip +
 fields + assemble over the interleaved corpus derived from the sf0.1
-documents table): ~2.5 s warm / ~2000 docs/s; per-query breakdown in
-BENCH_r{{N}}.json.  Heavy-corpus throughput: 2910 docs/s at just 8
-pinned cores (4-10 page PDF + HTML per doc; 1.58 ms/doc kernel).
+documents table): per-query breakdown in BENCH_r{{N}}.json.
+Heavy-corpus throughput: {hi['throughput_docs_s']:.0f} docs/s at just
+{args.high} pinned cores (4-10 page PDF + HTML per doc, ~1/3 of PDFs
+FlateDecode-compressed since r2).
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:

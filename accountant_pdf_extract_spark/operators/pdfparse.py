@@ -115,7 +115,14 @@ def parse_pdf(data: bytes) -> list[Page]:
             # Filter declared in the stream dict (before the 'stream'
             # keyword — never match inside stream data itself).
             if b"/FlateDecode" in body[: sm.start()]:
-                raw = zlib.decompress(raw)
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error:
+                    # corrupt compressed stream: degrade to an empty
+                    # content stream (page yields nothing) instead of
+                    # raising and losing the whole document; oracle
+                    # mirrors this.
+                    raw = b""
             streams[num] = raw
 
     # Page order: the /Pages /Kids list if present, else object order.

@@ -284,7 +284,10 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
             if "/FlateDecode" in body[: sm.start()]:
                 import zlib
 
-                s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
+                try:
+                    s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
+                except zlib.error:
+                    s = ""  # corrupt stream → empty page (engine mirrors)
             streams[n] = s
 
     per_page = []

@@ -158,3 +158,50 @@ def test_watermarked_window_counts(spark, tmp_path: pathlib.Path):
     # availableNow append-mode emits windows finalized by the watermark
     # (10:00 window closes once 11:40 arrives; 11:00 stays open)
     assert ("2025-01-01 10:00:00", 3, 8) in rows
+
+
+def test_stream_dedup_exact_cross_batch(spark, tmp_path: pathlib.Path):
+    """First-seen-wins exact dedup across two incremental drains: a
+    hash emitted in drain 1 is dropped when it reappears in drain 2
+    (state survives via the checkpoint); new hashes still emit.
+    Matches the batch operator where first-seen == global-min id."""
+    from accountant_pdf_extract_spark.operators.dedup import exact_dup_groups
+    from accountant_pdf_extract_spark.streaming.dedup import stream_dedup_exact
+
+    inp = str(tmp_path / "ddin")
+    out = str(tmp_path / "ddout")
+    ckpt = str(tmp_path / "ddckpt")
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha  beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(inp)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    stream_dedup_exact(stream, ckpt, out)
+    got1 = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {d for d, _h in got1} == {1, 3}  # 2 is a whitespace-dup of 1
+
+    # drain 2: one dup of an already-emitted hash + one new doc
+    batch2 = spark.createDataFrame(
+        [(4, "alpha beta"), (5, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch2.write.mode("append").parquet(inp)
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(inp)
+    stream_dedup_exact(stream2, ckpt, out)
+    got2 = {
+        (r["doc_id"], r["content_hash"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {d for d, _h in got2} == {1, 3, 5}  # 4 suppressed by state
+
+    # equivalence with the batch operator (first-seen == min id here)
+    batch_keeps = {
+        (r["keep_id"], r["content_hash"])
+        for r in exact_dup_groups(spark.read.parquet(inp)).collect()
+    }
+    assert got2 == batch_keeps

@@ -323,6 +323,28 @@ def test_non_latin1_pdf_span_degrades_not_drops():
     assert [t for _k, t, _r in pdf_spans(pdf)] == ["café ?5 invoice"]
 
 
+def test_corrupt_flate_stream_degrades_to_empty_page():
+    # Garbage bytes behind a /FlateDecode dict must not raise: the page
+    # yields nothing, other pages/spans survive, oracle agrees.
+    from tests.oracle import pdf_spans
+
+    good = "BT /F1 10 Tf 72 700 Td (survivor) Tj ET\n"
+    pdf = (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n"
+        "4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n"
+        "5 0 obj << /Length 12 /Filter /FlateDecode >>\n"
+        "stream\nnot-zlib!!!!endstream endobj\n"
+        f"6 0 obj << /Length {len(good)} >>\nstream\n{good}endstream endobj\n"
+        "%%EOF\n"
+    )
+    out, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [t for _, t, _, _ in out] == ["survivor"]
+    assert [t for _k, t, _r in pdf_spans(pdf)] == ["survivor"]
+
+
 def test_html_double_encoded_entities_single_pass():
     # Decoded output must not be rescanned: '&#38;lt;' is '&' + 'lt;'
     # (literal '&lt;' text), NOT '<'.  Same for '&amp;amp;' -> '&amp;'.

@@ -726,6 +726,49 @@ def q_like(spark, sf):
 
 
 @register(
+    "q_histbin",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders GROUP BY bin
+    """,
+)
+def q_histbin(spark, sf):
+    """Histogram binning: fixed-width buckets over order totals."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("min_key"))
+    )
+
+
+@register(
+    "q_countif",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_countif(spark, sf):
+    """Conditional aggregation: count_if / FILTER-clause twins."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "q_promo_share",
     """
     SELECT CAST(floor(

@@ -96,6 +96,44 @@ def q_amounts(spark, sf):
     )
 
 
+@register(
+    "q_bigrams",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS l
+            FROM documents))
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT a.doc_id, a.t || ' ' || b.t AS bigram
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+    GROUP BY bigram
+    HAVING count(*) >= 5
+    """,
+)
+def q_bigrams(spark, sf):
+    """Bigram frequency over documents: the n-gram LM-statistics shape.
+    Spark side builds bigrams map-side per row (zip_with over shifted
+    slices — no token self-join, unlike the oracle's pos-join), then
+    one hash aggregate."""
+    toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1), "
+        f"(a, b) -> concat(a, ' ', b)) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n") >= 5)
+    )
+
+
 # ---------------------------------------------------------------- textstats ops
 
 
@@ -351,6 +389,17 @@ def q_embed_topk(spark, sf):
 def q_dedup_embed(spark, sf):
     return similarity.cosine_near_dup_pairs(
         t(spark, sf, "embeddings"), max_id=100, threshold_milli=250
+    )
+
+
+@register("q_lsh_topk")
+def q_lsh_topk(spark, sf):
+    """ANN top-k via multi-table hyperplane LSH + exact rescore
+    (rows-only: numpy planes aren't reproducible in DuckDB; recall vs
+    brute force is pinned at 0.90 by test_lsh_recall_quantified)."""
+    return similarity.lsh_bucketed_topk(
+        t(spark, sf, "embeddings"), query_max_id=10, k=5,
+        n_planes=4, n_tables=16, seed=42,
     )
 
 

@@ -31,10 +31,12 @@ def duck():
 
 def test_every_query_has_callable(contract):
     qs, oracles = contract
-    assert len(qs) >= 38
+    assert len(qs) >= 60
     assert set(oracles) <= set(qs)
-    # SQL-expressible coverage: at least 85% oracle-paired
-    assert len(oracles) / len(qs) > 0.85
+    # SQL-expressible coverage: at least 80% oracle-paired (rows-only
+    # entries are kernel/sketch/LSH scale paths gated by pytest or the
+    # golden-fixture suite instead)
+    assert len(oracles) / len(qs) > 0.8
 
 
 def test_oracle_parity(spark, contract, duck):

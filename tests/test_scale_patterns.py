@@ -93,3 +93,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path: pathlib.Path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dedup_plans_are_map_side(spark):
+    """Regression guard for VERDICT r1 #3/#4: simhash and minhash must
+    stay free of crossJoin fan-outs — no BroadcastNestedLoopJoin, no
+    CartesianProduct, and no aggregation Exchange (the only permitted
+    exchange is the local round-robin small-file fan-out)."""
+    from accountant_pdf_extract_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        dedup.simhash16(docs),
+        dedup.minhash_bands(docs, k=8, bands=4),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "HashAggregate" not in plan, plan
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange" in l
+        ]
+        assert all("roundrobin" in l.lower() for l in exchanges), exchanges

@@ -1,0 +1,75 @@
+"""Backward as-of join — the point-in-time join a training-data
+pipeline needs (latest feature/quote row at-or-before each event) and
+one Spark lacks as a built-in.
+
+Implemented as the scalable union + running-``last`` composition: tag
+both sides, union by name, and take the most recent right-side struct
+per ``by`` group with an UNBOUNDED PRECEDING → CURRENT ROW running
+frame.  One shuffle (the window's partitionBy) and a single linear
+pass per group — never the naive range join, whose inequality
+predicate degenerates to a per-key cross product and explodes on hot
+keys at 100 TB.
+
+Right-side columns ride in ONE struct so a match is all-or-nothing:
+``last(ignorenulls)`` over separate columns could stitch fields from
+DIFFERENT right rows when a newer row carries a null field.
+
+The DuckDB oracle twin is a native ``ASOF LEFT JOIN``
+(``plans/q_relational.q_asof``), giving cross-engine verification of
+the tie rule: a right row at exactly left's timestamp matches
+(``right.on <= left.on``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Left join each ``left`` row to the single most recent ``right``
+    row with ``right[on] <= left[on]`` in the same ``by`` group; the
+    ``right_cols`` come back null when no such row exists.
+
+    Caller contract: ``right`` is unique per (by, on) — dedup first
+    (e.g. keep the max tiebreaker) or the winner among equal
+    timestamps is unspecified.
+    """
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(by),
+        F.col(on),
+        F.lit(0).alias("_side"),
+        rstruct.alias("_r"),
+    )
+    left_cols = left.columns
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+    )
+    for c in left_cols:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r)
+
+    # right rows sort before left rows at equal `on` (_side 0 < 1), so
+    # the "at-or-before" tie is included in the running frame
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = matched.where(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col("_m")[c].alias(c) for c in right_cols],
+    )
+    return out

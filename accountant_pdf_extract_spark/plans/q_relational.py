@@ -726,6 +726,55 @@ def q_like(spark, sf):
 
 
 @register(
+    "q_asof",
+    """
+    WITH l AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_id % 2 = 0),
+    r0 AS (
+      SELECT user_id, ts, event_id AS quote_id,
+             CAST(round(value * 100) AS BIGINT) AS quote_cents
+      FROM events WHERE event_id % 2 = 1),
+    r AS (
+      SELECT user_id, ts, quote_id, quote_cents FROM (
+        SELECT r0.*, row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY quote_id DESC) AS rn
+        FROM r0) WHERE rn = 1)
+    SELECT l.user_id, l.event_id, r.quote_id, r.quote_cents
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof(spark, sf):
+    """Backward as-of join (point-in-time): even events join the most
+    recent odd event at-or-before them per user.  Engine = union +
+    running-last composition (operators/asof.py, one shuffle); oracle =
+    DuckDB's native ASOF LEFT JOIN."""
+    from accountant_pdf_extract_spark.operators.asof import asof_join_backward
+
+    ev = t(spark, sf, "events")
+    left = ev.where(ev.event_id % 2 == 0).select("user_id", "ts", "event_id")
+    right = (
+        ev.where(ev.event_id % 2 == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("quote_id"),
+            F.round(F.col("value") * 100).cast("long").alias("quote_cents"),
+        )
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("quote_id"))
+    right = (
+        right.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join_backward(
+        left, right, on="ts", by="user_id",
+        right_cols=["quote_id", "quote_cents"],
+    ).drop("ts")
+
+
+@register(
     "q_histbin",
     """
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,

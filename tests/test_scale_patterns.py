@@ -115,3 +115,30 @@ def test_dedup_plans_are_map_side(spark):
             l for l in plan.splitlines() if "Exchange" in l
         ]
         assert all("roundrobin" in l.lower() for l in exchanges), exchanges
+
+
+def test_asof_join_backward_semantics(spark):
+    """Handcrafted edges: exact-timestamp tie matches (<=), earlier
+    right row carries forward, no-preceding-row yields nulls, and a
+    null FIELD in the matched right row must not stitch in an older
+    row's value (all-or-nothing struct semantics)."""
+    from accountant_pdf_extract_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 101), (1, 2, 102), (2, 7, 200)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 900, 33), (1, 10, 901, None), (2, 9, 902, 99)],
+        "k long, t long, rid long, rv long",
+    )
+    out = {
+        r["lid"]: (r["rid"], r["rv"])
+        for r in asof_join_backward(
+            left, right, on="t", by="k", right_cols=["rid", "rv"]
+        ).collect()
+    }
+    assert out[100] == (900, 33)     # carried forward from t=3
+    assert out[101] == (901, None)   # tie t=10 matches; rv stays None
+    assert out[102] == (None, None)  # nothing at-or-before t=2
+    assert out[200] == (None, None)  # right row at t=9 is after t=7

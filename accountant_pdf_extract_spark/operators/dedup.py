@@ -120,6 +120,40 @@ def minhash_candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def minhash_rescored_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, bands: int = 4, threshold_milli: int = 0,
+) -> DataFrame:
+    """The full LSH dedup pipeline in one plan: MinHash-banded
+    candidate pairs, exact-rescored with n-gram Jaccard — computed
+    per-pair from each doc's DISTINCT-shingle array via set HOFs
+    (array_intersect / sizes), so the quadratic shingle self-join of
+    ``jaccard_pairs`` never happens.  Pair volume is bounded by shared
+    LSH buckets; rescore cost is two array joins + per-row set math —
+    the 100-TB shape end to end."""
+    cand = minhash_candidate_pairs(minhash_bands(df, text_col, id_col, k, bands))
+    sets = df.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(F.expr(_shingles_sql(text_col, k))).alias("sh"),
+    ).where(F.size("sh") > 0)
+    a = sets.select(F.col("sid").alias("a"), F.col("sh").alias("sha"))
+    b = sets.select(F.col("sid").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.lit(1000) * inter
+                / (F.size("sha") + F.size("shb") - inter)
+            ).cast("long").alias("jaccard_milli"),
+        )
+        .where(F.col("jaccard_milli") >= threshold_milli)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, threshold_milli: int = 0,

@@ -311,6 +311,49 @@ def q_dedup_minhash_pairs(spark, sf):
 
 
 @register(
+    "q_dedup_lsh_rescored",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    banded AS (SELECT sid, band, shingle
+               FROM sh, unnest([0,1,2,3]) AS b(band)),
+    buckets AS (
+      SELECT sid, band,
+             min(md5(CAST(band AS VARCHAR) || '-' || shingle)) AS bucket
+      FROM banded GROUP BY sid, band),
+    cand AS (
+      SELECT DISTINCT x.sid AS a, y.sid AS b
+      FROM buckets x JOIN buckets y USING (band, bucket)
+      WHERE x.sid < y.sid),
+    sizes AS (SELECT sid, count(*) AS n FROM sh GROUP BY sid),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.sid = c.a
+      JOIN sh sb ON sb.sid = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
+    SELECT c.a, c.b,
+           CAST(floor(1000.0 * coalesce(i.n_common, 0)
+                      / (na.n + nb.n - coalesce(i.n_common, 0))) AS BIGINT)
+             AS jaccard_milli
+    FROM cand c
+    LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+    JOIN sizes na ON na.sid = c.a
+    JOIN sizes nb ON nb.sid = c.b
+    WHERE CAST(floor(1000.0 * coalesce(i.n_common, 0)
+               / (na.n + nb.n - coalesce(i.n_common, 0))) AS BIGINT) >= 10
+    """,
+)
+def q_dedup_lsh_rescored(spark, sf):
+    """End-to-end LSH dedup pipeline: MinHash-banded candidates exact-
+    rescored per-pair with array set ops — the quadratic shingle
+    self-join never happens (100-TB shape end to end)."""
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 40)
+    return dedup.minhash_rescored_pairs(
+        docs, k=8, bands=4, threshold_milli=10
+    )
+
+
+@register(
     "q_dedup_simhash",
     """
     WITH toks AS (

@@ -142,3 +142,43 @@ def test_asof_join_backward_semantics(spark):
     assert out[101] == (901, None)   # tie t=10 matches; rv stays None
     assert out[102] == (None, None)  # nothing at-or-before t=2
     assert out[200] == (None, None)  # right row at t=9 is after t=7
+
+
+def test_asof_join_matches_bruteforce_oracle(spark):
+    """Property-style check on a seeded random frame: the union +
+    running-last composition equals the quadratic definition (max
+    right.t <= left.t per key)."""
+    import random
+
+    from accountant_pdf_extract_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(7)
+    left_rows = [
+        (rng.randrange(6), rng.randrange(50), 1000 + i) for i in range(120)
+    ]
+    right_rows = {}
+    for j in range(80):
+        k, t_ = rng.randrange(6), rng.randrange(50)
+        # unique per (k, t): keep max rid like the operator contract
+        right_rows[(k, t_)] = max(right_rows.get((k, t_), -1), 2000 + j)
+    right_list = [(k, t_, rid, rid * 10) for (k, t_), rid in right_rows.items()]
+
+    left = spark.createDataFrame(left_rows, "k long, t long, lid long")
+    right = spark.createDataFrame(right_list, "k long, t long, rid long, rv long")
+    got = {
+        r["lid"]: (r["rid"], r["rv"])
+        for r in asof_join_backward(
+            left, right, on="t", by="k", right_cols=["rid", "rv"]
+        ).collect()
+    }
+    assert len(got) == len({l[2] for l in left_rows}) == 120
+    for k, t_, lid in left_rows:
+        cands = [
+            (tt, rid) for (kk, tt), rid in right_rows.items()
+            if kk == k and tt <= t_
+        ]
+        expect = (None, None)
+        if cands:
+            _, rid = max(cands)
+            expect = (rid, rid * 10)
+        assert got[lid] == expect, (lid, got[lid], expect)

@@ -187,110 +187,116 @@ def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
             runs.append(Run(x=x, y=y, size=size, text=txt))
             x += spec.CHAR_W_FACTOR * size * len(txt)
 
+    # Dispatch on m.lastindex (the single alternation group that
+    # matched) instead of unpacking all 7 groups per token; branch
+    # order = measured token frequency (ops ≈ 45%, numbers ≈ 36%).
     for m in _TOK_RE.finditer(content):
-        lit, open_b, close_b, name_tok, num_tok, op, hexs = m.groups()
-        if hexs is not None:
-            lit = None
-            s = _hex_to_str(hexs)
-            if in_array:
-                tj_parts.append((True, s))
-            else:
-                strings.append(s)
-            continue
-        if open_b is not None:
-            in_array = True
-            tj_parts = []
-            continue
-        if close_b is not None:
-            in_array = False
-            continue
-        if lit is not None:  # literal string
-            s = _unescape(lit)
-            if in_array:
-                tj_parts.append((True, s))
-            else:
-                strings.append(s)
-            continue
-        if name_tok is not None:  # /Name
-            names.append(name_tok[1:])
-            continue
-        if num_tok is not None:  # number
-            v = float(num_tok)
+        gi = m.lastindex
+        if gi == 6:  # operator
+            op = m.group(6)
+            if op == "Td":
+                if len(nums) >= 2:
+                    line_x += nums[-2]
+                    y += nums[-1]
+                    x = line_x
+            elif op == "Tj":
+                if strings:
+                    emit(strings[-1])
+            elif op == "Tf":
+                if nums:
+                    size = nums[-1]
+            elif op == "BT":
+                line_x = x = y = 0.0
+            elif op == "ET":
+                pass
+            elif op == "'":
+                y -= leading
+                x = line_x
+                if strings:
+                    emit(strings[-1])
+            elif op == "TD":
+                if len(nums) >= 2:
+                    leading = -nums[-1]
+                    line_x += nums[-2]
+                    y += nums[-1]
+                    x = line_x
+            elif op == "TL":
+                if nums:
+                    leading = nums[-1]
+            elif op == "Tm":
+                if len(nums) >= 6:
+                    line_x = nums[-2]
+                    y = nums[-1]
+                    x = line_x
+            elif op == "T*":
+                y -= leading
+                x = line_x
+            elif op == "TJ":
+                buf: list[str] = []
+                for is_str, val in tj_parts:
+                    if is_str:
+                        buf.append(str(val))
+                    elif float(val) <= spec.TJ_SPACE_THRESH:  # type: ignore[arg-type]
+                        buf.append(" ")
+                emit("".join(buf))
+                tj_parts = []
+            elif op == "re":
+                if len(nums) >= 4:
+                    rx, ry, rw, rh = nums[-4:]
+                    if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
+                        rules.append(Rule(horiz=True, x=rx, y=ry, length=rw))
+                    elif abs(rw) <= spec.RULE_EPS and rh > spec.RULE_EPS:
+                        rules.append(Rule(horiz=False, x=rx, y=ry, length=rh))
+            elif op == "cm":
+                if len(nums) >= 6:
+                    a, b_, c_, d, e, f = nums[-6:]
+                    ctm = (a, d, e, f)
+            elif op == "q":
+                stack.append(ctm)
+            elif op == "Q":
+                ctm = stack.pop() if stack else (1.0, 1.0, 0.0, 0.0)
+            elif op == "Do":
+                if names:
+                    ref = xobj_refs.get(names[-1])
+                    if ref:
+                        images.append(
+                            Image(
+                                x=ctm[2], y=ctm[3], w=ctm[0], h=ctm[1],
+                                media_ref=ref,
+                            )
+                        )
+            # S, f, W, n etc. need no action beyond operand reset.
+            # Operand stacks reset after every operator (q/Q preserve
+            # the pending numbers; Do consumes its name).
+            if op not in ("q", "Q"):
+                nums = []
+            strings = []
+            if op == "Do":
+                names = []
+        elif gi == 5:  # number
+            v = float(m.group(5))
             if in_array:
                 tj_parts.append((False, v))
             else:
                 nums.append(v)
-            continue
-        if op == "Tf":
-            if nums:
-                size = nums[-1]
-        elif op == "TL":
-            if nums:
-                leading = nums[-1]
-        elif op == "Td":
-            if len(nums) >= 2:
-                line_x += nums[-2]
-                y += nums[-1]
-                x = line_x
-        elif op == "TD":
-            if len(nums) >= 2:
-                leading = -nums[-1]
-                line_x += nums[-2]
-                y += nums[-1]
-                x = line_x
-        elif op == "Tm":
-            if len(nums) >= 6:
-                line_x = nums[-2]
-                y = nums[-1]
-                x = line_x
-        elif op in ("T*",):
-            y -= leading
-            x = line_x
-        elif op == "Tj":
-            if strings:
-                emit(strings[-1])
-        elif op == "'":
-            y -= leading
-            x = line_x
-            if strings:
-                emit(strings[-1])
-        elif op == "TJ":
-            buf: list[str] = []
-            for is_str, val in tj_parts:
-                if is_str:
-                    buf.append(str(val))
-                elif float(val) <= spec.TJ_SPACE_THRESH:  # type: ignore[arg-type]
-                    buf.append(" ")
-            emit("".join(buf))
+        elif gi == 1:  # literal string
+            s = _unescape(m.group(1))
+            if in_array:
+                tj_parts.append((True, s))
+            else:
+                strings.append(s)
+        elif gi == 4:  # /Name
+            names.append(m.group(4)[1:])
+        elif gi == 2:  # TJ array opens
+            in_array = True
             tj_parts = []
-        elif op == "BT":
-            line_x = x = y = 0.0
-        elif op == "re":
-            if len(nums) >= 4:
-                rx, ry, rw, rh = nums[-4:]
-                if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
-                    rules.append(Rule(horiz=True, x=rx, y=ry, length=rw))
-                elif abs(rw) <= spec.RULE_EPS and rh > spec.RULE_EPS:
-                    rules.append(Rule(horiz=False, x=rx, y=ry, length=rh))
-        elif op == "cm":
-            if len(nums) >= 6:
-                a, b_, c_, d, e, f = nums[-6:]
-                ctm = (a, d, e, f)
-        elif op == "q":
-            stack.append(ctm)
-        elif op == "Q":
-            ctm = stack.pop() if stack else (1.0, 1.0, 0.0, 0.0)
-        elif op == "Do":
-            if names:
-                ref = xobj_refs.get(names[-1])
-                if ref:
-                    images.append(
-                        Image(x=ctm[2], y=ctm[3], w=ctm[0], h=ctm[1], media_ref=ref)
-                    )
-        # ET, S, f, W, n etc. need no action beyond operand reset.
-        if op not in ("q", "Q"):
-            nums = []
-        strings = []
-        names = [] if op == "Do" else names
+        elif gi == 3:  # TJ array closes
+            in_array = False
+        else:  # gi == 7: hex string
+            s = _hex_to_str(m.group(7))
+            if in_array:
+                tj_parts.append((True, s))
+            else:
+                strings.append(s)
 
     return Page(runs=runs, rules=rules, images=images)

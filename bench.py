@@ -41,8 +41,11 @@ def main() -> None:
         "q_rownum",
         "q_linefreq",
         "q_tokcount",
+        "q_asof",
+        "q_bigrams",
         "q_dedup_exact",
         "q_dedup_minhash",
+        "q_dedup_lsh_rescored",
         "q_dedup_simhash",
         "q_embed_topk",
         "q_extract_fields",

@@ -112,3 +112,70 @@ def extract_batches(
             ],
             schema=ARROW_FLAT_FIELDS,
         )
+
+
+def extract_fields_batches(
+    batches: Iterator[pa.RecordBatch],
+    on_drop=None,
+) -> Iterator[pa.RecordBatch]:
+    """Fields-only variant of ``extract_batches``: same decode and
+    per-doc extraction, but emits ONE row per document (doc_id +
+    accounting fields) and never materializes the span-text Arrow
+    columns — the cheap path when only the structured fields are
+    wanted (parse cost is identical; Arrow build drops ~20x)."""
+    from accountant_pdf_extract_spark.schema import ARROW_DOC_FIELDS
+
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        list_offsets = spans_col.offsets.to_pylist()
+        flat = spans_col.values
+        f_kind = flat.field("kind").to_pylist()
+        f_text = flat.field("text").to_pylist()
+        f_ref = flat.field("media_ref").to_pylist()
+        f_off = flat.field("offset").to_pylist()
+
+        col_doc = []
+        col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
+        col_total, col_amounts, col_codes = [], [], []
+        for i, doc_id in enumerate(doc_ids):
+            lo, hi = list_offsets[i], list_offsets[i + 1]
+            try:
+                _out, fields = extract_doc(
+                    list(
+                        zip(f_kind[lo:hi], f_text[lo:hi], f_ref[lo:hi], f_off[lo:hi])
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 — per-doc fault isolation
+                if on_drop is not None:
+                    on_drop(doc_id, exc)
+                else:
+                    print(
+                        f"extract_doc failed for {doc_id!r}: {exc!r}",
+                        flush=True,
+                    )
+                continue
+            col_doc.append(doc_id)
+            col_inv.append(fields["invoice_id"])
+            col_idate.append(fields["invoice_date"])
+            col_ddate.append(fields["due_date"])
+            col_ccy.append(fields["currency"])
+            col_total.append(fields["total"])
+            col_amounts.append(fields["amounts"])
+            col_codes.append(fields["account_codes"])
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(col_doc, pa.string()),
+                pa.array(col_inv, pa.string()),
+                pa.array(col_idate, pa.date32()),
+                pa.array(col_ddate, pa.date32()),
+                pa.array(col_ccy, pa.string()),
+                pa.array(col_total, pa.decimal128(18, 2)),
+                pa.array(col_amounts, pa.list_(pa.decimal128(18, 2))),
+                pa.array(col_codes, pa.list_(pa.string())),
+            ],
+            schema=ARROW_DOC_FIELDS,
+        )

@@ -81,6 +81,42 @@ def extract(
     return out
 
 
+def extract_fields_table(
+    df: DataFrame,
+    salt_buckets: int = 1024,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fields-only extraction: one row per document (doc_id +
+    accounting fields), same salted single-shuffle plan, but the
+    kernel never materializes the span-text Arrow columns — the cheap
+    path when only structured fields are wanted.  Equivalent to
+    ``fields_view(extract(df))`` (pinned by
+    ``tests/test_corpus_pipeline.py``), minus ~20x of Arrow build."""
+    from accountant_pdf_extract_spark.operators.kernel import (
+        extract_fields_batches,
+    )
+    from accountant_pdf_extract_spark.schema import DOC_FIELDS_SCHEMA
+
+    assert_input_schema(df.select("doc_id", "spans"))
+    spark = df.sparkSession
+    np = num_partitions or spark.sparkContext.defaultParallelism * 4
+    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
+    dropped = spark.sparkContext.accumulator(0)
+
+    def run(batches):
+        def note(doc_id, exc):
+            dropped.add(1)
+            print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+
+        yield from extract_fields_batches(batches, on_drop=note)
+
+    out = salted.select("doc_id", "spans").mapInArrow(
+        run, schema=DOC_FIELDS_SCHEMA
+    )
+    out.dropped_docs_acc = dropped
+    return out
+
+
 def spans_view(flat: DataFrame) -> DataFrame:
     """Span-sequence view: (doc_id, kind, text, media_ref, order) — the
     fixture-comparable projection (``BASELINE.json:15``)."""

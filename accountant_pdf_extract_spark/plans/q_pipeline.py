@@ -9,11 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.plans.driver_queries import register
-from accountant_pdf_extract_spark.plans.pipeline import (
-    extract,
-    fields_view,
-    spans_view,
-)
+from accountant_pdf_extract_spark.plans.pipeline import extract, spans_view
 from accountant_pdf_extract_spark.sources.synth import interleaved_from_documents
 
 
@@ -26,11 +22,14 @@ def q_extract_spans(spark, sf):
 
 @register("q_extract_fields")
 def q_extract_fields(spark, sf):
-    """Doc-level accounting fields (rows-only check; zero-shuffle
-    fields_view — the groupBy doc_view is only for the nested spans)."""
+    """Doc-level accounting fields (rows-only check) via the
+    fields-only kernel — one output row per doc, span-text Arrow
+    columns never built (equivalence with fields_view(extract(...))
+    pinned by tests)."""
+    from accountant_pdf_extract_spark.plans.pipeline import extract_fields_table
+
     docs = interleaved_from_documents(spark, sf, seed=42)
-    flat = extract(docs, salt_buckets=256, num_partitions=32)
-    dv = fields_view(flat)
+    dv = extract_fields_table(docs, salt_buckets=256, num_partitions=32)
     return dv.select(
         "doc_id",
         "invoice_id",

@@ -102,6 +102,16 @@ FLAT_FIELDS_SCHEMA = StructType(
     list(FLAT_OUT_SCHEMA.fields) + list(FIELDS_STRUCT.fields)
 )
 
+# Fields-only extraction output: one row per DOCUMENT (no span rows).
+DOC_FIELDS_SCHEMA = StructType(
+    [StructField("doc_id", StringType())] + list(FIELDS_STRUCT.fields)
+)
+
+ARROW_DOC_FIELDS = pa.schema(
+    [pa.field("doc_id", pa.string())]
+    + [ARROW_FLAT_FIELDS.field(f.name) for f in FIELDS_STRUCT.fields]
+)
+
 COMMIT_LOG_SCHEMA = StructType(
     [
         StructField("partition_id", IntegerType()),

@@ -44,3 +44,22 @@ def test_doc_text_preserves_order(spark):
     flat = extract(_mkdocs(spark, rows), salt_buckets=4, num_partitions=2)
     txt = doc_text(flat).first()["text"]
     assert txt == "first line\nsecond line\nthird line"
+
+
+def test_fields_only_kernel_equals_fields_view(spark):
+    """extract_fields_table must produce exactly fields_view(extract())
+    — same docs, same field values — while never building span rows."""
+    from accountant_pdf_extract_spark.plans.pipeline import (
+        extract,
+        extract_fields_table,
+        fields_view,
+    )
+    from accountant_pdf_extract_spark.sources.synth import synth_interleaved
+
+    inp = synth_interleaved(spark, 120, seed=21, partitions=4)
+    via_flat = fields_view(extract(inp, salt_buckets=8, num_partitions=4))
+    via_fields = extract_fields_table(inp, salt_buckets=8, num_partitions=4)
+    assert via_fields.columns == via_flat.columns
+    a = sorted(map(tuple, via_flat.collect()))
+    b = sorted(map(tuple, via_fields.collect()))
+    assert a == b and len(a) == 120

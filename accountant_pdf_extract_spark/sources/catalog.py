@@ -92,6 +92,67 @@ class DocTable:
         os.rename(tmp, final)
         return snap["snapshot_id"]
 
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Iceberg-style snapshot expiry: drop all but the newest
+        ``keep_last`` snapshot manifests, then delete data files no
+        surviving snapshot references.  Readers pinned to an expired
+        snapshot fail loudly (KeyError), exactly like Iceberg after
+        ``expireSnapshots``.  Returns the deleted data-file paths."""
+        snaps = self.snapshots()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        if not expired:
+            return []
+        live = {f for s in kept for f in s["files"]}
+        dead = sorted(
+            {f for s in expired for f in s["files"]} - live
+        )
+        for s in expired:
+            os.remove(os.path.join(self.meta_dir, f"{s['snapshot_id']}.json"))
+        for f in dead:
+            if os.path.exists(f):
+                os.remove(f)
+        return dead
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> str:
+        """Small-file compaction (the rewrite_data_files maintenance
+        action): rewrite the current snapshot's file set into
+        ``target_files`` files and seal a NEW snapshot over them.
+        History stays intact — older snapshots still read the original
+        files until expired."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        df = self.read(spark).coalesce(target_files)
+        commit_id = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.data_dir, f"compact-{commit_id}")
+        df.write.mode("error").parquet(staging)
+        new_files = sorted(
+            os.path.join(staging, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        snap = {
+            "snapshot_id": f"snap-{commit_id}",
+            "sequence": cur["sequence"] + 1,
+            "parent": cur["snapshot_id"],
+            "files": new_files,
+            "added_files": len(new_files),
+            "compaction_of": cur["snapshot_id"],
+            "ts_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self.meta_dir, f".{snap['snapshot_id']}.tmp")
+        final = os.path.join(self.meta_dir, f"{snap['snapshot_id']}.json")
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)
+        return snap["snapshot_id"]
+
     # -- read ----------------------------------------------------------------
 
     def read(

@@ -48,3 +48,40 @@ def test_empty_table_raises(spark, tmp_path: pathlib.Path):
     tbl = DocTable(str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError):
         tbl.read(spark)
+
+
+def test_compact_then_expire(spark, tmp_path: pathlib.Path):
+    """Maintenance ops: compaction rewrites the live file set into few
+    files under a NEW snapshot (history intact until expiry); expiry
+    drops old manifests and deletes data files nothing references,
+    while the surviving snapshot keeps reading the same rows."""
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    s1 = None
+    for lo in range(0, 40, 10):  # 4 appends -> many small files
+        sid = tbl.append(
+            spark.range(lo, lo + 10)
+            .repartition(4)
+            .selectExpr("cast(id as string) AS doc_id")
+        )
+        s1 = s1 or sid
+    n_files_before = len(tbl.current_snapshot()["files"])
+    assert n_files_before >= 16
+
+    sc = tbl.compact(spark, target_files=2)
+    assert len(tbl.current_snapshot()["files"]) <= 2
+    assert sorted(r["doc_id"] for r in tbl.read(spark).collect()) == sorted(
+        str(i) for i in range(40)
+    )
+    # history intact: pre-compaction snapshot still readable
+    assert tbl.read(spark, snapshot_id=s1).count() == 10
+
+    dead = tbl.expire_snapshots(keep_last=1)
+    assert len(dead) >= 16  # every pre-compaction file reclaimed
+    assert all(not os.path.exists(f) for f in dead)
+    # current snapshot unaffected; expired pin now fails loudly
+    assert tbl.read(spark).count() == 40
+    assert tbl.current_snapshot()["snapshot_id"] == sc
+    with pytest.raises(KeyError):
+        tbl.read(spark, snapshot_id=s1)

@@ -444,7 +444,7 @@ def q_date_roundtrip(spark, sf):
     """
     SELECT vec_id,
            CAST(list_sum(list_transform(embedding,
-                    x -> CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
            len(embedding) AS dim
     FROM embeddings
     """,
@@ -468,7 +468,7 @@ def q_hof(spark, sf):
     """
     SELECT vec_id,
            generate_subscripts(embedding, 1) - 1 AS pos,
-           CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp_milli
+           CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS comp_milli
     FROM embeddings
     WHERE vec_id < 10
     """,

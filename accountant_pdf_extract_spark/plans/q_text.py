@@ -385,7 +385,7 @@ def q_dedup_simhash(spark, sf):
     WITH comps AS (
       SELECT vec_id AS vid,
              generate_subscripts(embedding, 1) - 1 AS pos,
-             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS comp
       FROM embeddings),
     dots AS (
       SELECT q.vid AS qid, c.vid AS cid,
@@ -413,7 +413,7 @@ def q_embed_topk(spark, sf):
     WITH comps AS (
       SELECT vec_id AS vid,
              generate_subscripts(embedding, 1) - 1 AS pos,
-             CAST(round(unnest(embedding) * 1000) AS BIGINT) AS comp
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS comp
       FROM embeddings WHERE vec_id < 100),
     dots AS (
       SELECT a.vid AS a, b.vid AS b, sum(a.comp * b.comp) AS dot

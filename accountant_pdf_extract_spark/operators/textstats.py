@@ -92,3 +92,22 @@ def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-collapsed, lowercased text (content-defined identity)."""
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive rolling hash over the token sequence (the
+    Rabin-Karp shape): fold acc = (acc * 31 + h(token)) mod 2^31 left
+    to right, so token REORDERING changes the fingerprint while the
+    md5 ``fingerprint`` only sees the multiset of characters.  Pure
+    Catalyst fold — intermediate values stay < 2^36, so the arithmetic
+    never overflows a long even under ANSI mode.  Empty/blank text
+    fingerprints to 0."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+    )
+    m = F.lit(2_147_483_648)  # 2^31
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), m), m),
+    )

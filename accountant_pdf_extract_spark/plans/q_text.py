@@ -478,3 +478,13 @@ def q_amount_cents_udf(spark, sf):
     return t(spark, sf, "orders").select(
         "o_orderkey", amount_to_cents(amount_str).alias("cents")
     )
+
+
+@register("q_rolling_fp")
+def q_rolling_fp(spark, sf):
+    """Order-sensitive rolling-hash fingerprint (rows-only: built on
+    xxhash64, which DuckDB lacks; order-sensitivity and determinism
+    are pinned by unit test instead)."""
+    return t(spark, sf, "documents").select(
+        "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("rfp")
+    )

@@ -162,3 +162,33 @@ def test_bpe_ish_token_count(spark):
     ).first()["n"]
     # ab / 12 / cd / , / ef / !
     assert n == 6
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "gamma beta alpha"),   # same tokens, different order
+        (3, "alpha  beta   gamma"),  # whitespace-insensitive duplicate of 1
+        (4, ""),
+        (5, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id",
+            textstats.rolling_fingerprint(F.col("text")).alias("rfp"),
+        ).collect()
+    }
+    assert got[1] == got[3] != got[2]      # order matters, whitespace not
+    assert got[4] == got[5] == 0           # blank -> 0
+    assert all(0 <= v < 2**31 for v in got.values())
+    # deterministic across evaluations
+    again = {
+        r["doc_id"]: r["rfp"]
+        for r in df.select(
+            "doc_id",
+            textstats.rolling_fingerprint(F.col("text")).alias("rfp"),
+        ).collect()
+    }
+    assert again == got

@@ -488,3 +488,24 @@ def q_rolling_fp(spark, sf):
     return t(spark, sf, "documents").select(
         "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("rfp")
     )
+
+
+@register("q_media_features")
+def q_media_features(spark, sf):
+    """Multimodal path at the driver surface (rows-only): synthesize a
+    deterministic media table (binary payloads + typed metadata),
+    decode/feature-extract via the Arrow-batched kernel (fake codec —
+    real codecs are env-blocked), and join the Catalyst-side resize
+    plan.  Exercises the full binary-column plumbing end to end."""
+    from accountant_pdf_extract_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, 500, seed=42)
+    feats = multimodal.image_features(media, fake_codec=True)
+    plan = multimodal.resize_plan(media)
+    return (
+        feats.join(plan.select("media_ref", "target_w", "target_h"), "media_ref")
+        .select(
+            "media_ref", "width", "height", "byte_entropy_milli",
+            "target_w", "target_h",
+        )
+    )

@@ -509,3 +509,49 @@ def q_media_features(spark, sf):
             "target_w", "target_h",
         )
     )
+
+
+@register(
+    "q_split",
+    """
+    SELECT split, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train' ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def q_split(spark, sf):
+    """Deterministic md5-keyed train/test split ('cc' ~ 80/20) — a
+    document keeps its split across reruns, engines, partitionings."""
+    from accountant_pdf_extract_spark.operators.sampling import hash_split
+
+    return (
+        hash_split(t(spark, sf, "documents"), "doc_id", "cc")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@register(
+    "q_stratified",
+    """
+    SELECT label, doc_sel AS vec_id
+    FROM (SELECT label, vec_id AS doc_sel,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS rk
+          FROM embeddings)
+    WHERE rk <= 5
+    """,
+)
+def q_stratified(spark, sf):
+    """Deterministic stratified sample: 5 vectors per label, ranked by
+    md5(id) — reproducible subsampling with zero RNG."""
+    from accountant_pdf_extract_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        t(spark, sf, "embeddings").select("label", "vec_id"),
+        stratum_col="label", id_col="vec_id", k=5,
+    )

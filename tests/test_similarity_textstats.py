@@ -192,3 +192,32 @@ def test_rolling_fingerprint_order_sensitive(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from accountant_pdf_extract_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b and len(a) == 500
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # 'cc' targets ~0.797
+
+
+def test_stratified_sample_exact_k_and_stable(spark):
+    from accountant_pdf_extract_spark.operators.sampling import stratified_sample
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("label", "vec_id")
+    s1 = sorted(map(tuple, stratified_sample(emb, "label", "vec_id", 7).collect()))
+    s2 = sorted(
+        map(tuple, stratified_sample(emb.repartition(13), "label", "vec_id", 7).collect())
+    )
+    assert s1 == s2
+    from collections import Counter
+
+    per = Counter(l for l, _ in s1)
+    assert all(v == 7 for v in per.values())

@@ -555,3 +555,43 @@ def q_stratified(spark, sf):
         t(spark, sf, "embeddings").select("label", "vec_id"),
         stratum_col="label", id_col="vec_id", k=5,
     )
+
+
+@register(
+    "q_pack",
+    """
+    WITH packed AS (
+      SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_group,
+             CAST(floor(
+               (CAST(sum(n_chars) OVER (
+                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                - n_chars) / 2000) AS BIGINT) AS shard_id
+      FROM documents)
+    SELECT pack_group || '-' || CAST(shard_id AS VARCHAR) AS shard_key,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM packed GROUP BY shard_key
+    """,
+)
+def q_pack(spark, sf):
+    """Token-budget shard packing (deterministic first-fit inside md5
+    groups): per-shard doc count + total size.  The training-pipeline
+    step between curation and tokenization."""
+    from accountant_pdf_extract_spark.operators.packing import pack_token_shards
+
+    return (
+        pack_token_shards(
+            t(spark, sf, "documents").select("doc_id", "n_chars"),
+            id_col="doc_id", token_col="n_chars", budget=2000,
+        )
+        .groupBy("shard_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )

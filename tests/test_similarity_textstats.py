@@ -221,3 +221,37 @@ def test_stratified_sample_exact_k_and_stable(spark):
 
     per = Counter(l for l, _ in s1)
     assert all(v == 7 for v in per.values())
+
+
+def test_pack_token_shards_invariants(spark):
+    """First-fit packing: every shard's total is < budget + its largest
+    doc (the classic one-doc slack bound), assignments are
+    partition-invariant, and every doc lands in exactly one shard."""
+    from accountant_pdf_extract_spark.operators.packing import pack_token_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    budget = 2000
+    packed = pack_token_shards(docs, "doc_id", "n_chars", budget)
+    rows = packed.collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+
+    from collections import defaultdict
+
+    totals = defaultdict(int)
+    biggest = defaultdict(int)
+    for r in rows:
+        totals[r["shard_key"]] += r["n_chars"]
+        biggest[r["shard_key"]] = max(biggest[r["shard_key"]], r["n_chars"])
+    assert len(totals) > 16  # budget actually splits groups into shards
+    for k, tot in totals.items():
+        assert tot < budget + biggest[k], (k, tot)
+
+    again = {
+        r["doc_id"]: r["shard_key"]
+        for r in pack_token_shards(
+            docs.repartition(13), "doc_id", "n_chars", budget
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["shard_key"] for r in rows}

@@ -189,6 +189,40 @@ def jaccard_pairs(
     )
 
 
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at
+    least ``min_shared`` distinct k-gram shingles with any benchmark
+    text — the eval-leakage sweep every pretraining corpus needs.
+
+    Scale shape: the benchmark is tiny next to the corpus, so its
+    distinct shingle set is BROADCAST; corpus shingles explode
+    map-side and probe the broadcast hash relation — the corpus never
+    shuffles for the join, only the per-doc count aggregates (one
+    exchange).  Returns (sid, n_shared) for contaminated docs."""
+    bench_sh = benchmark.select(
+        F.explode(F.expr(_shingles_sql(text_col, k))).alias("shingle")
+    ).distinct()
+    doc_sh = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(
+            F.array_distinct(F.expr(_shingles_sql(text_col, k)))
+        ).alias("shingle"),
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("sid")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash16(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -595,3 +595,37 @@ def q_pack(spark, sf):
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT substr(norm, i, 8) AS shingle
+      FROM (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents WHERE doc_id < 10),
+           unnest(range(1, greatest(length(norm) - 6, 1))) AS r(i)
+      WHERE length(norm) >= 8),
+    doc_sh AS (
+      SELECT DISTINCT doc_id AS sid, substr(norm, i, 8) AS shingle
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents WHERE doc_id >= 10),
+           unnest(range(1, greatest(length(norm) - 6, 1))) AS r(i)
+      WHERE length(norm) >= 8)
+    SELECT sid, count(*) AS n_shared
+    FROM doc_sh JOIN bench USING (shingle)
+    GROUP BY sid
+    HAVING count(*) >= 200
+    """,
+)
+def q_decontaminate(spark, sf):
+    """Eval-leakage sweep: docs >= 10 sharing >= 5 distinct 8-gram
+    shingles with the 'benchmark' (docs < 10).  Benchmark shingles
+    broadcast; the corpus never shuffles for the join."""
+    docs = t(spark, sf, "documents")
+    return dedup.contamination_check(
+        docs.where(F.col("doc_id") >= 10),
+        docs.where(F.col("doc_id") < 10),
+        k=8, min_shared=200,
+    )

@@ -189,6 +189,64 @@ def jaccard_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate duplicate pairs → cluster
+    assignment (sid, cluster = min member id) — the step that turns
+    pairwise near-dup hits into keep-one groups.
+
+    Iterative min-label propagation: every node starts labeled with
+    itself; each round a node takes the minimum label among itself and
+    its neighbors; converged when no label changes.  Each round is two
+    hash joins + one aggregate over the (small) edge relation — the
+    classic Spark shape for components when edges ≪ corpus (candidate
+    pairs are already LSH-pruned).  Rounds needed = graph diameter
+    (near-dup clusters are shallow; max_iter bounds pathology).
+    Results are localCheckpoint-ed each round so the plan/lineage stays
+    O(1) instead of growing per iteration.
+
+    Not SQL-expressible (iterative) — correctness is pinned against a
+    Python union-find in tests."""
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("sid"))
+        .distinct()
+        .withColumn("cluster", F.col("sid"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.sid)
+            .groupBy("u")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.sid == neighbor_min.u, "left")
+            .select(
+                "sid",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nmin"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "sid")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -629,3 +629,14 @@ def q_decontaminate(spark, sf):
         docs.where(F.col("doc_id") < 10),
         k=8, min_shared=200,
     )
+
+
+@register("q_dedup_clusters")
+def q_dedup_clusters(spark, sf):
+    """Duplicate clusters: MinHash candidate pairs -> connected
+    components (iterative min-label propagation; rows-only — the
+    iteration isn't SQL-expressible; equality with a Python union-find
+    is pinned by pytest)."""
+    docs = t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    cand = dedup.minhash_candidate_pairs(dedup.minhash_bands(docs, k=8, bands=4))
+    return dedup.duplicate_clusters(cand)

@@ -182,3 +182,48 @@ def test_asof_join_matches_bruteforce_oracle(spark):
             _, rid = max(cands)
             expect = (rid, rid * 10)
         assert got[lid] == expect, (lid, got[lid], expect)
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    """Iterative min-label propagation must equal a Python union-find
+    on the same edge set — both on a handcrafted chain/star graph and
+    on the real MinHash candidate pairs from sf0.001 documents."""
+    from accountant_pdf_extract_spark.operators import dedup
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # normalize: every member -> min of its component
+        return {x: find(x) for x in list(parent)}
+
+    # handcrafted: a 5-chain, a star, a lone pair
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pairs_df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["sid"]: r["cluster"]
+        for r in dedup.duplicate_clusters(pairs_df).collect()
+    }
+    assert got == union_find(edges)
+    assert got[5] == 1 and got[13] == 10 and got[21] == 20
+
+    # real candidate pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where("doc_id < 200")
+    cand = dedup.minhash_candidate_pairs(dedup.minhash_bands(docs, k=8, bands=4))
+    cand_pairs = [(r["a"], r["b"]) for r in cand.collect()]
+    assert cand_pairs, "expected some candidate pairs"
+    got2 = {
+        r["sid"]: r["cluster"]
+        for r in dedup.duplicate_clusters(cand).collect()
+    }
+    assert got2 == union_find(cand_pairs)

@@ -205,3 +205,34 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path: pathlib.Path):
         for r in exact_dup_groups(spark.read.parquet(inp)).collect()
     }
     assert got2 == batch_keeps
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path: pathlib.Path):
+    """Stream-static join: each micro-batch enriches against a static
+    (broadcastable) dimension — the standard pattern for joining a
+    firehose to reference data without shuffling the stream."""
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    static_dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "tier_id long, tier string"
+    )
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "doc_id long, tier_id long"
+    ).write.parquet(inp)
+    stream = spark.readStream.schema("doc_id long, tier_id long").parquet(inp)
+    enriched = stream.join(F.broadcast(static_dim), "tier_id")
+    q = (
+        enriched.writeStream.foreachBatch(
+            lambda df, _i: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    tiers = {r["doc_id"]: r["tier"] for r in got.collect()}
+    assert tiers[4] == "silver" and tiers[6] == "bronze" and tiers[8] == "gold"

@@ -47,9 +47,9 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
     runs = page.runs
     if not runs:
         return []
-    ys = np.array([r.y for r in runs])
-    xs = np.array([r.x for r in runs])
-    order = np.lexsort((xs, -ys))  # top-to-bottom, then left-to-right
+    # top-to-bottom, then left-to-right; pages carry ~10 runs (median),
+    # so a plain sort beats building numpy arrays + lexsort
+    order = sorted(range(len(runs)), key=lambda i: (-runs[i].y, runs[i].x))
 
     vrules = [r for r in page.rules if not r.horiz]
 

@@ -223,10 +223,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("u")
             .agg(F.min("cluster").alias("nmin"))
         )
-        new_labels = (
+        # carry old + new labels in ONE checkpointed frame, so the
+        # convergence check is a scan of materialized rows instead of
+        # a second join per round
+        step = (
             labels.join(neighbor_min, labels.sid == neighbor_min.u, "left")
             .select(
                 "sid",
+                F.col("cluster").alias("_old"),
                 F.least(
                     F.col("cluster"),
                     F.coalesce(F.col("nmin"), F.col("cluster")),
@@ -234,14 +238,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "sid")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = step.where(F.col("cluster") != F.col("_old")).limit(1).count()
+        labels = step.drop("_old")
         if changed == 0:
             break
     return labels

@@ -248,6 +248,77 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_max_id: int = 20,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization — the companion
+    to the hyperplane-LSH path: a KMeans codebook (pyspark.ml) assigns
+    every corpus vector to a cell map-side; each query probes only its
+    ``n_probe`` nearest cells and exact-rescores the candidates with a
+    float dot product.
+
+    Scale shape: codebook training is one MLlib job (sample-able at
+    10^9 vectors); cell assignment is a map-side model transform; the
+    query set is small BY CONTRACT (same as the GEMM path) so probing
+    is driver-side numpy against the tiny centroid matrix; candidates
+    form through a broadcastable (qid, cell) relation joined to the
+    cell-partitioned corpus — the corpus never joins against itself.
+    Recall vs brute force is pinned by pytest."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("arr"),
+    ).withColumn("features", array_to_vector("arr"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "cid", "arr", F.col("prediction").alias("cell")
+    )
+
+    centroids = np.stack(model.clusterCenters())  # (n_cells, dim) — tiny
+    q_rows = (
+        df.where(F.col(id_col) < query_max_id)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+        )
+        .collect()  # query set is small by contract (cf. GEMM path)
+    )
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["qv"])
+        d2 = ((centroids - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_rows.append((r["qid"], r["qv"], int(cell)))
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, qv array<double>, cell int"
+    )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("arr"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "dot", "rank")
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold_milli: int = 250,

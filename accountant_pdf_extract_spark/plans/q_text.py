@@ -640,3 +640,15 @@ def q_dedup_clusters(spark, sf):
     docs = t(spark, sf, "documents").where(F.col("doc_id") < 200)
     cand = dedup.minhash_candidate_pairs(dedup.minhash_bands(docs, k=8, bands=4))
     return dedup.duplicate_clusters(cand)
+
+
+@register("q_ivf_topk")
+def q_ivf_topk(spark, sf):
+    """ANN via IVF coarse quantization (KMeans codebook + n_probe
+    cells + exact rescore).  Rows-only: the codebook is a trained
+    model, not SQL-reproducible; recall vs brute force is pinned by
+    test_ivf_recall_quantified."""
+    return similarity.ivf_topk(
+        t(spark, sf, "embeddings"), query_max_id=10, k=5,
+        n_cells=8, n_probe=4, seed=42,
+    )

@@ -111,3 +111,88 @@ def rolling_fingerprint(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: F.pmod(acc * 31 + F.pmod(F.xxhash64(t), m), m),
     )
+
+
+def term_doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", min_df: int = 2) -> DataFrame:
+    """Corpus term statistics — the integer-exact base relation for
+    TF-IDF / BM25: one row per (term, doc) with term frequency, the
+    term's document frequency, the doc's token length, and the corpus
+    size.  All integers, so it verifies exactly cross-engine; the
+    float weighting (idf = ln(N/df), BM25 saturation) is a trivial
+    per-row map on top (``bm25_rank``).
+
+    Plan: token explode map-side → (doc, term, tf) agg → df per term
+    (second agg) joined back on term; N and doc lengths ride along as
+    window-free aggregates.  Terms below ``min_df`` are dropped (the
+    singleton long tail is most of the volume and carries no ranking
+    signal)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    doc_len = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    return (
+        tf.join(dfreq.where(F.col("df") >= min_df), "term")
+        .join(doc_len, "doc")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "doc", "tf", "df", "dl", "n_docs")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 document ranking for a fixed term set: idf(t) *
+    (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) summed over query terms.
+    Stats come from ``term_doc_stats`` (min_df=1 so rare query terms
+    still count); floats appear only in the final per-row scoring map.
+    Ties break on doc id (deterministic).  Scores in milli-units."""
+    from pyspark.sql.window import Window
+
+    stats = term_doc_stats(df, text_col, id_col, min_df=1).where(
+        F.col("term").isin(query_terms)
+    )
+    avgdl = df.select(
+        F.avg(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("avgdl")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        stats.crossJoin(F.broadcast(avgdl))
+        .select("doc", (idf * tf_part).alias("s"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("s") * 1000).cast("long").alias("score_milli"))
+    )
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc", "score_milli", "rank")
+    )

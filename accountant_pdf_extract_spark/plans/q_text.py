@@ -652,3 +652,41 @@ def q_ivf_topk(spark, sf):
         t(spark, sf, "embeddings"), query_max_id=10, k=5,
         n_cells=8, n_probe=4, seed=42,
     )
+
+
+@register(
+    "q_term_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))
+               AS term
+      FROM documents),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+    dl AS (SELECT doc, count(*) AS dl FROM toks GROUP BY doc),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT term, doc, tf, df, dl, n_docs
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN n
+    WHERE df >= 50
+    """,
+)
+def q_term_stats(spark, sf):
+    """Integer-exact corpus term statistics (the TF-IDF/BM25 base
+    relation): (term, doc, tf, df, doc_len, N) — verifies exactly
+    cross-engine; float weighting is a per-row map on top."""
+    return textstats.term_doc_stats(
+        t(spark, sf, "documents"), min_df=50
+    )
+
+
+@register("q_bm25")
+def q_bm25(spark, sf):
+    """BM25 top-20 docs for a fixed query (rows-only: the scoring sum
+    is floating-point; equality with a pure-Python BM25 is pinned by
+    pytest within quantization tolerance)."""
+    return textstats.bm25_rank(
+        t(spark, sf, "documents"),
+        ["join", "scan", "filter"],
+        k=20,
+    )

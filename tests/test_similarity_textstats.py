@@ -277,3 +277,49 @@ def test_ivf_recall_quantified(spark):
     rec = sum(len(truth[q] & got.get(q, set())) for q in truth) / total
     assert rec >= 0.85, rec
     assert all(len(v) == 5 for v in got.values())
+
+
+def test_bm25_matches_python_oracle(spark):
+    """BM25 ranking must match a from-scratch Python implementation on
+    the same corpus (scores within 1 milli of quantization jitter,
+    identical top-k membership and order)."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    terms = ["join", "scan", "filter"]
+    got = [
+        (r["doc"], r["score_milli"], r["rank"])
+        for r in textstats.bm25_rank(docs, terms, k=10).collect()
+    ]
+    assert len(got) == 10
+
+    rows = docs.collect()
+    toks = {
+        r["doc_id"]: [t for t in (r["text"] or "").lower().strip().split() if t]
+        for r in rows
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfc = Counter()
+    for v in toks.values():
+        for t in set(v):
+            dfc[t] += 1
+    k1, b = 1.2, 0.75
+    scores = {}
+    for doc, v in toks.items():
+        tfc = Counter(v)
+        s = 0.0
+        for t in terms:
+            if tfc[t] == 0:
+                continue
+            idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+            s += idf * (tfc[t] * (k1 + 1)) / (
+                tfc[t] + k1 * (1 - b + b * len(v) / avgdl)
+            )
+        if s > 0:
+            scores[doc] = round(s * 1000)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for (gd, gs, _rk), (wd, ws) in zip(got, want):
+        assert gd == wd, (got, want)
+        assert abs(gs - ws) <= 1, (gd, gs, ws)

@@ -24,18 +24,38 @@ def norm_text(col: Column) -> Column:
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Fan-out-heavy ops (shingles, token votes) need >= cores input
     partitions; small local files produce too few scan tasks and
-    serialize the stage.  Uses the scan's file list as a partition-count
-    proxy (metadata only — no job, unlike ``df.rdd.getNumPartitions()``
-    which forces a plan-to-RDD conversion on the driver); non-file plans
-    (createDataFrame, post-shuffle) fall through to a repartition, which
-    is a cheap row-level exchange of the narrow input.  At 100 TB the
-    scan ships thousands of splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    serialize the stage.  Estimates the scan's SPLIT count from
+    metadata only (no job, unlike ``df.rdd.getNumPartitions()`` which
+    forces a plan-to-RDD conversion): file count, refined by total
+    size / maxPartitionBytes when the files are local (a few LARGE
+    files still yield many splits — file count alone under-estimates
+    and would force a needless full repartition).  Non-file plans
+    (createDataFrame, post-shuffle) fall through to the repartition, a
+    cheap row-level exchange of the narrow input.  At 100 TB the scan
+    ships thousands of splits and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        paths = df.inputFiles()
     except Exception:  # noqa: BLE001 - non-file-backed plan
-        n_files = 0
-    if n_files < max(2, target // 2):
+        paths = []
+    est_splits = len(paths)
+    local = [p[len("file:"):] for p in paths if p.startswith("file:")]
+    if paths and len(local) == len(paths):
+        import math
+        import os
+
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+        raw = raw.lower()
+        mult = units.get(raw[-1], 1)
+        max_bytes = int(raw[:-1] if raw[-1] in units else raw) * mult
+        try:
+            total = sum(os.path.getsize(p) for p in local)
+            est_splits = max(est_splits, math.ceil(total / max(max_bytes, 1)))
+        except OSError:
+            pass
+    if est_splits < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -241,8 +261,12 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         changed = step.where(F.col("cluster") != F.col("_old")).limit(1).count()
         labels = step.drop("_old")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge within max_iter={max_iter} "
+        "rounds (component diameter exceeds it) — raise max_iter; "
+        "returning partial labels would silently split clusters"
+    )
 
 
 def contamination_check(

@@ -18,6 +18,38 @@ from accountant_pdf_extract_spark.operators.doccore import extract_doc
 from accountant_pdf_extract_spark.schema import ARROW_FLAT_FIELDS
 
 
+def _decode_spans_batch(batch: pa.RecordBatch):
+    """Shared Arrow decode for both kernels: the list<struct> column
+    via flat child arrays + offsets instead of to_pylist() (which
+    builds a dict per span — ~2x slower on string-heavy batches).
+    .offsets index absolutely into .values (even for sliced arrays and
+    null slots, which repeat the offset) — never use .flatten() here,
+    it re-bases and breaks on slices."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans")
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    list_offsets = spans_col.offsets.to_pylist()
+    flat = spans_col.values
+    return (
+        doc_ids,
+        list_offsets,
+        flat.field("kind").to_pylist(),
+        flat.field("text").to_pylist(),
+        flat.field("media_ref").to_pylist(),
+        flat.field("offset").to_pylist(),
+    )
+
+
+def _report_drop(on_drop, doc_id, exc) -> None:
+    """Per-doc fault isolation sink: callback when wired (the pipeline
+    wires an accumulator through it), executor-stdout line otherwise."""
+    if on_drop is not None:
+        on_drop(doc_id, exc)
+    else:
+        print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+
+
 def extract_batches(
     batches: Iterator[pa.RecordBatch],
     on_drop=None,
@@ -28,22 +60,9 @@ def extract_batches(
     through it so dropped-doc counts surface as a driver-readable
     metric, not just a buried print."""
     for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
-        # Decode the list<struct> column via flat child arrays + offsets
-        # instead of to_pylist() (which builds a dict per span — ~2x
-        # slower on string-heavy batches).
-        spans_col = batch.column("spans")
-        if isinstance(spans_col, pa.ChunkedArray):
-            spans_col = spans_col.combine_chunks()
-        # .offsets index absolutely into .values (even for sliced
-        # arrays and null slots, which repeat the offset) — never use
-        # .flatten() here, it re-bases and breaks on slices.
-        list_offsets = spans_col.offsets.to_pylist()
-        flat = spans_col.values
-        f_kind = flat.field("kind").to_pylist()
-        f_text = flat.field("text").to_pylist()
-        f_ref = flat.field("media_ref").to_pylist()
-        f_off = flat.field("offset").to_pylist()
+        doc_ids, list_offsets, f_kind, f_text, f_ref, f_off = (
+            _decode_spans_batch(batch)
+        )
 
         col_doc, col_kind, col_text, col_ref, col_order = [], [], [], [], []
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
@@ -61,13 +80,7 @@ def extract_batches(
                 # one malformed payload must not kill a 100-TB job; the
                 # doc yields zero spans and the skew shows up in the
                 # commit-log n_docs-vs-output delta.
-                if on_drop is not None:
-                    on_drop(doc_id, exc)
-                else:
-                    print(
-                        f"extract_doc failed for {doc_id!r}: {exc!r}",
-                        flush=True,
-                    )
+                _report_drop(on_drop, doc_id, exc)
                 continue
             for kind, text, ref, order in out:
                 col_doc.append(doc_id)
@@ -126,16 +139,9 @@ def extract_fields_batches(
     from accountant_pdf_extract_spark.schema import ARROW_DOC_FIELDS
 
     for batch in batches:
-        doc_ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans")
-        if isinstance(spans_col, pa.ChunkedArray):
-            spans_col = spans_col.combine_chunks()
-        list_offsets = spans_col.offsets.to_pylist()
-        flat = spans_col.values
-        f_kind = flat.field("kind").to_pylist()
-        f_text = flat.field("text").to_pylist()
-        f_ref = flat.field("media_ref").to_pylist()
-        f_off = flat.field("offset").to_pylist()
+        doc_ids, list_offsets, f_kind, f_text, f_ref, f_off = (
+            _decode_spans_batch(batch)
+        )
 
         col_doc = []
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
@@ -149,13 +155,7 @@ def extract_fields_batches(
                     )
                 )
             except Exception as exc:  # noqa: BLE001 — per-doc fault isolation
-                if on_drop is not None:
-                    on_drop(doc_id, exc)
-                else:
-                    print(
-                        f"extract_doc failed for {doc_id!r}: {exc!r}",
-                        flush=True,
-                    )
+                _report_drop(on_drop, doc_id, exc)
                 continue
             col_doc.append(doc_id)
             col_inv.append(fields["invoice_id"])

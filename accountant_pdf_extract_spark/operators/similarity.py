@@ -150,8 +150,12 @@ def hyperplane_signature(
         bc = spark.sparkContext.broadcast((int(seed), int(n_bits)))
         bits_per = n_bits // n_tables
 
+    # capture only a bool — capturing `planes` itself would pickle the
+    # full matrix into every task closure, defeating the broadcast
+    derive_planes = planes is None
+
     def sig(batches):
-        pl = bc.value if planes is not None else None
+        pl = None if derive_planes else bc.value
         weights = 1 << np.arange(bits_per, dtype=np.int64)
         for pdf in batches:
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)

@@ -26,6 +26,9 @@ from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, extract, salt
 from accountant_pdf_extract_spark.sources.commit_log import CommitLog
 
 
+_SALT_META = "_salt_meta.json"
+
+
 def write_bucketed_input(
     df: DataFrame, path: str, salt_buckets: int = 1024
 ) -> None:
@@ -33,10 +36,46 @@ def write_bucketed_input(
     bucket.  Resume then reads this table and the committed-bucket
     anti-filter becomes a PartitionFilter at the scan (verified by
     ``tests/test_resume.py::test_resume_partition_pruning``) — skipped
-    buckets are never read, instead of read-then-dropped."""
+    buckets are never read, instead of read-then-dropped.
+
+    A ``_salt_meta.json`` sidecar records the bucket count so
+    ``read_bucketed_input`` can refuse a job run with a DIFFERENT
+    count — the stored column would prune wholesale buckets that were
+    only partially committed under the new modulus (silent data loss)."""
+    import json
+    import os
+
     salt(df, salt_buckets).write.mode("overwrite").partitionBy(SALT_COL).parquet(
         path
     )
+    with open(os.path.join(path, _SALT_META), "w") as f:
+        json.dump({"salt_buckets": int(salt_buckets)}, f)
+
+
+def read_bucketed_input(
+    spark: SparkSession, path: str, salt_buckets: int
+) -> DataFrame:
+    """Read a ``write_bucketed_input`` table, validating that the
+    stored bucket count matches the job's — raises on mismatch or a
+    missing sidecar (never silently trust a foreign bucket column)."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, _SALT_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{path} has no {_SALT_META}; only tables written by "
+            "write_bucketed_input may be trusted for resume pruning"
+        )
+    with open(meta_path) as f:
+        stored = int(json.load(f)["salt_buckets"])
+    if stored != salt_buckets:
+        raise ValueError(
+            f"input at {path} was bucketed with salt_buckets={stored}, "
+            f"but this job runs with salt_buckets={salt_buckets} — "
+            "resume pruning would drop partially-committed documents"
+        )
+    return spark.read.parquet(path)
 
 
 def run_job(
@@ -47,11 +86,20 @@ def run_job(
     salt_buckets: int = 1024,
     num_partitions: int | None = None,
     job_id: str = "job",
+    trust_input_bucketing: bool = False,
 ) -> dict:
-    """Returns {"processed_buckets": [...], "skipped": int, "snapshot_id": ...}."""
+    """Returns {"processed_buckets": [...], "skipped": int, "snapshot_id": ...}.
+
+    ``trust_input_bucketing``: only set True for input read via
+    ``read_bucketed_input`` (which validates the stored bucket count).
+    Otherwise a pre-existing ``_salt_bucket`` column is DROPPED and
+    recomputed — a column bucketed under a different modulus would make
+    resume pruning silently skip partially-committed documents."""
     log = CommitLog(commit_log_path)
     done = log.committed_buckets()
 
+    if SALT_COL in input_df.columns and not trust_input_bucketing:
+        input_df = input_df.drop(SALT_COL)
     salted_in = salt(input_df, salt_buckets)
     if done:
         # J3 resume: drop already-committed buckets.  The committed set
@@ -111,7 +159,8 @@ def run_job(
         "engine": "accountant_pdf_extract_spark",
         # per-doc fault-isolation metric (accumulated during the write
         # action above): docs whose extraction raised and yielded no
-        # spans — recorded so data loss is auditable from the log
+        # spans.  At-least-once under task retries (accumulator in a
+        # transformation) — an upper bound / alarm, not an exact ledger
         "dropped_docs": str(flat.dropped_docs_acc.value),
     }
     snapshot_id = log.commit(spark, records, lineage) if records else None
@@ -140,13 +189,17 @@ def main() -> None:
     args = p.parse_args()
 
     spark = get_spark(app=f"extract-{args.job_id}", master=args.master)
+    import os
+
+    trusted = False
     if args.synth_docs:
         inp = synth_interleaved(spark, args.synth_docs)
+    elif os.path.exists(os.path.join(args.input, _SALT_META)):
+        # bucket-partitioned input: validate the stored bucket count
+        # (raises on mismatch), then let resume prune at the scan
+        inp = read_bucketed_input(spark, args.input, args.salt_buckets)
+        trusted = True
     else:
-        # No forced schema: a bucket-partitioned input (written by
-        # write_bucketed_input) must keep its _salt_bucket partition
-        # column so resume prunes at the scan.  extract() still
-        # validates doc_id+spans via assert_input_schema.
         inp = spark.read.parquet(args.input)
     res = run_job(
         spark,
@@ -156,6 +209,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets,
         num_partitions=args.num_partitions,
         job_id=args.job_id,
+        trust_input_bucketing=trusted,
     )
     print(res)
     spark.stop()

@@ -38,6 +38,30 @@ def salt(df: DataFrame, buckets: int = 1024) -> DataFrame:
     )
 
 
+def _with_drop_metric(spark, kernel_fn):
+    """Wrap an Arrow kernel so per-doc extraction failures increment a
+    driver-readable accumulator (surfaced as ``dropped_docs_acc`` on
+    the result DataFrame and recorded in commit-log lineage) in
+    addition to the executor-stdout line — silent data loss is not
+    acceptable at 10^12 docs.
+
+    Accumulator caveat (inherent to updates inside transformations):
+    counts are AT-LEAST-ONCE — task retries / speculative duplicates
+    re-increment, so treat the value as an upper bound / alarm signal,
+    not an exact ledger.  The exact ground truth is the commit-log
+    n_docs-vs-input delta per bucket."""
+    dropped = spark.sparkContext.accumulator(0)
+
+    def run(batches):
+        def note(doc_id, exc):
+            dropped.add(1)
+            print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
+
+        yield from kernel_fn(batches, on_drop=note)
+
+    return run, dropped
+
+
 def extract(
     df: DataFrame,
     salt_buckets: int = 1024,
@@ -54,21 +78,7 @@ def extract(
     spark = df.sparkSession
     np = num_partitions or spark.sparkContext.defaultParallelism * 4
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-
-    # Dropped-doc metric: per-doc extraction failures increment an
-    # accumulator (driver-readable after any action via the returned
-    # DataFrame's ``dropped_docs_acc`` attribute) in addition to the
-    # executor-stdout line — silent data loss is not acceptable at
-    # 10^12 docs.
-    dropped = spark.sparkContext.accumulator(0)
-
-    def run(batches):
-        def note(doc_id, exc):
-            dropped.add(1)
-            print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
-
-        yield from extract_batches(batches, on_drop=note)
-
+    run, dropped = _with_drop_metric(spark, extract_batches)
     out = salted.select("doc_id", "spans").mapInArrow(
         run, schema=FLAT_FIELDS_SCHEMA
     )
@@ -101,15 +111,7 @@ def extract_fields_table(
     spark = df.sparkSession
     np = num_partitions or spark.sparkContext.defaultParallelism * 4
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-    dropped = spark.sparkContext.accumulator(0)
-
-    def run(batches):
-        def note(doc_id, exc):
-            dropped.add(1)
-            print(f"extract_doc failed for {doc_id!r}: {exc!r}", flush=True)
-
-        yield from extract_fields_batches(batches, on_drop=note)
-
+    run, dropped = _with_drop_metric(spark, extract_fields_batches)
     out = salted.select("doc_id", "spans").mapInArrow(
         run, schema=DOC_FIELDS_SCHEMA
     )

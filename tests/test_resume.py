@@ -90,13 +90,21 @@ def test_resume_partition_pruning(spark, tmp_path: pathlib.Path):
     committed-bucket anti-filter must prune at the scan (a
     PartitionFilter), not post-scan — plus end-to-end: resuming over
     the bucketed input recomputes only the missing buckets."""
-    from accountant_pdf_extract_spark.plans.job import write_bucketed_input
+    import pytest
+
+    from accountant_pdf_extract_spark.plans.job import (
+        read_bucketed_input,
+        write_bucketed_input,
+    )
     from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, salt
 
     inp = synth_interleaved(spark, 80, seed=5, partitions=4)
     bucketed = str(tmp_path / "bucketed_in")
     write_bucketed_input(inp, bucketed, salt_buckets=BUCKETS)
-    binp = spark.read.parquet(bucketed)
+    # bucket-count mismatch must refuse loudly, never prune silently
+    with pytest.raises(ValueError, match="salt_buckets"):
+        read_bucketed_input(spark, bucketed, BUCKETS * 2)
+    binp = read_bucketed_input(spark, bucketed, BUCKETS)
     assert SALT_COL in binp.columns
 
     done = {0, 1, 2, 3}
@@ -111,7 +119,8 @@ def test_resume_partition_pruning(spark, tmp_path: pathlib.Path):
     out = str(tmp_path / "pout")
     log_path = str(tmp_path / "plog")
     res1 = run_job(spark, binp, out, log_path,
-                   salt_buckets=BUCKETS, num_partitions=8, job_id="b1")
+                   salt_buckets=BUCKETS, num_partitions=8, job_id="b1",
+                   trust_input_bucketing=True)
     reference = _collect(spark, out)
     log = CommitLog(log_path)
     all_buckets = set(res1["processed_buckets"])
@@ -125,9 +134,19 @@ def test_resume_partition_pruning(spark, tmp_path: pathlib.Path):
     log.drop_snapshots({snaps[0]["snapshot_id"]})
     log.commit(spark, kept, {"job_id": "b1-partial"})
     res2 = run_job(spark, binp, out, log_path,
-                   salt_buckets=BUCKETS, num_partitions=8, job_id="b2")
+                   salt_buckets=BUCKETS, num_partitions=8, job_id="b2",
+                   trust_input_bucketing=True)
     assert res2["processed_buckets"] == sorted(lost)
     assert _collect(spark, out) == reference
+
+    # an untrusted frame with a foreign salt column gets re-salted, not
+    # silently trusted: a mod-16 column under a mod-8 job still yields
+    # the correct full result
+    wrong = salt(inp, BUCKETS * 2)
+    out2 = str(tmp_path / "wout")
+    run_job(spark, wrong, out2, str(tmp_path / "wlog"),
+            salt_buckets=BUCKETS, num_partitions=8, job_id="w1")
+    assert _collect(spark, out2) == reference
 
 
 def test_salt_distribution(spark):

@@ -60,7 +60,11 @@ def norm_cell(v):
         return ("t", datetime.datetime(v.year, v.month, v.day).isoformat())
     if isinstance(v, (str, bytes)):
         return ("s", v)
-    # numpy scalars / pandas Timestamp / arrays
+    # numpy/list ARRAYS must be tupled before the scalar-kind checks —
+    # a numeric ndarray has dtype.kind 'i'/'f' and float(v) would raise
+    if isinstance(v, (list, tuple)) or getattr(v, "ndim", 0) > 0:
+        return ("a", tuple(norm_cell(x) for x in v))
+    # numpy scalars / pandas Timestamp
     kind = getattr(getattr(v, "dtype", None), "kind", None)
     if kind in ("i", "u"):
         return ("i", int(v))
@@ -80,8 +84,6 @@ def norm_cell(v):
         if len(iso) == 10:
             iso += "T00:00:00"
         return ("t", iso)
-    if isinstance(v, (list, tuple)) or kind is not None:
-        return ("a", tuple(norm_cell(x) for x in v))
     return ("s", str(v))
 
 

@@ -13,6 +13,8 @@ buckets are hash-partitioned.  Exact dedup is one hash-agg.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,11 +47,15 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         import math
         import os
 
-        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
-        raw = raw.lower()
-        mult = units.get(raw[-1], 1)
-        max_bytes = int(raw[:-1] if raw[-1] in units else raw) * mult
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        ).lower().strip()
+        # Spark accepts '134217728', '128m', and '128mb' forms
+        m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "": 1}
+        max_bytes = (
+            int(m.group(1)) * units[m.group(2)] if m else 128 << 20
+        )
         try:
             total = sum(os.path.getsize(p) for p in local)
             est_splits = max(est_splits, math.ceil(total / max(max_bytes, 1)))

@@ -72,18 +72,28 @@ def dates_in(line: str) -> list[tuple[int, dt.date]]:
     )
 
 
+# Output rides in DecimalType(18,2) (schema.FIELDS_STRUCT): values with
+# more than 16 integer digits would overflow the Arrow decimal128 build
+# and kill the batch — treat them as non-amounts (garbage in real docs).
+_AMOUNT_MAX = Decimal(10) ** 16
+
+
 def amounts_in(line: str) -> list[tuple[int, str, Decimal]]:
     """All currency amounts in a line as (pos, iso_currency, value)."""
     out: list[tuple[int, str, Decimal]] = []
     for m in _AMOUNT_LEAD.finditer(line):
         neg = bool(m.group(1)) and bool(m.group(4))
         val = parse_amount(m.group(3))
+        if val >= _AMOUNT_MAX:
+            continue
         out.append(
             (m.start(), rules.CURRENCY[m.group(2)], -val if neg else val)
         )
     for m in _AMOUNT_TRAIL.finditer(line):
         neg = bool(m.group(1)) and bool(m.group(4))
         val = parse_amount(m.group(2))
+        if val >= _AMOUNT_MAX:
+            continue
         out.append((m.start(), "EUR", -val if neg else val))
     return sorted(out, key=lambda t: t[0])
 

@@ -17,8 +17,12 @@ import re
 from accountant_pdf_extract_spark import spec
 
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+# Innermost-first: the matched region may not contain another opening
+# of the SAME tag, so nested same-name pairs (<nav><nav>..</nav>..</nav>)
+# are peeled inside-out by the fixed-point loop instead of mis-pairing
+# the outer open with the inner close (which leaked trailing boilerplate).
 _DROP_RE = re.compile(
-    r"<(" + "|".join(spec.HTML_DROP_TAGS) + r")\b[^>]*>.*?</\1\s*>",
+    r"<(" + "|".join(spec.HTML_DROP_TAGS) + r")\b[^>]*>(?:(?!<\1\b).)*?</\1\s*>",
     re.S | re.I,
 )
 _BLOCK_SPLIT_RE = re.compile(
@@ -49,6 +53,11 @@ def _entity(m: re.Match) -> str:
         cp = int(m.group(2))
     else:
         return _ENTITIES[m.group(0)]
+    if 0xD800 <= cp <= 0xDFFF:
+        # surrogate refs are invalid Unicode (HTML5 maps them to
+        # U+FFFD); a lone surrogate string would crash every UTF-8
+        # encode downstream (Arrow build, parquet write)
+        return "�"
     return chr(cp) if 0 < cp <= 0x10FFFF else ""
 
 

@@ -41,6 +41,39 @@ def _decode_spans_batch(batch: pa.RecordBatch):
     )
 
 
+_FLAT_TYPES = [
+    pa.string(), pa.string(), pa.string(), pa.string(), pa.int32(),
+    pa.string(), pa.date32(), pa.date32(), pa.string(),
+    pa.decimal128(18, 2), pa.list_(pa.decimal128(18, 2)),
+    pa.list_(pa.string()),
+]
+
+
+def _yield_with_doc_isolation(cols, types, schema, bounds, on_drop):
+    """Build the output RecordBatch; if ONE doc's values break Arrow
+    conversion (the build runs after all per-doc trys), retry doc by
+    doc so only the offender is dropped — per-doc fault isolation must
+    hold through the column build too, or one bad value kills the
+    whole task."""
+
+    def build(segments):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, t) for c, t in zip(segments, types)], schema=schema
+        )
+
+    try:
+        yield build(cols)
+        return
+    except Exception:  # noqa: BLE001 — isolate the offending doc(s)
+        pass
+    for doc_id, lo, hi in bounds:
+        seg = [c[lo:hi] for c in cols]
+        try:
+            yield build(seg)
+        except Exception as exc:  # noqa: BLE001
+            _report_drop(on_drop, doc_id, exc)
+
+
 def _report_drop(on_drop, doc_id, exc) -> None:
     """Per-doc fault isolation sink: callback when wired (the pipeline
     wires an accumulator through it), executor-stdout line otherwise."""
@@ -67,6 +100,7 @@ def extract_batches(
         col_doc, col_kind, col_text, col_ref, col_order = [], [], [], [], []
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
         col_total, col_amounts, col_codes = [], [], []
+        bounds: list[tuple[str, int, int]] = []  # per-doc row spans
 
         for i, doc_id in enumerate(doc_ids):
             lo, hi = list_offsets[i], list_offsets[i + 1]
@@ -82,6 +116,7 @@ def extract_batches(
                 # commit-log n_docs-vs-output delta.
                 _report_drop(on_drop, doc_id, exc)
                 continue
+            bounds.append((doc_id, len(col_doc), len(col_doc) + len(out)))
             for kind, text, ref, order in out:
                 col_doc.append(doc_id)
                 col_kind.append(kind)
@@ -108,22 +143,16 @@ def extract_batches(
                     col_amounts.append(None)
                     col_codes.append(None)
 
-        yield pa.RecordBatch.from_arrays(
+        yield from _yield_with_doc_isolation(
             [
-                pa.array(col_doc, pa.string()),
-                pa.array(col_kind, pa.string()),
-                pa.array(col_text, pa.string()),
-                pa.array(col_ref, pa.string()),
-                pa.array(col_order, pa.int32()),
-                pa.array(col_inv, pa.string()),
-                pa.array(col_idate, pa.date32()),
-                pa.array(col_ddate, pa.date32()),
-                pa.array(col_ccy, pa.string()),
-                pa.array(col_total, pa.decimal128(18, 2)),
-                pa.array(col_amounts, pa.list_(pa.decimal128(18, 2))),
-                pa.array(col_codes, pa.list_(pa.string())),
+                col_doc, col_kind, col_text, col_ref, col_order,
+                col_inv, col_idate, col_ddate, col_ccy,
+                col_total, col_amounts, col_codes,
             ],
-            schema=ARROW_FLAT_FIELDS,
+            _FLAT_TYPES,
+            ARROW_FLAT_FIELDS,
+            bounds,
+            on_drop,
         )
 
 
@@ -146,6 +175,7 @@ def extract_fields_batches(
         col_doc = []
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
         col_total, col_amounts, col_codes = [], [], []
+        bounds: list[tuple[str, int, int]] = []
         for i, doc_id in enumerate(doc_ids):
             lo, hi = list_offsets[i], list_offsets[i + 1]
             try:
@@ -157,6 +187,7 @@ def extract_fields_batches(
             except Exception as exc:  # noqa: BLE001 — per-doc fault isolation
                 _report_drop(on_drop, doc_id, exc)
                 continue
+            bounds.append((doc_id, len(col_doc), len(col_doc) + 1))
             col_doc.append(doc_id)
             col_inv.append(fields["invoice_id"])
             col_idate.append(fields["invoice_date"])
@@ -166,16 +197,13 @@ def extract_fields_batches(
             col_amounts.append(fields["amounts"])
             col_codes.append(fields["account_codes"])
 
-        yield pa.RecordBatch.from_arrays(
+        yield from _yield_with_doc_isolation(
             [
-                pa.array(col_doc, pa.string()),
-                pa.array(col_inv, pa.string()),
-                pa.array(col_idate, pa.date32()),
-                pa.array(col_ddate, pa.date32()),
-                pa.array(col_ccy, pa.string()),
-                pa.array(col_total, pa.decimal128(18, 2)),
-                pa.array(col_amounts, pa.list_(pa.decimal128(18, 2))),
-                pa.array(col_codes, pa.list_(pa.string())),
+                col_doc, col_inv, col_idate, col_ddate, col_ccy,
+                col_total, col_amounts, col_codes,
             ],
-            schema=ARROW_DOC_FIELDS,
+            [_FLAT_TYPES[0]] + _FLAT_TYPES[5:],
+            ARROW_DOC_FIELDS,
+            bounds,
+            on_drop,
         )

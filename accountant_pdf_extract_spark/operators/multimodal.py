@@ -86,7 +86,9 @@ def image_features(df: DataFrame, fake_codec: bool = False) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 try:
                     w, h, body = _decode(bytes(payload), fake_codec)
-                except NotImplementedError:
+                except (NotImplementedError, struct.error, ValueError):
+                    # undecodable OR corrupt (e.g. valid magic with a
+                    # truncated header) — skip the row, never the job
                     continue
                 counts = np.bincount(body, minlength=256).astype(np.float64)
                 p = counts[counts > 0] / len(body)

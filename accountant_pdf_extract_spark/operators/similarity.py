@@ -101,7 +101,10 @@ def brute_force_topk_pandas(
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
                 )
             sims = qm @ mat.T  # |q| x |batch|
-            kk = min(k, sims.shape[1])
+            # k+1 slots: when the query itself lives in this batch its
+            # self-match would otherwise evict the true k-th neighbor
+            # (the self row is filtered later, after the global top-k)
+            kk = min(k + 1, sims.shape[1])
             idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             out = {
                 "qid": np.repeat(qids, kk),

@@ -11,6 +11,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi",
+             "leftsemi", "left_anti", "leftanti", "cross"}
+
 
 def salted_join(
     big: DataFrame,
@@ -19,16 +22,28 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join ``big ⋈ small`` on ``key`` with the big side salted
-    by a deterministic hash of its whole row and the small side
-    replicated ``salt_buckets``× (explode of a literal range — no
-    driver-side loop).  Result is row-identical to the plain join."""
-    spark = big.sparkSession
+    """Equi-join ``big ⋈ small`` on ``key`` with the big side salted by
+    a deterministic hash of its row CONTENT (identical rows co-locate —
+    spread comes from distinct rows, which is what key skew is) and the
+    small side replicated ``salt_buckets``× (explode of a literal range
+    — no driver-side loop).  Row-identical to the plain join for the
+    supported join types.
+
+    Right/full outer joins are refused: an unmatched small-side row
+    exists ``salt_buckets`` times after replication, so the outer side
+    would emit that many null-extended duplicates — use a plain join
+    (small side can't be the skewed one anyway)."""
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SAFE_HOW
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would duplicate unmatched outer rows "
+            "salt_buckets times"
+        )
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
-        ).cast("int"),
+        F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int"),
     )
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

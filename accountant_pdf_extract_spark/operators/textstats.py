@@ -165,19 +165,15 @@ def bm25_rank(
     Ties break on doc id (deterministic).  Scores in milli-units."""
     from pyspark.sql.window import Window
 
-    stats = term_doc_stats(df, text_col, id_col, min_df=1).where(
-        F.col("term").isin(query_terms)
-    )
-    avgdl = df.select(
-        F.avg(
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                    lambda t: t != "",
-                )
-            )
-        ).alias("avgdl")
-    )
+    # One shared stats relation: both the query-term filter and avgdl
+    # derive from it, so the corpus tokenization appears once in the
+    # plan (identical agg subtrees are exchange-reusable) instead of a
+    # second full split/filter scan just for avgdl.  avgdl = sum(tf) /
+    # n_docs — zero-token docs add nothing to the numerator and are
+    # counted in the n_docs denominator.
+    base = term_doc_stats(df, text_col, id_col, min_df=1)
+    stats = base.where(F.col("term").isin(query_terms))
+    avgdl = base.agg((F.sum("tf") / F.first("n_docs")).alias("avgdl"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )

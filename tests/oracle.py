@@ -377,7 +377,10 @@ def _decode_entities(s: str) -> str:
         )
         if m:
             cp = int(m.group(1), 16) if rest[2] in "x" else int(m.group(1))
-            out.append(chr(cp) if 0 < cp <= 0x10FFFF else "")
+            if 0xD800 <= cp <= 0xDFFF:  # surrogate -> U+FFFD (HTML5)
+                out.append("�")
+            else:
+                out.append(chr(cp) if 0 < cp <= 0x10FFFF else "")
             i = amp + m.end()
         else:
             out.append("&")
@@ -398,8 +401,11 @@ def html_spans(payload: str) -> list[tuple[str, str, str]]:
     while True:
         before = s
         for tag in spec.HTML_DROP_TAGS:
+            # innermost-first (no nested same-tag opening inside the
+            # match) — mirrors the engine's nesting-safe _DROP_RE
             s = re.sub(
-                rf"<{tag}\b[^>]*>.*?</{tag}\s*>", " ", s, flags=re.S | re.I
+                rf"<{tag}\b[^>]*>(?:(?!<{tag}\b).)*?</{tag}\s*>",
+                " ", s, flags=re.S | re.I,
             )
         if s == before:
             break
@@ -459,15 +465,22 @@ def _line_dates(line: str) -> list[tuple[int, dt.date]]:
     return sorted(res, key=lambda p: p[0])
 
 
+_AMOUNT_CAP = Decimal(10) ** 16  # DecimalType(18,2) capacity (engine mirrors)
+
+
 def _line_amounts(line: str) -> list[tuple[int, str, Decimal]]:
     res = []
     for m in re.finditer(rules.AMOUNT_LEAD, line):
         val = _parse_num(m.group(3))
+        if val >= _AMOUNT_CAP:
+            continue
         if m.group(1) and m.group(4):
             val = -val
         res.append((m.start(), rules.CURRENCY[m.group(2)], val))
     for m in re.finditer(rules.AMOUNT_TRAIL_EUR, line):
         val = _parse_num(m.group(2))
+        if val >= _AMOUNT_CAP:
+            continue
         if m.group(1) and m.group(4):
             val = -val
         res.append((m.start(), "EUR", val))

@@ -227,3 +227,20 @@ def test_duplicate_clusters_match_union_find(spark):
         for r in dedup.duplicate_clusters(cand).collect()
     }
     assert got2 == union_find(cand_pairs)
+
+
+def test_salted_join_refuses_outer_and_is_content_deterministic(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="right")
+    # content-keyed salt: same result regardless of partitioning
+    a = sorted(map(tuple, salted_join(big, small, "k").collect()))
+    b = sorted(
+        map(tuple, salted_join(big.repartition(7), small, "k").collect())
+    )
+    assert a == b == [(1, "a", "x")]

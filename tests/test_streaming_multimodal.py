@@ -236,3 +236,17 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path: pathlib.Path):
     assert got.count() == 30
     tiers = {r["doc_id"]: r["tier"] for r in got.collect()}
     assert tiers[4] == "silver" and tiers[6] == "bronze" and tiers[8] == "gold"
+
+
+def test_truncated_media_payload_skipped_not_fatal(spark):
+    """Valid magic + truncated header must skip the row, not kill the
+    job (struct.error is caught alongside NotImplementedError)."""
+    from accountant_pdf_extract_spark.operators import multimodal
+
+    rows = [
+        ("m1", "image", multimodal.encode_fake_image(32, 32, 1), 32, 32, 0),
+        ("m2", "image", b"FAKEIMG1\x01\x02", 0, 0, 0),  # truncated header
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.image_features(df, fake_codec=True).collect()
+    assert [r["media_ref"] for r in got] == ["m1"]

@@ -354,3 +354,91 @@ def test_html_double_encoded_entities_single_pass():
     got = strip_html(html)
     assert got == ["escaped tag looks like &lt;b&gt; and &amp; stays text"]
     assert [t for _k, t, _r in html_spans(html)] == got
+
+
+def test_surrogate_entity_yields_replacement_char():
+    # &#xD800; is an invalid (surrogate) code point: HTML5 maps it to
+    # U+FFFD.  A lone surrogate would crash every downstream UTF-8
+    # encode (Arrow build, parquet).  Oracle agrees.
+    from tests.oracle import html_spans
+
+    html = "<p>bad &#xD800; and &#55296; refs but plenty of text here</p>"
+    got = strip_html(html)
+    assert got == ["bad � and � refs but plenty of text here"]
+    assert [t for _k, t, _r in html_spans(html)] == got
+    got[0].encode("utf-8")  # must be encodable
+
+
+def test_nested_same_drop_tag_fully_removed():
+    # innermost-first matching: the outer <nav> pair must not mis-pair
+    # with the inner close and leak ' trailing boilerplate'
+    from tests.oracle import html_spans
+
+    html = (
+        "<nav>menu <nav>sub</nav> trailing boilerplate</nav>"
+        "<p>this is the real content of the page right here</p>"
+    )
+    got = strip_html(html)
+    assert got == ["this is the real content of the page right here"]
+    assert [t for _k, t, _r in html_spans(html)] == got
+
+
+def test_giant_amount_rejected_not_crashing():
+    # >16 integer digits cannot ride in DecimalType(18,2): treated as a
+    # non-amount in both engine and oracle, never an Arrow crash.
+    from accountant_pdf_extract_spark.operators.fields import amounts_in
+    from tests.oracle import _line_amounts
+
+    line = "total $100,000,000,000,000,000.00 but fee $12.50 applies"
+    got = [(c, v) for _p, c, v in amounts_in(line)]
+    want = [(c, v) for _p, c, v in _line_amounts(line)]
+    from decimal import Decimal
+
+    assert got == want == [("USD", Decimal("12.50"))]
+
+
+def test_kernel_arrow_build_isolation():
+    # If one doc's extracted values break the Arrow column build (after
+    # all per-doc extraction trys succeeded), only that doc is dropped.
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from accountant_pdf_extract_spark.operators import kernel
+    from accountant_pdf_extract_spark.sources.synth import ARROW_INPUT
+
+    def fake_extract(spans):
+        txt = spans[0][1]
+        fields = {
+            "invoice_id": None, "invoice_date": None, "due_date": None,
+            "currency": None,
+            # doc 'bad' gets a Decimal that overflows decimal128(18,2)
+            "total": Decimal(10) ** 20 if txt == "bad" else Decimal("1.00"),
+            "amounts": None, "account_codes": None,
+        }
+        return [("text", txt, "", 0)], fields
+
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "doc_id": ["d1", "d2", "d3"],
+            "spans": [
+                [{"kind": "text", "text": t, "media_ref": "", "offset": 0}]
+                for t in ("ok-one", "bad", "ok-two")
+            ],
+        },
+        schema=ARROW_INPUT,
+    )
+    dropped = []
+    orig = kernel.extract_doc
+    kernel.extract_doc = fake_extract
+    try:
+        out = list(
+            kernel.extract_batches(
+                iter([batch]), on_drop=lambda d, e: dropped.append(d)
+            )
+        )
+    finally:
+        kernel.extract_doc = orig
+    kept = [d for b in out for d in b.column("doc_id").to_pylist()]
+    assert kept == ["d1", "d3"]
+    assert dropped == ["d2"]

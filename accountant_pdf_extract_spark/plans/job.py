@@ -187,6 +187,8 @@ def main() -> None:
     p.add_argument("--job-id", default="job")
     p.add_argument("--master", default=None)
     args = p.parse_args()
+    if not args.input and not args.synth_docs:
+        p.error("one of --input or --synth-docs is required")
 
     spark = get_spark(app=f"extract-{args.job_id}", master=args.master)
     import os

@@ -359,9 +359,12 @@ def q_union(spark, sf):
     """,
 )
 def q_except(spark, sf):
+    # SQL EXCEPT = distinct(left) minus right — distinct the left FIRST
+    # (exceptAll-then-distinct returns rows whose left multiplicity
+    # exceeds the right's, which diverges when the left has duplicates)
     o = t(spark, sf, "orders").select("o_orderkey")
     li = t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return o.exceptAll(li.distinct()).distinct()
+    return o.distinct().exceptAll(li.distinct())
 
 
 @register(

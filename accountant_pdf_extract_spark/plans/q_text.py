@@ -23,10 +23,13 @@ from accountant_pdf_extract_spark.plans.driver_queries import register, t
     """,
 )
 def q_regex(spark, sf):
+    # \z, not $: Java's $ matches BEFORE a final line terminator while
+    # DuckDB's RE2 $ is end-of-text — \z pins Java to RE2's semantics
+    # on texts with a trailing newline
     return t(spark, sf, "documents").select(
         "doc_id",
         F.regexp_extract("text", r"\b(s[a-z]+)", 1).alias("first_s_word"),
-        F.regexp_extract("text", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_extract("text", r"([a-z]+)\z", 1).alias("last_word"),
     )
 
 
@@ -620,9 +623,11 @@ def q_pack(spark, sf):
     """,
 )
 def q_decontaminate(spark, sf):
-    """Eval-leakage sweep: docs >= 10 sharing >= 5 distinct 8-gram
-    shingles with the 'benchmark' (docs < 10).  Benchmark shingles
-    broadcast; the corpus never shuffles for the join."""
+    """Eval-leakage sweep: docs >= 10 sharing >= 200 distinct 8-gram
+    shingles with the 'benchmark' (docs < 10) — 200 because the synth
+    template vocabulary gives every doc a ~121-shingle shared baseline;
+    the threshold must sit above it to discriminate.  Benchmark
+    shingles broadcast; the corpus never shuffles for the join."""
     docs = t(spark, sf, "documents")
     return dedup.contamination_check(
         docs.where(F.col("doc_id") >= 10),

@@ -44,7 +44,9 @@ class DocTable:
             if name.endswith(".json"):
                 with open(os.path.join(self.meta_dir, name)) as f:
                     snaps.append(json.load(f))
-        return sorted(snaps, key=lambda s: s["sequence"])
+        # snapshot_id tiebreak keeps ordering deterministic even if a
+        # legacy table holds duplicate sequences
+        return sorted(snaps, key=lambda s: (s["sequence"], s["snapshot_id"]))
 
     def current_snapshot(self) -> dict | None:
         snaps = self.snapshots()
@@ -63,34 +65,69 @@ class DocTable:
 
     # -- write ---------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> str:
-        """Atomic append: write new data files, then seal a snapshot
-        whose manifest = parent files + new files."""
-        commit_id = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.data_dir, f"commit-{commit_id}")
+    def _write_data_files(self, df: DataFrame, prefix: str) -> list[str]:
+        """Stage data files under a unique dir; return their paths."""
+        staging = os.path.join(
+            self.data_dir, f"{prefix}-{uuid.uuid4().hex[:12]}"
+        )
         df.write.mode("error").parquet(staging)
-        new_files = sorted(
+        return sorted(
             os.path.join(staging, f)
             for f in os.listdir(staging)
             if f.endswith(".parquet")
         )
-        parent = self.current_snapshot()
-        snap = {
-            "snapshot_id": f"snap-{commit_id}",
-            "sequence": (parent["sequence"] + 1) if parent else 1,
-            "parent": parent["snapshot_id"] if parent else None,
-            "files": (parent["files"] if parent else []) + new_files,
-            "added_files": len(new_files),
-            "ts_ms": int(time.time() * 1000),
-        }
+
+    def _try_seal(self, snap: dict) -> bool:
+        """Compare-and-swap seal: the snapshot's SEQUENCE claims a
+        unique metadata filename via ``os.link`` (fails with
+        FileExistsError if another writer sealed that sequence first)
+        — the same lost-update protection Iceberg gets from its CAS on
+        the metadata pointer.  Returns False when beaten."""
         tmp = os.path.join(self.meta_dir, f".{snap['snapshot_id']}.tmp")
-        final = os.path.join(self.meta_dir, f"{snap['snapshot_id']}.json")
+        final = os.path.join(
+            self.meta_dir, f"{snap['sequence']:012d}-{snap['snapshot_id']}.json"
+        )
         with open(tmp, "w") as f:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)
-        return snap["snapshot_id"]
+        claim = os.path.join(self.meta_dir, f"{snap['sequence']:012d}.claim")
+        try:
+            os.link(tmp, claim)  # atomic uniqueness per sequence
+        except FileExistsError:
+            os.remove(tmp)
+            return False
+        os.rename(tmp, final)  # atomic publish
+        return True
+
+    def _commit_snapshot(self, build) -> str:
+        """Retry loop: re-read the parent and rebuild the snapshot via
+        ``build(parent)`` until the CAS seal wins."""
+        for _ in range(20):
+            parent = self.current_snapshot()
+            snap = build(parent)
+            if self._try_seal(snap):
+                return snap["snapshot_id"]
+        raise RuntimeError("commit contention: lost the CAS 20 times")
+
+    def append(self, df: DataFrame) -> str:
+        """Atomic append: write new data files, then seal a snapshot
+        whose manifest = parent files + new files.  Concurrent appends
+        are linearized by the sequence CAS — the loser re-reads the
+        winner's manifest and retries, so no commit's files are lost."""
+        new_files = self._write_data_files(df, "commit")
+
+        def build(parent: dict | None) -> dict:
+            return {
+                "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
+                "sequence": (parent["sequence"] + 1) if parent else 1,
+                "parent": parent["snapshot_id"] if parent else None,
+                "files": (parent["files"] if parent else []) + new_files,
+                "added_files": len(new_files),
+                "ts_ms": int(time.time() * 1000),
+            }
+
+        return self._commit_snapshot(build)
 
     # -- maintenance ----------------------------------------------------------
 
@@ -111,7 +148,14 @@ class DocTable:
             {f for s in expired for f in s["files"]} - live
         )
         for s in expired:
-            os.remove(os.path.join(self.meta_dir, f"{s['snapshot_id']}.json"))
+            for name in (
+                f"{s['sequence']:012d}-{s['snapshot_id']}.json",
+                f"{s['snapshot_id']}.json",  # legacy naming
+                f"{s['sequence']:012d}.claim",
+            ):
+                p = os.path.join(self.meta_dir, name)
+                if os.path.exists(p):
+                    os.remove(p)
         for f in dead:
             if os.path.exists(f):
                 os.remove(f)
@@ -122,36 +166,32 @@ class DocTable:
         action): rewrite the current snapshot's file set into
         ``target_files`` files and seal a NEW snapshot over them.
         History stays intact — older snapshots still read the original
-        files until expired."""
+        files until expired.  If the table advances concurrently, the
+        compaction REFUSES (its rewritten file set reflects the old
+        state; sealing it would drop the concurrent commit's rows)."""
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
-        df = self.read(spark).coalesce(target_files)
-        commit_id = uuid.uuid4().hex[:12]
-        staging = os.path.join(self.data_dir, f"compact-{commit_id}")
-        df.write.mode("error").parquet(staging)
-        new_files = sorted(
-            os.path.join(staging, f)
-            for f in os.listdir(staging)
-            if f.endswith(".parquet")
+        new_files = self._write_data_files(
+            self.read(spark).coalesce(target_files), "compact"
         )
-        snap = {
-            "snapshot_id": f"snap-{commit_id}",
-            "sequence": cur["sequence"] + 1,
-            "parent": cur["snapshot_id"],
-            "files": new_files,
-            "added_files": len(new_files),
-            "compaction_of": cur["snapshot_id"],
-            "ts_ms": int(time.time() * 1000),
-        }
-        tmp = os.path.join(self.meta_dir, f".{snap['snapshot_id']}.tmp")
-        final = os.path.join(self.meta_dir, f"{snap['snapshot_id']}.json")
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)
-        return snap["snapshot_id"]
+
+        def build(parent: dict | None) -> dict:
+            if parent is None or parent["snapshot_id"] != cur["snapshot_id"]:
+                raise RuntimeError(
+                    "table advanced during compaction; re-run compact()"
+                )
+            return {
+                "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
+                "sequence": cur["sequence"] + 1,
+                "parent": cur["snapshot_id"],
+                "files": new_files,
+                "added_files": len(new_files),
+                "compaction_of": cur["snapshot_id"],
+                "ts_ms": int(time.time() * 1000),
+            }
+
+        return self._commit_snapshot(build)
 
     # -- read ----------------------------------------------------------------
 

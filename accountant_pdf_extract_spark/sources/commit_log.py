@@ -57,10 +57,16 @@ class CommitLog:
         return done
 
     def records(self, spark: SparkSession) -> DataFrame:
+        """Per-bucket records of SEALED snapshots only: a commit that
+        crashed after writing its record parquet but before the atomic
+        snapshot rename leaves an orphan record file — including it
+        would double-count the bucket once it is redone."""
+        sealed = {s["snapshot_id"] for s in self.snapshots()}
         files = [
             os.path.join(self.records_dir, f)
             for f in os.listdir(self.records_dir)
             if f.endswith(".parquet")
+            and f[: -len(".parquet")] in sealed
         ]
         if not files:
             return spark.createDataFrame([], COMMIT_LOG_SCHEMA)

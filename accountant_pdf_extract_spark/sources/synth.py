@@ -200,6 +200,12 @@ def build_doc(
     throughput/scaling of the extraction kernel.
     """
     rng = np.random.default_rng([seed, doc_key & 0x7FFFFFFF])
+    # pdf payloads travel as latin-1 strings: a vocab word with any
+    # char > U+00FF would make build_pdf's strict latin-1 encode raise
+    # inside the synth generator (killing the task, not one doc) —
+    # filter caller-supplied vocab to the latin-1 plane up front
+    if vocab:
+        vocab = [w for w in vocab if all(ord(c) < 256 for c in w)]
     vocab = vocab if vocab else DEFAULT_WORDS
     spans: list[tuple[str, str, str, int]] = []
     if heavy:

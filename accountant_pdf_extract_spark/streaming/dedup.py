@@ -73,11 +73,20 @@ def stream_dedup_exact(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+    def sink(df, batch_id):
+        # batch-id-keyed dynamic overwrite: replays replace their own
+        # partition instead of appending duplicates
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_dir)
+        )
+
     writer = (
         deduped.writeStream.outputMode("append")
-        .foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(output_dir)
-        )
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

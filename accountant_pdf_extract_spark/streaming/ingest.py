@@ -36,13 +36,26 @@ def stream_extract(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         flat = extract(
             batch_df,
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
             keep_salt=True,
         )
-        flat.write.mode("append").partitionBy(SALT_COL).parquet(output_dir)
+        # Idempotent on replay: output is keyed by batch_id with
+        # dynamic partition overwrite, so a batch re-run after a crash
+        # between the write and the checkpoint commit REPLACES its own
+        # partitions instead of appending duplicates (plain append
+        # would be at-least-once).
+        (
+            flat.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", SALT_COL)
+            .parquet(output_dir)
+        )
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

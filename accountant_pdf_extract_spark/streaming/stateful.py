@@ -36,7 +36,12 @@ def running_user_counts(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().sum())
+            # half-up like F.round (pandas .round() is banker's
+            # half-to-even and would diverge from the batch twins on
+            # exact half-cents); events values are non-negative
+            import numpy as np
+
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}
@@ -50,11 +55,22 @@ def running_user_counts(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+    def sink(df, batch_id):
+        from pyspark.sql import functions as F
+
+        # batch-id-keyed dynamic overwrite: replays replace their own
+        # partition instead of appending duplicates
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_dir)
+        )
+
     writer = (
         stateful.writeStream.outputMode("update")
-        .foreachBatch(
-            lambda df, _id: df.write.mode("append").parquet(output_dir)
-        )
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -85,3 +85,66 @@ def test_compact_then_expire(spark, tmp_path: pathlib.Path):
     assert tbl.current_snapshot()["snapshot_id"] == sc
     with pytest.raises(KeyError):
         tbl.read(spark, snapshot_id=s1)
+
+
+def test_concurrent_append_cas_loses_nothing(spark, tmp_path: pathlib.Path):
+    """Two appends racing from the same parent must BOTH land (the
+    loser re-reads and retries) — simulated by pre-claiming the next
+    sequence the way a concurrent winner would."""
+    import json
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(spark.range(0, 5).selectExpr("cast(id as string) AS doc_id"))
+
+    # simulate a concurrent winner sealing sequence 2 between our
+    # parent read and our seal: pre-claim it with a foreign snapshot
+    foreign_files = []
+    foreign = {
+        "snapshot_id": "snap-foreign", "sequence": 2,
+        "parent": tbl.current_snapshot()["snapshot_id"],
+        "files": tbl.current_snapshot()["files"] + foreign_files,
+        "added_files": 0, "ts_ms": 0,
+    }
+    tmp = os.path.join(tbl.meta_dir, ".foreign.tmp")
+    with open(tmp, "w") as f:
+        json.dump(foreign, f)
+    os.link(tmp, os.path.join(tbl.meta_dir, f"{2:012d}.claim"))
+    os.rename(tmp, os.path.join(tbl.meta_dir, f"{2:012d}-snap-foreign.json"))
+
+    # our append loses the CAS at sequence 2, retries at 3, and its
+    # manifest includes the foreign snapshot's files (none new here)
+    sid = tbl.append(spark.range(5, 8).selectExpr("cast(id as string) AS doc_id"))
+    cur = tbl.current_snapshot()
+    assert cur["snapshot_id"] == sid and cur["sequence"] == 3
+    assert cur["parent"] == "snap-foreign"
+    assert tbl.read(spark).count() == 8
+
+
+def test_orphan_record_files_excluded_from_commit_log(spark, tmp_path: pathlib.Path):
+    """A record parquet whose snapshot was never sealed (crash between
+    record write and snapshot rename) must not appear in records()."""
+    from accountant_pdf_extract_spark.sources.commit_log import CommitLog
+
+    log = CommitLog(str(tmp_path / "clog"))
+    log.commit(
+        spark,
+        [{"partition_id": 1, "input_fingerprint": "a", "n_docs": 1,
+          "n_spans": 2, "n_fields": 0, "job_wall_ms": 1}],
+        {"job_id": "ok"},
+    )
+    # orphan: records parquet exists, snapshot JSON does not
+    sealed = log.snapshots()[0]["snapshot_id"]
+    orphan_sid = "snap-000000000000-deadbeef"
+    from accountant_pdf_extract_spark.schema import COMMIT_LOG_SCHEMA
+
+    spark.createDataFrame(
+        [{"partition_id": 9, "input_fingerprint": "x", "n_docs": 9,
+          "n_spans": 9, "n_fields": 9, "job_wall_ms": 9,
+          "lineage": {}, "snapshot_id": orphan_sid}],
+        COMMIT_LOG_SCHEMA,
+    ).coalesce(1).write.parquet(f"{log.records_dir}/{orphan_sid}.parquet")
+
+    rows = log.records(spark).collect()
+    assert {r["snapshot_id"] for r in rows} == {sealed}
+    assert {r["partition_id"] for r in rows} == {1}

@@ -45,6 +45,11 @@ def write_bucketed_input(
     import json
     import os
 
+    # Never pass through a caller-supplied salt column: a foreign-modulus
+    # _salt_bucket would make the sidecar lie about the stored bucket
+    # count, and resume pruning would silently skip uncommitted docs.
+    if SALT_COL in df.columns:
+        df = df.drop(SALT_COL)
     salt(df, salt_buckets).write.mode("overwrite").partitionBy(SALT_COL).parquet(
         path
     )

@@ -29,10 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class DocTable:
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, claim_grace_s: float = 60.0) -> None:
         self.root = root
         self.data_dir = os.path.join(root, "data")
         self.meta_dir = os.path.join(root, "metadata")
+        # Lease for orphan-claim reclaim: a .claim with no published
+        # snapshot at its sequence AND older than this is presumed to
+        # belong to a writer that died between claim and publish (that
+        # window is microseconds), and may be garbage-collected.
+        self.claim_grace_s = claim_grace_s
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.meta_dir, exist_ok=True)
 
@@ -95,10 +100,40 @@ class DocTable:
         try:
             os.link(tmp, claim)  # atomic uniqueness per sequence
         except FileExistsError:
+            self._reclaim_orphan_claim(snap["sequence"], claim)
             os.remove(tmp)
             return False
         os.rename(tmp, final)  # atomic publish
         return True
+
+    def _reclaim_orphan_claim(self, sequence: int, claim: str) -> None:
+        """A writer that crashes between ``os.link(tmp, claim)`` and
+        ``os.rename(tmp, final)`` leaves a claim with NO published
+        snapshot at that sequence; without this, every later commit
+        rebuilds the same sequence, loses the CAS to the dead claim 20
+        times, and wedges the table permanently.  Reclaim = if no
+        ``{seq:012d}-*.json`` is published and the claim is older than
+        the grace lease, steal it with an atomic rename (only one
+        stealer's rename succeeds; losers just retry the CAS)."""
+        import glob
+
+        published = glob.glob(
+            os.path.join(self.meta_dir, f"{sequence:012d}-*.json")
+        )
+        if published:
+            return  # normal lost-CAS: the claim backs a real snapshot
+        try:
+            age = time.time() - os.stat(claim).st_mtime
+        except FileNotFoundError:
+            return  # already reclaimed or about to publish
+        if age <= self.claim_grace_s:
+            return  # owner may still be alive in the claim→publish gap
+        stale = f"{claim}.stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(claim, stale)  # atomic steal — one winner
+        except FileNotFoundError:
+            return
+        os.remove(stale)
 
     def _commit_snapshot(self, build) -> str:
         """Retry loop: re-read the parent and rebuild the snapshot via

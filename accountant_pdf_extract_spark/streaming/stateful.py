@@ -36,12 +36,13 @@ def running_user_counts(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # half-up like F.round (pandas .round() is banker's
-            # half-to-even and would diverge from the batch twins on
-            # exact half-cents); events values are non-negative
+            # half-up AWAY FROM ZERO like F.round (pandas .round() is
+            # banker's half-to-even; plain floor(x*100+0.5) rounds
+            # toward +inf, diverging on negative exact half-cents)
             import numpy as np
 
-            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+            v = pdf["value"].to_numpy()
+            cents += int(np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}

@@ -398,15 +398,21 @@ def html_spans(payload: str) -> list[tuple[str, str, str]]:
     if not payload:
         return []
     s = re.sub(r"<!--.*?-->", " ", payload, flags=re.S)
+    # One COMBINED alternation per fixed-point pass (not per-tag loops):
+    # on malformed HTML with mispaired overlapping drop tags of
+    # different names (<nav>A<footer>B</nav>C</footer>D) per-tag order
+    # changes which text survives, so the oracle must scan all drop
+    # tags left-to-right in a single pass exactly like the engine's
+    # _DROP_RE.  Innermost-first backreference keeps nested same-name
+    # pairs peeling inside-out.
+    drop_re = re.compile(
+        r"<(" + "|".join(spec.HTML_DROP_TAGS) + r")\b[^>]*>"
+        r"(?:(?!<\1\b).)*?</\1\s*>",
+        re.S | re.I,
+    )
     while True:
         before = s
-        for tag in spec.HTML_DROP_TAGS:
-            # innermost-first (no nested same-tag opening inside the
-            # match) — mirrors the engine's nesting-safe _DROP_RE
-            s = re.sub(
-                rf"<{tag}\b[^>]*>(?:(?!<{tag}\b).)*?</{tag}\s*>",
-                " ", s, flags=re.S | re.I,
-            )
+        s = drop_re.sub(" ", s)
         if s == before:
             break
     splitter = re.compile(

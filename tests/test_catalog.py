@@ -121,6 +121,44 @@ def test_concurrent_append_cas_loses_nothing(spark, tmp_path: pathlib.Path):
     assert tbl.read(spark).count() == 8
 
 
+def test_orphan_claim_reclaimed_not_wedged(spark, tmp_path: pathlib.Path):
+    """A writer that crashes between os.link(tmp, claim) and
+    os.rename(tmp, final) leaves a claim with NO published snapshot at
+    that sequence.  Later appends must reclaim it (after the grace
+    lease) instead of losing the CAS 20 times and wedging the table."""
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"), claim_grace_s=0.0)
+    tbl.append(spark.range(0, 5).selectExpr("cast(id as string) AS doc_id"))
+
+    # simulate the crash: claim for sequence 2 exists, nothing published
+    claim = os.path.join(tbl.meta_dir, f"{2:012d}.claim")
+    with open(claim, "w") as f:
+        f.write("{}")
+
+    sid = tbl.append(spark.range(5, 9).selectExpr("cast(id as string) AS doc_id"))
+    cur = tbl.current_snapshot()
+    assert cur["snapshot_id"] == sid and cur["sequence"] == 2
+    assert tbl.read(spark).count() == 9
+
+
+def test_fresh_claim_not_stolen_from_live_writer(spark, tmp_path: pathlib.Path):
+    """Within the grace lease an unpublished claim may belong to a LIVE
+    writer mid-publish — it must NOT be stolen (stealing would allow
+    two published snapshots at one sequence = lost files)."""
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"), claim_grace_s=3600.0)
+    tbl.append(spark.range(0, 5).selectExpr("cast(id as string) AS doc_id"))
+    claim = os.path.join(tbl.meta_dir, f"{2:012d}.claim")
+    with open(claim, "w") as f:
+        f.write("{}")
+
+    with pytest.raises(RuntimeError, match="commit contention"):
+        tbl.append(spark.range(5, 9).selectExpr("cast(id as string) AS doc_id"))
+    assert os.path.exists(claim)  # untouched — the owner may yet publish
+
+
 def test_orphan_record_files_excluded_from_commit_log(spark, tmp_path: pathlib.Path):
     """A record parquet whose snapshot was never sealed (crash between
     record write and snapshot rename) must not appear in records()."""

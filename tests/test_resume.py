@@ -148,6 +148,23 @@ def test_resume_partition_pruning(spark, tmp_path: pathlib.Path):
             salt_buckets=BUCKETS, num_partitions=8, job_id="w1")
     assert _collect(spark, out2) == reference
 
+    # write_bucketed_input fed a frame carrying a FOREIGN-modulus salt
+    # column must recompute the salt under its own modulus — otherwise
+    # the sidecar lies and resume pruning can skip uncommitted docs
+    foreign_bucketed = str(tmp_path / "foreign_bucketed")
+    write_bucketed_input(wrong, foreign_bucketed, salt_buckets=BUCKETS)
+    clean = {
+        r["doc_id"]: r[SALT_COL]
+        for r in read_bucketed_input(spark, bucketed, BUCKETS)
+        .select("doc_id", SALT_COL).collect()
+    }
+    refed = {
+        r["doc_id"]: r[SALT_COL]
+        for r in read_bucketed_input(spark, foreign_bucketed, BUCKETS)
+        .select("doc_id", SALT_COL).collect()
+    }
+    assert refed == clean
+
 
 def test_salt_distribution(spark):
     """Salting evidence: doc counts per bucket stay within a sane

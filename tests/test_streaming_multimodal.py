@@ -92,8 +92,12 @@ def test_stateful_running_counts(spark, tmp_path: pathlib.Path):
     out = str(tmp_path / "sout")
     ckpt = str(tmp_path / "sckpt")
 
+    # user 4: negative EXACT half-cent (-0.125*100 = -12.5, binary-exact)
+    # must round half-up AWAY FROM ZERO to -13 like F.round — not -12
+    # (the old floor(x*100+0.5) rounded toward +inf on negatives)
     batch1 = spark.createDataFrame(
-        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+        [(1, 10.0), (1, 5.0), (2, 7.0), (4, -0.125)],
+        "user_id long, value double",
     )
     batch1.write.mode("append").parquet(inp)
     stream = spark.readStream.schema("user_id long, value double").parquet(inp)
@@ -103,7 +107,7 @@ def test_stateful_running_counts(spark, tmp_path: pathlib.Path):
         r["user_id"]: (r["n_events"], r["total_cents"])
         for r in spark.read.parquet(out).collect()
     }
-    assert first == {1: (2, 1500), 2: (1, 700)}
+    assert first == {1: (2, 1500), 2: (1, 700), 4: (1, -13)}
 
     # second drain with new files: totals must ACCUMULATE (state kept)
     batch2 = spark.createDataFrame(

@@ -356,6 +356,29 @@ def test_html_double_encoded_entities_single_pass():
     assert [t for _k, t, _r in html_spans(html)] == got
 
 
+def test_html_mispaired_overlapping_drop_tags():
+    # Malformed HTML: <nav>A<footer>B</nav>C</footer>D — drop tags of
+    # DIFFERENT names overlap without nesting.  Agreed semantics
+    # (single combined-alternation pass, leftmost match first): the
+    # <nav>..</nav> pair is dropped (footer open rides inside it); the
+    # dangling </footer> is a bare tag stripped by the tag cleaner, so
+    # the surviving text is "C... D...".  Engine and oracle must agree
+    # — the oracle used to loop per tag, which on this input could drop
+    # the <footer>..</footer> pairing instead.
+    from tests.oracle import html_spans
+
+    html = (
+        "<p><footer>legal fine print<nav>menu one two</footer>"
+        "carried content words</nav> trailing main text</p>"
+    )
+    # leftmost-first: <footer>..<nav>..</footer> drops as one subtree
+    # (the per-tag-loop oracle instead dropped <nav>..</nav> first and
+    # kept "legal fine print"); the dangling </nav> is a bare tag.
+    got = strip_html(html)
+    assert got == ["carried content words trailing main text"]
+    assert [t for _k, t, _r in html_spans(html)] == got
+
+
 def test_surrogate_entity_yields_replacement_char():
     # &#xD800; is an invalid (surrogate) code point: HTML5 maps it to
     # U+FFFD.  A lone surrogate would crash every downstream UTF-8

@@ -1,0 +1,95 @@
+"""Scale-safe EXACT global ranking (row_number / ntile over a whole
+table) without a single-partition sort.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels the entire
+input through ONE task — the classic 100-TB scale killer (fine at
+sf0.01, a wall at 1000 executors).  The distributed shape used here is
+the standard two-phase order-statistics pattern:
+
+1. range-bucket rows by approximate percentile boundaries of the rank
+   key (boundaries need NOT be exact — any split works; accuracy only
+   affects balance, never correctness);
+2. row_number inside each bucket via a PARTITIONED window (parallel);
+3. add each bucket's global offset = total rows in lower buckets,
+   computed from the tiny per-bucket count relation and broadcast.
+
+The result is the exact global position under (rank ASC, tiebreak
+ASC) — identical to ``row_number() OVER (ORDER BY ...)`` — with every
+wide stage partitioned.  The only unpartitioned window runs over the
+``num_buckets``-row count relation (bounded metadata, not data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_row_number(
+    df: DataFrame,
+    rank_expr: Column,
+    tiebreak: Column,
+    num_buckets: int = 32,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Exact 1-based global position ordered by (``rank_expr`` ASC,
+    ``tiebreak`` ASC), appended as ``pos_col``.  ``rank_expr`` must be
+    numeric (it is range-bucketed); order DESC by negating it.
+    ``tiebreak`` must be unique per row or positions are ambiguous."""
+    b = df.withColumn("_rk", rank_expr).withColumn("_tb", tiebreak)
+    bounds = b.agg(
+        F.percentile_approx(
+            "_rk",
+            [i / num_buckets for i in range(1, num_buckets)],
+            10000,
+        ).alias("_bounds")
+    )
+    # bucket = #boundaries strictly below the key: equal keys always
+    # land in the same bucket, so the later per-bucket window sees
+    # every tie group whole
+    b = b.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bkt", F.size(F.filter(F.col("_bounds"), lambda x: x < F.col("_rk")))
+    )
+    counts = b.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    # unpartitioned window over <= num_buckets rows — bounded metadata
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt",
+        F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
+    )
+    w = Window.partitionBy("_bkt").orderBy("_rk", "_tb")
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(pos_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_rk", "_tb", "_bkt", "_bounds", "_off")
+    )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    rank_expr: Column,
+    tiebreak: Column,
+    num_buckets: int = 32,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """Exact ``ntile(n_tiles) OVER (ORDER BY rank_expr, tiebreak)``
+    semantics (first ``n mod k`` tiles get the extra row) from the
+    global position — no unpartitioned data-sized window anywhere."""
+    pos = global_row_number(
+        df, rank_expr, tiebreak, num_buckets=num_buckets, pos_col="_pos"
+    )
+    base = F.floor(F.col("_total") / n_tiles)
+    rem = F.col("_total") % n_tiles
+    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    tile = F.when(
+        F.col("_pos") <= big_span,
+        F.floor((F.col("_pos") - 1) / (base + 1)) + 1,
+    ).otherwise(rem + F.floor((F.col("_pos") - big_span - 1) / base) + 1)
+    return pos.withColumn(tile_col, tile.cast("long")).drop("_pos", "_total")

@@ -162,7 +162,16 @@ def bm25_rank(
     (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) summed over query terms.
     Stats come from ``term_doc_stats`` (min_df=1 so rare query terms
     still count); floats appear only in the final per-row scoring map.
-    Ties break on doc id (deterministic).  Scores in milli-units."""
+    Ties break on doc id (deterministic).  Scores in milli-units.
+
+    Global top-k via ``orderBy(...).limit(k)`` — Spark plans this as
+    TakeOrderedAndProject (per-partition partial top-k, then a k·P-row
+    reduction), NOT a single-partition global sort: every doc matching
+    a query term flows through it, so at 100 TB an unpartitioned
+    ``Window.orderBy`` here would funnel the whole match set through
+    one task.  ``rank`` is derived by a window over the k SURVIVORS
+    only — a constant-size (k-row) frame, so its single partition is
+    O(k log k) regardless of corpus size."""
     from pyspark.sql.window import Window
 
     # One shared stats relation: both the query-term filter and avgdl
@@ -186,9 +195,8 @@ def bm25_rank(
         .groupBy("doc")
         .agg(F.round(F.sum("s") * 1000).cast("long").alias("score_milli"))
     )
+    topk = scored.orderBy(F.desc("score_milli"), F.asc("doc")).limit(k)
     w = Window.orderBy(F.desc("score_milli"), F.asc("doc"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("doc", "score_milli", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc", "score_milli", "rank"
     )

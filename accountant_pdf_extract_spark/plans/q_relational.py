@@ -675,10 +675,21 @@ def q_pivot(spark, sf):
     """,
 )
 def q_ntile(spark, sf):
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return t(spark, sf, "customer").select(
-        "c_custkey", F.ntile(4).over(w).alias("quartile")
-    )
+    # NOT F.ntile over an unpartitioned window — that is a
+    # single-partition sort of the whole table.  scalable_ntile
+    # reproduces exact ntile semantics via range-bucketed partitioned
+    # windows + broadcast offsets (operators/ranking.py).  DESC order
+    # by negating integer cents (exact).
+    from accountant_pdf_extract_spark.operators.ranking import scalable_ntile
+
+    cust = t(spark, sf, "customer")
+    return scalable_ntile(
+        cust,
+        4,
+        -F.round(F.col("c_acctbal") * 100).cast("long"),
+        F.col("c_custkey"),
+        tile_col="quartile",
+    ).select("c_custkey", "quartile")
 
 
 @register(

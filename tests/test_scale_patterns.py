@@ -244,3 +244,103 @@ def test_salted_join_refuses_outer_and_is_content_deterministic(spark):
         map(tuple, salted_join(big.repartition(7), small, "k").collect())
     )
     assert a == b == [(1, "a", "x")]
+
+
+def test_global_row_number_matches_window(spark):
+    """Exact equivalence with row_number() OVER (ORDER BY ...) — but
+    built from partitioned windows + broadcast offsets only (scale
+    shape), including with heavy ties in the rank key."""
+    from pyspark.sql.window import Window
+
+    from accountant_pdf_extract_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    key = -F.round(F.col("c_acctbal") * 100).cast("long")
+    got = {
+        r["c_custkey"]: r["pos"]
+        for r in global_row_number(
+            cust, key, F.col("c_custkey"), num_buckets=8
+        ).select("c_custkey", "pos").collect()
+    }
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    want = {
+        r["c_custkey"]: r["pos"]
+        for r in cust.select(
+            "c_custkey", F.row_number().over(w).alias("pos")
+        ).collect()
+    }
+    assert got == want
+
+    # heavy ties: constant rank key -> position = tiebreak order
+    tied = cust.limit(100)
+    gt = {
+        r["c_custkey"]: r["pos"]
+        for r in global_row_number(
+            tied, F.lit(0), F.col("c_custkey"), num_buckets=4
+        ).select("c_custkey", "pos").collect()
+    }
+    keys = sorted(gt)
+    assert [gt[k] for k in keys] == list(range(1, len(keys) + 1))
+
+
+def test_scalable_ntile_matches_window_ntile(spark):
+    """Exact ntile semantics (first n%k tiles take the extra row) at
+    several row counts, including n < k and n % k != 0."""
+    from pyspark.sql.window import Window
+
+    from accountant_pdf_extract_spark.operators.ranking import scalable_ntile
+
+    cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    for n_rows, k in ((1500, 4), (103, 7), (3, 5)):
+        sub = cust.orderBy("c_custkey").limit(n_rows)
+        got = {
+            r["c_custkey"]: r["tile"]
+            for r in scalable_ntile(
+                sub,
+                k,
+                -F.round(F.col("c_acctbal") * 100).cast("long"),
+                F.col("c_custkey"),
+                num_buckets=8,
+            ).select("c_custkey", "tile").collect()
+        }
+        w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        want = {
+            r["c_custkey"]: r["tile"]
+            for r in sub.select(
+                "c_custkey", F.ntile(k).over(w).alias("tile")
+            ).collect()
+        }
+        assert got == want, (n_rows, k)
+
+
+def test_ranking_plans_have_no_global_data_window(spark):
+    """The physical plans of q_ntile and bm25_rank must not sort the
+    DATA through an unpartitioned window: q_ntile's windows are all
+    partitioned or bounded-metadata-sized; bm25's global top-k is
+    TakeOrderedAndProject."""
+    from accountant_pdf_extract_spark.operators import textstats
+    from accountant_pdf_extract_spark.plans.driver_queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    ntile_plan = queries()["q_ntile"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    # every Window node must either carry a partition spec (the
+    # per-bucket row_number — parallel) or aggregate the tiny per-bucket
+    # COUNT relation (_cnt, <= num_buckets rows of metadata); no
+    # unpartitioned window may ever see table rows
+    win_lines = [
+        ln for ln in ntile_plan.splitlines() if "Window [" in ln
+    ]
+    assert win_lines, ntile_plan
+    for ln in win_lines:
+        partitioned = "windowspecdefinition(_bkt#" in ln
+        metadata_sized = "sum(_cnt#" in ln
+        assert partitioned or metadata_sized, ln
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bm_plan = (
+        textstats.bm25_rank(docs, ["join", "scan"], k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in bm_plan

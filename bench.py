@@ -7,68 +7,101 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 `value` = wall seconds of the flagship end-to-end extraction (decode →
 pdf layout parse → html strip → boilerplate strip → fields → assemble)
 over the interleaved corpus derived from the sf documents table.
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-``python -m bench.scaling`` → BENCH/BASELINE.md.
+
+Measurement protocol (de-noised since r3 — single cold unpinned runs
+carried ±30% swing, wider than real round-over-round deltas):
+  * the process re-execs itself under ``taskset -c 0-(cpus-1)`` so the
+    JVM cannot borrow idle cores (same pinning as bench/scaling.py);
+  * every query runs THREE times in a fixed order; the reported number
+    is the MEDIAN, and all runs are recorded per query under "runs"
+    so a re-timing can be checked against the observed spread.
+
+Scaling-efficiency evidence (local[2] vs local[8] pinned) is produced
+separately by ``python -m bench.scaling`` → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
+
+N_RUNS = 3
+
+# fixed order: cheap Catalyst queries first, heavy kernel queries last,
+# so GC churn from giant-PDF batches doesn't pollute relational timings
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q5",
+    "q_agg",
+    "q_join_smj",
+    "q_rownum",
+    "q_linefreq",
+    "q_tokcount",
+    "q_asof",
+    "q_bigrams",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_lsh_rescored",
+    "q_dedup_simhash",
+    "q_embed_topk",
+    "q_extract_fields",
+    "q_extract_spans",   # flagship end-to-end extraction
+]
+
+
+def _repin(cpus: int) -> None:
+    """Re-exec under taskset so the whole JVM/Python tree is confined
+    to exactly `cpus` cores (CLAUDE.md: benchmarks must be pinned)."""
+    if os.environ.get("_BENCH_PINNED") == "1":
+        return
+    try:
+        affinity = os.sched_getaffinity(0)
+    except AttributeError:  # non-Linux — run unpinned
+        return
+    os.environ["_BENCH_PINNED"] = "1"
+    if len(affinity) == cpus:
+        return
+    import shutil
+
+    if shutil.which("taskset") is None:
+        return
+    os.execvp(
+        "taskset",
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, *sys.argv],
+    )
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _repin(cpus)
 
-    from accountant_pdf_extract_spark.session import get_spark
     from accountant_pdf_extract_spark.plans import driver_queries
+    from accountant_pdf_extract_spark.session import get_spark
 
     spark = get_spark(app="bench", master=f"local[{cpus}]")
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     qs = driver_queries.queries()
-    # cheap Catalyst queries first, heavy kernel queries last, so GC
-    # churn from giant-PDF batches doesn't pollute relational timings
-    headline = [
-        "tpch_q1",
-        "tpch_q5",
-        "q_agg",
-        "q_join_smj",
-        "q_rownum",
-        "q_linefreq",
-        "q_tokcount",
-        "q_asof",
-        "q_bigrams",
-        "q_dedup_exact",
-        "q_dedup_minhash",
-        "q_dedup_lsh_rescored",
-        "q_dedup_simhash",
-        "q_embed_topk",
-        "q_extract_fields",
-        "q_extract_spans",   # flagship end-to-end extraction
-    ]
-    timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for i in range(N_RUNS):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs[name].append(round(time.monotonic() - t0, 3))
+        print(f"  pass {i + 1}/{N_RUNS}: " + ", ".join(
+            f"{n}={runs[n][-1]}s" for n in ("tpch_q1", "q_extract_spans")
+        ), file=sys.stderr)
 
-    # headline flagship: best of two (first run already warmed workers;
-    # a single noisy measurement would misstate round-over-round trend)
-    flagship_runs = [timings["q_extract_spans"]]
-    t0 = time.monotonic()
-    qs["q_extract_spans"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    flagship_runs.append(round(time.monotonic() - t0, 3))
-    timings["q_extract_spans"] = min(flagship_runs)
-
+    timings = {
+        name: round(statistics.median(rs), 3) for name, rs in runs.items()
+    }
     out = {
         "metric": "end-to-end interleaved-doc extraction wall time (flagship) + headline query seconds",
         "value": timings["q_extract_spans"],
@@ -76,11 +109,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "cpus": cpus,
-        # measurement protocol, so round-over-round consumers can tell:
-        # flagship value = best of the recorded runs; every other query
-        # is a single warm run
-        "policy": "flagship_best_of_2",
-        "flagship_runs": flagship_runs,
+        # measurement protocol: every query = median of N_RUNS pinned
+        # warm-JVM runs, raw runs recorded for spread checks
+        "policy": f"median_of_{N_RUNS}_pinned",
+        "runs": runs,
+        "affinity_cores": len(os.sched_getaffinity(0))
+        if hasattr(os, "sched_getaffinity")
+        else None,
     }
     print(json.dumps(out))
     spark.stop()

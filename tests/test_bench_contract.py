@@ -33,6 +33,14 @@ def test_bench_one_json_line():
     assert payload["sf"] == 0.001
     assert "q_extract_spans" in payload["queries"]
     assert all(v > 0 for v in payload["queries"].values())
+    # de-noised protocol: per-query raw runs + policy recorded, value =
+    # median of the recorded runs
+    import statistics
+
+    assert payload["policy"].startswith("median_of_")
+    for name, med in payload["queries"].items():
+        rs = payload["runs"][name]
+        assert len(rs) >= 3 and abs(statistics.median(rs) - med) < 1e-9
 
 
 def test_package_zip_matches_source(tmp_path):

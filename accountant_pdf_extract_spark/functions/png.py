@@ -1,0 +1,180 @@
+"""From-scratch minimal PNG codec (no Pillow — stdlib zlib only).
+
+Supports the subset a training-data thumbnail pipeline needs: 8-bit
+greyscale (color type 0), RGB (2) and RGBA (6), non-interlaced, all
+five scanline filters (None/Sub/Up/Average/Paeth) on both encode and
+decode, multiple IDAT chunks, CRC validation.  Everything else
+(palette, 16-bit, Adam7 interlace) raises ``ValueError`` — the decode
+kernels treat that as a corrupt/unsupported payload and skip the row.
+
+Perf shape: filters None/Sub/Up decode fully vectorized (Sub is a
+cumsum mod 256 along the row); Average/Paeth fall back to a per-pixel
+loop — fine for the small unit images that exercise them, and the
+synthetic corpus encodes with filter 0/2 which stay on the fast path.
+
+Public-knowledge format: PNG spec (RFC 2083 / ISO 15948).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, elementwise over int16+ arrays."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit PNG bytes from a (h, w) grey or (h, w, 3|4) uint8 array,
+    every scanline filtered with ``filter_type`` (0..4)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in _CHANNELS_COLOR:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter {filter_type}")
+    h, w, c = px.shape
+    bpp = c  # bytes per pixel at bit depth 8
+
+    flat = px.reshape(h, w * c).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, bpp:] = flat[:, :-bpp]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, bpp:] = flat[:-1, :-bpp]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - (left + up) // 2
+    else:
+        filt = flat - _paeth(left, up, ul)
+    filt = (filt % 256).astype(np.uint8)
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(filter_type)
+        raw += filt[r].tobytes()
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CHANNELS_COLOR[c], 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8 array.  Raises ``ValueError``
+    on anything outside the supported subset or any corruption (bad
+    signature/CRC/length, truncation, bad filter byte)."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color not in _COLOR_CHANNELS:
+        raise ValueError(f"unsupported depth/color {depth}/{color}")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    c = _COLOR_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size does not match dimensions")
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError("bad scanline filter byte")
+    filt = arr[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.int16)
+    bpp = c
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        ft = int(ftypes[r])
+        row = filt[r]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub: cumsum mod 256 per channel phase
+            acc = row.astype(np.int64).reshape(w, bpp)  # int64: cumsum > int16
+            np.cumsum(acc, axis=0, out=acc)
+            rec = (acc % 256).astype(np.int16).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average — left-sequential
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        else:  # Paeth — left-sequential
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (row[x] + pred) % 256
+        recon[r] = rec
+        prev = rec
+    return recon.astype(np.uint8).reshape(h, w, c)

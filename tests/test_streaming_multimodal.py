@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pathlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -43,20 +44,58 @@ def test_stream_extract_available_now(spark, tmp_path: pathlib.Path):
     assert spark.read.parquet(out).count() == n1
 
 
-def test_media_features_fake_codec(spark):
+def test_media_features_real_png(spark):
+    """image_features decodes the REAL PNG payloads (image rows plus
+    video poster frames) and reports the decoded dims, which must
+    equal the metadata dims; audio (WAV) rows are skipped."""
     media = multimodal.synth_media(spark, 30, seed=9)
-    feats = multimodal.image_features(media, fake_codec=True)
+    visual = media.where(F.col("modality") != "audio")
+    feats = multimodal.image_features(media)
     rows = feats.collect()
-    assert len(rows) == 30
+    assert len(rows) == visual.count() > 0
+    meta = {
+        r["media_ref"]: (r["width"], r["height"]) for r in visual.collect()
+    }
     for r in rows:
-        assert 16 <= r["width"] <= 512
+        assert (r["width"], r["height"]) == meta[r["media_ref"]]
         assert 0 <= r["mean_intensity"] <= 255
         assert 0 <= r["byte_entropy_milli"] <= 8000
 
 
-def test_media_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode(b"\x89PNG-not-really-data", fake_codec=False)
+def test_audio_features_real_wav(spark):
+    media = multimodal.synth_media(spark, 30, seed=9)
+    audio = media.where(F.col("modality") == "audio")
+    rows = multimodal.audio_features(media).collect()
+    assert len(rows) == audio.count() > 0
+    for r in rows:
+        assert r["sample_rate"] == 8000
+        assert 1 <= r["n_samples"] <= 8000
+        assert r["rms_milli"] > 0 and r["peak"] <= 32767
+
+
+def test_resize_images_real_pixels(spark):
+    """Nearest-neighbour resize: payload decodes to exactly the
+    planned target dims and stays a valid PNG."""
+    from accountant_pdf_extract_spark.functions.png import decode_png
+
+    media = multimodal.synth_media(spark, 20, seed=9)
+    visual = media.where(F.col("modality") != "audio")
+    plan = {
+        r["media_ref"]: (r["target_w"], r["target_h"])
+        for r in multimodal.resize_plan(visual, max_side=64).collect()
+    }
+    for r in multimodal.resize_images(visual, max_side=64).collect():
+        assert (r["width"], r["height"]) == plan[r["media_ref"]]
+        px = decode_png(bytes(r["payload"]))
+        assert px.shape[:2] == (r["height"], r["width"])
+        assert max(r["width"], r["height"]) <= 64
+
+
+def test_media_decode_garbage_raises():
+    from accountant_pdf_extract_spark.functions.png import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG-not-really-data")
 
 
 def test_resize_plan(spark):
@@ -242,15 +281,21 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path: pathlib.Path):
     assert tiers[4] == "silver" and tiers[6] == "bronze" and tiers[8] == "gold"
 
 
-def test_truncated_media_payload_skipped_not_fatal(spark):
-    """Valid magic + truncated header must skip the row, not kill the
-    job (struct.error is caught alongside NotImplementedError)."""
+def test_corrupt_media_payload_skipped_not_fatal(spark):
+    """Truncated PNGs, CRC-corrupted PNGs, and non-PNG bytes must skip
+    the ROW, never kill the job."""
+    from accountant_pdf_extract_spark.functions.png import encode_png
     from accountant_pdf_extract_spark.operators import multimodal
 
+    good = encode_png(np.full((8, 8, 3), 128, dtype=np.uint8))
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT -> CRC mismatch
     rows = [
-        ("m1", "image", multimodal.encode_fake_image(32, 32, 1), 32, 32, 0),
-        ("m2", "image", b"FAKEIMG1\x01\x02", 0, 0, 0),  # truncated header
+        ("m1", "image", good, 8, 8, 0),
+        ("m2", "image", good[: len(good) // 2], 8, 8, 0),  # truncated
+        ("m3", "image", bytes(flipped), 8, 8, 0),          # bad CRC
+        ("m4", "image", b"not an image at all", 0, 0, 0),
     ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
-    got = multimodal.image_features(df, fake_codec=True).collect()
+    got = multimodal.image_features(df).collect()
     assert [r["media_ref"] for r in got] == ["m1"]

@@ -465,3 +465,96 @@ def test_kernel_arrow_build_isolation():
     kept = [d for b in out for d in b.column("doc_id").to_pylist()]
     assert kept == ["d1", "d3"]
     assert dropped == ["d2"]
+
+
+# --------------------------------------------------------------------------
+# From-scratch PNG / WAV codecs
+# --------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters_and_colors():
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    shapes = [(5, 3), (7, 11, 3), (4, 6, 4), (1, 1, 3), (3, 1)]
+    for shape in shapes:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = px[:, :, None] if px.ndim == 2 else px
+        for ft in range(5):
+            got = decode_png(encode_png(px, filter_type=ft))
+            assert got.shape == want.shape, (shape, ft)
+            assert (got == want).all(), (shape, ft)
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + good[4:])
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0x01  # inside IEND CRC... flip IDAT body instead
+    bad_crc = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad_crc[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-8])
+    # interlaced header must be rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    raw = zlib.compress(bytes(4 * (1 + 12)))
+    interlaced = (
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(interlaced)
+    # 16-bit depth rejected
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    deep = (
+        PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(deep)
+
+
+def test_wav_roundtrip_mono_stereo():
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32767, size=100, dtype=np.int16)
+    rate, got = decode_wav(encode_wav(mono, sample_rate=8000))
+    assert rate == 8000 and (got[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    rate, got = decode_wav(encode_wav(stereo, sample_rate=44100))
+    assert rate == 44100 and (got == stereo).all()
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEnothing-else")
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(mono)[:-11])

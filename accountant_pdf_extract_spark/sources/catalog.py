@@ -10,6 +10,8 @@ swap is one line per call site:
     DocTable(root).read(spark)              →  spark.read.format("iceberg").load(tbl)
     DocTable(root).append(df)               →  df.writeTo(tbl).append()
     DocTable(root).read(spark, snapshot_id) →  spark.read.option("snapshot-id", id)...
+    DocTable(root).upsert(df, "doc_id")     →  MERGE INTO tbl USING df ON ... (v2 MoR)
+    DocTable(root).delete_where(spark, p, k)→  DELETE FROM tbl WHERE p
 
 Protocol: data files land under ``data/`` with unique names; a
 snapshot JSON (atomic rename) lists the complete file set visible at
@@ -57,15 +59,15 @@ class DocTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
-    def _files_at(self, snapshot_id: str | None) -> list[str]:
+    def _snapshot_at(self, snapshot_id: str | None) -> dict | None:
         snaps = self.snapshots()
         if not snaps:
-            return []
+            return None
         if snapshot_id is None:
-            return snaps[-1]["files"]
+            return snaps[-1]
         for s in snaps:
             if s["snapshot_id"] == snapshot_id:
-                return s["files"]
+                return s
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
     # -- write ---------------------------------------------------------------
@@ -145,6 +147,44 @@ class DocTable:
                 return snap["snapshot_id"]
         raise RuntimeError("commit contention: lost the CAS 20 times")
 
+    @staticmethod
+    def _entries(snap: dict | None) -> tuple[list[dict], list[dict]]:
+        """(data_entries, delete_entries) of a snapshot.  Manifests
+        written before row-level ops carry only ``files`` — those
+        predate any delete file, so a uniform seq is safe."""
+        if snap is None:
+            return [], []
+        data = snap.get("file_entries")
+        if data is None:
+            data = [
+                {"path": p, "seq": snap["sequence"]} for p in snap["files"]
+            ]
+        return data, snap.get("delete_entries", [])
+
+    def _seal_manifest(
+        self,
+        parent: dict | None,
+        file_entries: list[dict],
+        delete_entries: list[dict],
+        extra: dict | None = None,
+    ) -> dict:
+        snap = {
+            "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
+            "sequence": (parent["sequence"] + 1) if parent else 1,
+            "parent": parent["snapshot_id"] if parent else None,
+            # `files` stays the flat path list (expiry/orphan logic and
+            # legacy readers key off it); entries carry the sequences
+            # that scope merge-on-read deletes
+            "files": [e["path"] for e in file_entries],
+            "file_entries": file_entries,
+            "delete_entries": delete_entries,
+            "added_files": 0,
+            "ts_ms": int(time.time() * 1000),
+        }
+        if extra:
+            snap.update(extra)
+        return snap
+
     def append(self, df: DataFrame) -> str:
         """Atomic append: write new data files, then seal a snapshot
         whose manifest = parent files + new files.  Concurrent appends
@@ -153,14 +193,82 @@ class DocTable:
         new_files = self._write_data_files(df, "commit")
 
         def build(parent: dict | None) -> dict:
-            return {
-                "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
-                "sequence": (parent["sequence"] + 1) if parent else 1,
-                "parent": parent["snapshot_id"] if parent else None,
-                "files": (parent["files"] if parent else []) + new_files,
-                "added_files": len(new_files),
-                "ts_ms": int(time.time() * 1000),
-            }
+            data, dels = self._entries(parent)
+            seq = (parent["sequence"] + 1) if parent else 1
+            snap = self._seal_manifest(
+                parent,
+                data + [{"path": p, "seq": seq} for p in new_files],
+                dels,
+                {"added_files": len(new_files)},
+            )
+            return snap
+
+        return self._commit_snapshot(build)
+
+    # -- row-level ops (Iceberg v2 merge-on-read shape) ----------------------
+
+    def upsert(self, df: DataFrame, key_col: str) -> str:
+        """Row-level upsert, merge-on-read: append ``df`` as new data
+        files AND an equality-delete file over ``df``'s keys in ONE
+        snapshot.  The delete is sequence-scoped — it masks only data
+        files OLDER than this commit, so the freshly written rows
+        survive while every earlier version of the same key disappears
+        at read time.  No data file is rewritten (that's ``compact``,
+        the maintenance action that materializes deletes away).
+        Concurrent-safe like append: keys mask whatever older files the
+        winning history contains."""
+        new_files = self._write_data_files(df, "commit")
+        del_files = self._write_data_files(
+            df.select(key_col).distinct(), "delete"
+        )
+
+        def build(parent: dict | None) -> dict:
+            data, dels = self._entries(parent)
+            seq = (parent["sequence"] + 1) if parent else 1
+            return self._seal_manifest(
+                parent,
+                data + [{"path": p, "seq": seq} for p in new_files],
+                dels
+                + [{"path": p, "key": key_col, "seq": seq} for p in del_files],
+                {"added_files": len(new_files), "upsert_key": key_col},
+            )
+
+        return self._commit_snapshot(build)
+
+    def delete_where(self, spark: SparkSession, predicate: str, key_col: str) -> str:
+        """Row-level delete, merge-on-read: evaluate ``predicate`` on
+        the CURRENT snapshot, record the matching keys as an
+        equality-delete file, seal a new snapshot with no new data.
+        REFUSES if the table advances concurrently (the predicate was
+        evaluated against the old view — committing it could miss rows
+        a concurrent writer added).  Older snapshots still read the
+        rows (time travel across delete)."""
+        cur = self.current_snapshot()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        keys = (
+            self.read(spark)
+            .where(predicate)
+            .select(key_col)
+            .distinct()
+        )
+        del_files = self._write_data_files(keys, "delete")
+
+        def build(parent: dict | None) -> dict:
+            if parent is None or parent["snapshot_id"] != cur["snapshot_id"]:
+                raise RuntimeError(
+                    "table advanced during delete_where; re-run against "
+                    "the new snapshot"
+                )
+            data, dels = self._entries(parent)
+            seq = parent["sequence"] + 1
+            return self._seal_manifest(
+                parent,
+                data,
+                dels
+                + [{"path": p, "key": key_col, "seq": seq} for p in del_files],
+                {"deleted_where": predicate},
+            )
 
         return self._commit_snapshot(build)
 
@@ -178,9 +286,15 @@ class DocTable:
         expired, kept = snaps[:-keep_last], snaps[-keep_last:]
         if not expired:
             return []
-        live = {f for s in kept for f in s["files"]}
+
+        def _all_paths(s: dict) -> set[str]:
+            return set(s["files"]) | {
+                e["path"] for e in s.get("delete_entries", [])
+            }
+
+        live = {f for s in kept for f in _all_paths(s)}
         dead = sorted(
-            {f for s in expired for f in s["files"]} - live
+            {f for s in expired for f in _all_paths(s)} - live
         )
         for s in expired:
             for name in (
@@ -216,15 +330,19 @@ class DocTable:
                 raise RuntimeError(
                     "table advanced during compaction; re-run compact()"
                 )
-            return {
-                "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
-                "sequence": cur["sequence"] + 1,
-                "parent": cur["snapshot_id"],
-                "files": new_files,
-                "added_files": len(new_files),
-                "compaction_of": cur["snapshot_id"],
-                "ts_ms": int(time.time() * 1000),
-            }
+            seq = cur["sequence"] + 1
+            # compaction MATERIALIZES merge-on-read deletes: the
+            # rewritten files already exclude deleted rows, so the new
+            # manifest carries no delete entries
+            return self._seal_manifest(
+                parent,
+                [{"path": p, "seq": seq} for p in new_files],
+                [],
+                {
+                    "added_files": len(new_files),
+                    "compaction_of": cur["snapshot_id"],
+                },
+            )
 
         return self._commit_snapshot(build)
 
@@ -233,9 +351,40 @@ class DocTable:
     def read(
         self, spark: SparkSession, snapshot_id: str | None = None
     ) -> DataFrame:
-        """Manifest-based scan (snapshot pinning = time travel).  An
+        """Manifest-based scan (snapshot pinning = time travel) with
+        merge-on-read deletes: each equality-delete file masks only
+        data files whose sequence is OLDER than the delete's (Iceberg
+        v2 applicability rule), so an upsert's own rows survive its own
+        delete.  Delete keys are small relative to data — broadcast
+        anti-joins, the fact side never shuffles.  Long histories of
+        mixed-seq files read as a union of per-seq scans; ``compact``
+        collapses that back to one scan and zero delete files.  An
         empty table raises — callers should create before reading."""
-        files = self._files_at(snapshot_id)
-        if not files:
+        snap = self._snapshot_at(snapshot_id)
+        if snap is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
-        return spark.read.parquet(*files)
+        data, dels = self._entries(snap)
+        if not data:
+            raise FileNotFoundError(f"table {self.root} has no data files")
+        if not dels:
+            return spark.read.parquet(*[e["path"] for e in data])
+
+        from collections import defaultdict
+
+        from pyspark.sql import functions as F
+
+        groups: dict[int, list[str]] = defaultdict(list)
+        for e in data:
+            groups[e["seq"]].append(e["path"])
+        out: DataFrame | None = None
+        for seq, paths in sorted(groups.items()):
+            df = spark.read.parquet(*paths)
+            by_key: dict[str, list[str]] = defaultdict(list)
+            for d in dels:
+                if d["seq"] > seq:
+                    by_key[d["key"]].append(d["path"])
+            for key, dpaths in by_key.items():
+                keys = spark.read.parquet(*dpaths).select(key).distinct()
+                df = df.join(F.broadcast(keys), key, "left_anti")
+            out = df if out is None else out.unionByName(df)
+        return out

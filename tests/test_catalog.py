@@ -186,3 +186,120 @@ def test_orphan_record_files_excluded_from_commit_log(spark, tmp_path: pathlib.P
     rows = log.records(spark).collect()
     assert {r["snapshot_id"] for r in rows} == {sealed}
     assert {r["partition_id"] for r in rows} == {1}
+
+
+def _vals(df):
+    return sorted((r["doc_id"], r["v"]) for r in df.collect())
+
+
+def test_upsert_masks_old_versions_time_travel_intact(spark, tmp_path):
+    """Merge-on-read upsert: new rows win at read time without any
+    data-file rewrite; pinned older snapshots still see the old rows
+    (time travel across upsert AND delete)."""
+    tbl = DocTable(str(tmp_path / "tbl"))
+    s1 = tbl.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1)], "doc_id string, v int"
+        )
+    )
+    s2 = tbl.upsert(
+        spark.createDataFrame([("b", 2), ("d", 2)], "doc_id string, v int"),
+        key_col="doc_id",
+    )
+    assert _vals(tbl.read(spark)) == [("a", 1), ("b", 2), ("c", 1), ("d", 2)]
+    assert _vals(tbl.read(spark, s1)) == [("a", 1), ("b", 1), ("c", 1)]
+
+    s3 = tbl.delete_where(spark, "v = 1", key_col="doc_id")
+    assert _vals(tbl.read(spark)) == [("b", 2), ("d", 2)]
+    assert _vals(tbl.read(spark, s2)) == [
+        ("a", 1), ("b", 2), ("c", 1), ("d", 2)
+    ]
+    assert _vals(tbl.read(spark, s1)) == [("a", 1), ("b", 1), ("c", 1)]
+
+    # a second upsert of an already-upserted key: newest wins
+    tbl.upsert(
+        spark.createDataFrame([("b", 3)], "doc_id string, v int"),
+        key_col="doc_id",
+    )
+    assert _vals(tbl.read(spark)) == [("b", 3), ("d", 2)]
+    assert _vals(tbl.read(spark, s3)) == [("b", 2), ("d", 2)]
+
+
+def test_compact_materializes_deletes(spark, tmp_path):
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(
+        spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    )
+    tbl.upsert(
+        spark.createDataFrame([("a", 2)], "doc_id string, v int"),
+        key_col="doc_id",
+    )
+    assert tbl.current_snapshot()["delete_entries"]
+    tbl.compact(spark, target_files=1)
+    cur = tbl.current_snapshot()
+    assert cur["delete_entries"] == []
+    assert _vals(tbl.read(spark)) == [("a", 2), ("b", 1)]
+
+    # expiry GCs the now-dead delete files alongside dead data files
+    dead = tbl.expire_snapshots(keep_last=1)
+    assert any("/delete-" in p for p in dead)
+    for p in dead:
+        assert not os.path.exists(p)
+    assert _vals(tbl.read(spark)) == [("a", 2), ("b", 1)]
+
+
+def test_delete_where_refuses_concurrent_advance(spark, tmp_path):
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(
+        spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    )
+    orig_commit = tbl._commit_snapshot
+
+    def racing_commit(build):
+        # someone appends between predicate evaluation and our seal
+        DocTable(tbl.root).append(
+            spark.createDataFrame([("z", 9)], "doc_id string, v int")
+        )
+        return orig_commit(build)
+
+    tbl._commit_snapshot = racing_commit
+    with pytest.raises(RuntimeError, match="advanced during delete_where"):
+        tbl.delete_where(spark, "v = 1", key_col="doc_id")
+    tbl._commit_snapshot = orig_commit
+    # nothing deleted, the racer's row is intact
+    assert ("z", 9) in _vals(tbl.read(spark))
+
+
+def test_upsert_survives_losing_cas(spark, tmp_path):
+    """An upsert that loses the sequence CAS retries against the new
+    parent and still lands with correct masking."""
+    import json
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(
+        spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    )
+    cur = tbl.current_snapshot()
+    # foreign winner seals sequence 2 adding nothing
+    foreign = {
+        "snapshot_id": "snap-foreign", "sequence": 2,
+        "parent": cur["snapshot_id"], "files": cur["files"],
+        "file_entries": [{"path": p, "seq": 1} for p in cur["files"]],
+        "delete_entries": [], "added_files": 0, "ts_ms": 0,
+    }
+    tmp = os.path.join(tbl.meta_dir, ".f.tmp")
+    with open(tmp, "w") as f:
+        json.dump(foreign, f)
+    os.link(tmp, os.path.join(tbl.meta_dir, f"{2:012d}.claim"))
+    os.rename(tmp, os.path.join(tbl.meta_dir, f"{2:012d}-snap-foreign.json"))
+
+    tbl.upsert(
+        spark.createDataFrame([("a", 7)], "doc_id string, v int"),
+        key_col="doc_id",
+    )
+    cur = tbl.current_snapshot()
+    assert cur["sequence"] == 3 and cur["parent"] == "snap-foreign"
+    assert _vals(tbl.read(spark)) == [("a", 7), ("b", 1)]

@@ -24,6 +24,7 @@ def get_spark(
     app: str = "accountant_pdf_extract_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -63,4 +64,6 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -228,6 +228,36 @@ def test_duplicate_clusters_match_union_find(spark):
     }
     assert got2 == union_find(cand_pairs)
 
+    # chain-shaped pathology: a 64-long chain converges in O(log n)
+    # star-contraction rounds (naive label propagation needs 64) —
+    # max_iter=8 would fail the old algorithm
+    import random
+
+    chain = [(i, i + 1) for i in range(64)]
+    rnd = random.Random(13)
+    shuffled = [(b, a) if rnd.random() < 0.5 else (a, b) for a, b in chain]
+    rnd.shuffle(shuffled)
+    chain_df = spark.createDataFrame(shuffled, "a long, b long")
+    got3 = {
+        r["sid"]: r["cluster"]
+        for r in dedup.duplicate_clusters(chain_df, max_iter=8).collect()
+    }
+    assert got3 == {i: 0 for i in range(65)}
+
+    # random graph fuzz vs union-find
+    rnd = random.Random(7)
+    redges = [
+        (rnd.randrange(200), rnd.randrange(200)) for _ in range(150)
+    ]
+    redges = [(a, b) for a, b in redges if a != b]
+    got4 = {
+        r["sid"]: r["cluster"]
+        for r in dedup.duplicate_clusters(
+            spark.createDataFrame(redges, "a long, b long"), max_iter=10
+        ).collect()
+    }
+    assert got4 == union_find(redges)
+
 
 def test_salted_join_refuses_outer_and_is_content_deterministic(spark):
     import pytest

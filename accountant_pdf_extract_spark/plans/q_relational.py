@@ -858,3 +858,82 @@ def q_promo_share(spark, sf):
             .alias("promo_milli")
         )
     )
+
+
+@register(
+    "q_range_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d
+      FROM events),
+    iv AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS lo,
+             CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) + 7 AS hi
+      FROM orders)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM p JOIN iv ON p.d BETWEEN iv.lo AND iv.hi
+    GROUP BY o_orderpriority
+    """,
+)
+def q_range_join(spark, sf):
+    """Interval containment join WITHOUT a BroadcastNestedLoopJoin:
+    events (points, epoch days) against 7-day order windows via the
+    bucketed equi-join in operators/rangejoin.py; the oracle runs the
+    plain non-equi BETWEEN join.  Aggregated so the match set verifies
+    exactly cross-engine."""
+    from accountant_pdf_extract_spark.operators.rangejoin import range_join
+
+    pts = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).alias("d"),
+    )
+    iv = (
+        t(spark, sf, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + 7)
+    )
+    return (
+        range_join(pts, iv, "d", "lo", "hi", bucket_width=7)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+@register(
+    "q_global_rank",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey) AS BIGINT) AS pos
+    FROM orders
+    """,
+)
+def q_global_rank(spark, sf):
+    """Exact global row_number over the whole table with NO
+    unpartitioned data window (operators/ranking.py: range-bucketed
+    partitioned windows + broadcast offsets); the oracle runs the
+    plain global window."""
+    from accountant_pdf_extract_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    return global_row_number(
+        t(spark, sf, "orders"),
+        -F.round(F.col("o_totalprice") * 100).cast("long"),
+        F.col("o_orderkey"),
+        num_buckets=32,
+    ).select("o_orderkey", "pos")

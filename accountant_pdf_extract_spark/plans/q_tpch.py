@@ -147,3 +147,79 @@ def tpch_q6(spark, sf):
         ).alias("revenue_cents"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf):
+    """Returned-item revenue by customer (TPC-H Q10 shape): fact-side
+    shuffle joins orders⋈lineitem, broadcast nation dim, top-20 via
+    TakeOrderedAndProject (never a global-sort window)."""
+    li = t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        t(spark, sf, "customer")
+        .join(t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t(spark, sf, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000)
+    SELECT c_custkey, o_orderkey, qty_cents,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18(spark, sf):
+    """Large-volume orders (TPC-H Q18 shape): pre-aggregate the fact
+    side FIRST (map-side partial agg shrinks lineitem to one row per
+    order), then join the small survivor set — never join-then-agg."""
+    big = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+        .where(F.col("qty_cents") > 30000)
+    )
+    return (
+        big.join(
+            t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(t(spark, sf, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "qty_cents",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )

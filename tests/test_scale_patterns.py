@@ -374,3 +374,59 @@ def test_ranking_plans_have_no_global_data_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in bm_plan
+
+
+def test_range_join_matches_nonequi_join(spark):
+    """Bucketed range join ≡ the plain non-equi BETWEEN join, including
+    the long-interval broadcast tail; the short path's physical plan
+    must be an EQUI join (hash/merge), never BroadcastNestedLoop."""
+    from accountant_pdf_extract_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", F.floor(F.unix_timestamp("ts") / 86400).alias("d")
+    )
+    iv = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("lo"),
+        )
+        .withColumn(
+            # mixed lengths: mostly 7-day windows, a rare giant window
+            # that must route through the broadcast tail
+            "hi",
+            F.when(F.col("o_orderkey") % 997 == 0, F.col("lo") + 10_000)
+            .otherwise(F.col("lo") + 7),
+        )
+    )
+    got = range_join(ev, iv, "d", "lo", "hi", bucket_width=7, max_span_buckets=64)
+    want = ev.join(iv, F.col("d").between(F.col("lo"), F.col("hi")))
+    key = lambda r: (r["event_id"], r["o_orderkey"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    # the bulk (short-interval) path must be an EQUI join on the
+    # bucket id — a hash/merge join keyed on _rj_b, never the
+    # BroadcastNestedLoopJoin Spark would plan for the raw BETWEEN
+    short_iv = iv.withColumn("hi", F.col("lo") + 7)
+    plan = (
+        range_join(ev, short_iv, "d", "lo", "hi", bucket_width=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    equi_join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "_rj_b" in ln and "NestedLoop" not in ln
+    ]
+    assert equi_join_lines, plan
+    # the only NestedLoop allowed is the long-tail leg, which carries
+    # zero interval rows here (every window is 1-2 buckets wide)
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "_rj_b" not in ln
+
+    # overlapping-column refusal
+    import pytest
+
+    with pytest.raises(ValueError, match="share columns"):
+        range_join(
+            ev.withColumnRenamed("d", "lo"), iv, "lo", "lo", "hi", 7
+        )

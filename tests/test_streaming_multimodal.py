@@ -299,3 +299,65 @@ def test_corrupt_media_payload_skipped_not_fatal(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = multimodal.image_features(df).collect()
     assert [r["media_ref"] for r in got] == ["m1"]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path: pathlib.Path):
+    """Watermarked stream-stream band join over an AvailableNow drain
+    equals the batch join on the same inputs, and a second drain with
+    new files joins ACROSS batches (buffered state) without
+    duplicating the first drain's output."""
+    import datetime as dt
+
+    from accountant_pdf_extract_spark.streaming.join import (
+        run_stream_stream_join,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lschema = "k long, ts timestamp, lid long"
+    rschema = "k long, rts timestamp, rid long"
+
+    left1 = [(1, ts(0), 100), (1, ts(30), 101), (2, ts(0), 200)]
+    right1 = [(1, ts(10), 900), (2, ts(90), 901)]
+    spark.createDataFrame(left1, lschema).write.mode("append").parquet(ldir)
+    spark.createDataFrame(right1, rschema).write.mode("append").parquet(rdir)
+    run_stream_stream_join(
+        spark, ldir, rdir, lschema, rschema, "k", ckpt, out, band_seconds=60
+    )
+
+    def got_pairs():
+        return sorted(
+            (r["lid"], r["rid"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # (100,900): 10s after t=0 ✓; (101,900): rts=10 < lts=30 ✗ (band is
+    # forward-only); (200,901): 90s > 60s band ✗
+    assert got_pairs() == [(100, 900)]
+
+    # second drain: late right row joins the FIRST drain's left rows
+    right2 = [(1, ts(40), 902)]
+    spark.createDataFrame(right2, rschema).write.mode("append").parquet(rdir)
+    run_stream_stream_join(
+        spark, ldir, rdir, lschema, rschema, "k", ckpt, out, band_seconds=60
+    )
+    assert got_pairs() == [(100, 900), (100, 902), (101, 902)]
+
+    # batch equivalence on the full inputs
+    lb = spark.createDataFrame(left1, lschema)
+    rb = spark.createDataFrame(right1 + right2, rschema)
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in lb.join(
+            rb,
+            (lb.k == rb.k)
+            & (rb.rts >= lb.ts)
+            & (rb.rts <= lb.ts + F.expr("INTERVAL 60 SECONDS")),
+        ).collect()
+    )
+    assert got_pairs() == want

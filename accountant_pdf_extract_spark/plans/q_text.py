@@ -695,3 +695,71 @@ def q_bm25(spark, sf):
         ["join", "scan", "filter"],
         k=20,
     )
+
+
+@register(
+    "q_chunk",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents),
+    nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+    ch AS (SELECT doc_id, tk,
+                  unnest(generate_series(0, (n - 1) // 24)) AS chunk_id
+           FROM nn)
+    SELECT doc_id, chunk_id,
+           array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ')
+             AS chunk_text,
+           CAST(len(tk[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM ch
+    """,
+)
+def q_chunk(spark, sf):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap → step 24): the stage between cleaning and shard packing.
+    Map-side sequence+slice HOFs; oracle mirrors with list slicing."""
+    from accountant_pdf_extract_spark.operators.chunking import chunk_text
+
+    return chunk_text(
+        t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@register(
+    "q_quantize",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS mx,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings)
+    SELECT vec_id,
+           array_to_string(
+             CASE WHEN mx > 0
+                  THEN list_transform(
+                         e, x -> CAST(CAST(round(x * 127 / mx) AS BIGINT)
+                                      AS VARCHAR))
+                  ELSE list_transform(e, x -> '0') END, ',') AS q8,
+           CAST(round(mx * 1000) AS BIGINT) AS max_abs_milli
+    FROM m
+    """,
+)
+def q_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (array output stringified
+    for the cross-engine hash; FLOAT components cast to DOUBLE before
+    arithmetic on both sides)."""
+    from accountant_pdf_extract_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda x: x.cast("string")), ","
+        ).alias("q8"),
+        "max_abs_milli",
+    )

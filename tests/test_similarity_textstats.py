@@ -323,3 +323,52 @@ def test_bm25_matches_python_oracle(spark):
     for (gd, gs, _rk), (wd, ws) in zip(got, want):
         assert gd == wd, (got, want)
         assert abs(gs - ws) <= 1, (gd, gs, ws)
+
+
+def test_chunk_text_windows(spark):
+    from accountant_pdf_extract_spark.operators.chunking import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "only two"),
+         (3, "   "), (4, "x " * 24)],  # 24 tokens = exactly one step
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_text(docs, chunk_tokens=8, overlap=2).collect()
+    }
+    # doc 1: 10 tokens, step 6 -> chunks at 0 and 6 (4-token tail kept)
+    assert got[(1, 0)] == (" ".join(f"t{i}" for i in range(8)), 8)
+    assert got[(1, 1)] == ("t6 t7 t8 t9", 4)
+    assert got[(2, 0)] == ("only two", 2)
+    assert (3, 0) not in got  # blank doc yields nothing
+    # doc 4: 24 tokens, step 6 -> starts 0,6,12,18
+    assert sorted(c for d, c in got if d == 4) == [0, 1, 2, 3]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, chunk_tokens=8, overlap=8)
+
+
+def test_quantize_embeddings_zero_vector_and_range(spark):
+    from accountant_pdf_extract_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: (r["q8"], r["max_abs_milli"])
+           for r in quantize_embeddings(df).collect()}
+    assert got[1] == ([64, -127, 32], 1000)   # round(0.5*127)=64
+    assert got[2] == ([0, 0, 0], 0)
+    real = quantize_embeddings(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+    ).collect()
+    assert all(max(map(abs, r["q8"])) <= 127 for r in real)
+    assert all(
+        127 in r["q8"] or -127 in r["q8"]
+        for r in real if r["max_abs_milli"] > 0
+    )

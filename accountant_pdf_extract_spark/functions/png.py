@@ -123,6 +123,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if len(ihdr) != 13:
+        raise ValueError("bad IHDR length")  # ValueError, not struct.error
     w, h, depth, color, comp, filt_method, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
@@ -133,12 +135,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
     c = _COLOR_CHANNELS[color]
+    stride = w * c
+    expected = h * (stride + 1)
+    # bounded inflate: dims are known BEFORE decompression, so a
+    # crafted decompression bomb (tiny zlib stream expanding to GBs)
+    # stops at expected+1 bytes instead of OOMing the executor
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        trailing = d.unconsumed_tail or d.flush()
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from e
-    stride = w * c
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or trailing:
         raise ValueError("IDAT size does not match dimensions")
 
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)

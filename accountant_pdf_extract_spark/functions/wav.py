@@ -56,9 +56,13 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("truncated fmt chunk")  # ValueError, not struct.error
     audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2):
         raise ValueError(f"unsupported format {audio_fmt}/{bits}bit/{n_ch}ch")
+    if rate <= 0:
+        raise ValueError("non-positive sample rate")
     if len(pcm) % (2 * n_ch):
         raise ValueError("data chunk not frame-aligned")
     arr = np.frombuffer(pcm, dtype="<i2").reshape(-1, n_ch)

@@ -18,6 +18,7 @@ job.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -114,7 +115,7 @@ def image_features(df: DataFrame) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 try:
                     px = decode_png(bytes(payload))
-                except ValueError:
+                except (ValueError, struct.error):
                     continue
                 h, w, _c = px.shape
                 body = px.reshape(-1)
@@ -158,7 +159,7 @@ def audio_features(df: DataFrame) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 try:
                     rate, samples = decode_wav(bytes(payload))
-                except ValueError:
+                except (ValueError, struct.error):
                     continue
                 x = samples.astype(np.float64)
                 rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
@@ -218,19 +219,24 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 try:
                     px = decode_png(bytes(payload))
-                except ValueError:
+                except (ValueError, struct.error):
                     continue
                 h, w, _c = px.shape
                 scale = min(1.0, max_side / max(w, h))
                 tw, th = max(1, round(w * scale)), max(1, round(h * scale))
-                if (tw, th) != (w, h):
+                if (tw, th) == (w, h):
+                    # already in budget: pass the ORIGINAL bytes through
+                    # (no re-encode churn — byte-identical payloads keep
+                    # downstream byte-level dedup/caching effective)
+                    new_payload = bytes(payload)
+                else:
                     ys = (np.arange(th) * (h / th)).astype(np.int64)
                     xs = (np.arange(tw) * (w / tw)).astype(np.int64)
-                    px = px[ys][:, xs]
+                    new_payload = encode_png(px[ys][:, xs])
                 out.append(
                     {
                         "media_ref": ref,
-                        "payload": encode_png(px),
+                        "payload": new_payload,
                         "width": tw,
                         "height": th,
                     }

@@ -34,9 +34,24 @@ def global_row_number(
     pos_col: str = "pos",
 ) -> DataFrame:
     """Exact 1-based global position ordered by (``rank_expr`` ASC,
-    ``tiebreak`` ASC), appended as ``pos_col``.  ``rank_expr`` must be
-    numeric (it is range-bucketed); order DESC by negating it.
-    ``tiebreak`` must be unique per row or positions are ambiguous."""
+    ``tiebreak`` ASC), appended as ``pos_col`` (and nothing else).
+    ``rank_expr`` must be numeric (it is range-bucketed); order DESC by
+    negating it.  ``tiebreak`` must be unique per row or positions are
+    ambiguous."""
+    return _pos_with_total(
+        df, rank_expr, tiebreak, num_buckets, pos_col
+    ).drop("_total")
+
+
+def _pos_with_total(
+    df: DataFrame,
+    rank_expr: Column,
+    tiebreak: Column,
+    num_buckets: int,
+    pos_col: str,
+) -> DataFrame:
+    """Internal: position plus the total row count as ``_total`` (the
+    ntile formula needs it; the public API does not expose it)."""
     b = df.withColumn("_rk", rank_expr).withColumn("_tb", tiebreak)
     bounds = b.agg(
         F.percentile_approx(
@@ -82,9 +97,7 @@ def scalable_ntile(
     """Exact ``ntile(n_tiles) OVER (ORDER BY rank_expr, tiebreak)``
     semantics (first ``n mod k`` tiles get the extra row) from the
     global position — no unpartitioned data-sized window anywhere."""
-    pos = global_row_number(
-        df, rank_expr, tiebreak, num_buckets=num_buckets, pos_col="_pos"
-    )
+    pos = _pos_with_total(df, rank_expr, tiebreak, num_buckets, "_pos")
     base = F.floor(F.col("_total") / n_tiles)
     rem = F.col("_total") % n_tiles
     big_span = rem * (base + 1)  # rows covered by the (base+1)-sized tiles

@@ -113,11 +113,23 @@ class DocTable:
         ``os.rename(tmp, final)`` leaves a claim with NO published
         snapshot at that sequence; without this, every later commit
         rebuilds the same sequence, loses the CAS to the dead claim 20
-        times, and wedges the table permanently.  Reclaim = if no
-        ``{seq:012d}-*.json`` is published and the claim is older than
-        the grace lease, steal it with an atomic rename (only one
-        stealer's rename succeeds; losers just retry the CAS)."""
+        times, and wedges the table permanently.
+
+        Recovery is ROLL-FORWARD, not steal: the claim is a hard link
+        of the dead writer's complete, fsynced snapshot JSON (its data
+        files were fully written before sealing), so we publish THAT
+        snapshot via ``os.link(claim, final)`` — the claim stays in
+        place as the sequence lock.  This is safe without any liveness
+        assumption: if the \"dead\" writer was merely paused and later
+        runs its own ``os.rename(tmp, final)``, it republishes the
+        IDENTICAL content (tmp and claim are links to one inode), so
+        there is no forked history — unlike a steal, where a slow
+        writer waking after the lease could publish a second,
+        different snapshot at the same sequence.  Only a claim with
+        unreadable/incomplete JSON (impossible via this writer
+        protocol) falls back to a grace-leased steal."""
         import glob
+        import json as _json
 
         published = glob.glob(
             os.path.join(self.meta_dir, f"{sequence:012d}-*.json")
@@ -125,14 +137,31 @@ class DocTable:
         if published:
             return  # normal lost-CAS: the claim backs a real snapshot
         try:
+            with open(claim) as f:
+                snap = _json.load(f)
+            sid = snap["snapshot_id"]
+        except (FileNotFoundError, ValueError, KeyError):
+            self._steal_corrupt_claim(claim)
+            return
+        final = os.path.join(self.meta_dir, f"{sequence:012d}-{sid}.json")
+        try:
+            os.link(claim, final)  # atomic publish of the orphan commit
+        except FileExistsError:
+            pass  # another reclaimer (or the owner) just published it
+
+    def _steal_corrupt_claim(self, claim: str) -> None:
+        """Last-resort path for a claim whose JSON is unreadable — no
+        valid snapshot can be rolled forward, so after the grace lease
+        the claim is removed via an atomic rename (single winner)."""
+        try:
             age = time.time() - os.stat(claim).st_mtime
         except FileNotFoundError:
-            return  # already reclaimed or about to publish
+            return
         if age <= self.claim_grace_s:
-            return  # owner may still be alive in the claim→publish gap
+            return
         stale = f"{claim}.stale-{uuid.uuid4().hex[:8]}"
         try:
-            os.rename(claim, stale)  # atomic steal — one winner
+            os.rename(claim, stale)
         except FileNotFoundError:
             return
         os.remove(stale)
@@ -146,6 +175,17 @@ class DocTable:
             if self._try_seal(snap):
                 return snap["snapshot_id"]
         raise RuntimeError("commit contention: lost the CAS 20 times")
+
+    @staticmethod
+    def _discard_staged(files: list[str]) -> None:
+        """Remove staged-but-never-committed files (their whole staging
+        dirs) after a refused commit — no snapshot references them, and
+        expire_snapshots only GCs files that expired manifests name, so
+        without this every refusal leaks files forever."""
+        import shutil
+
+        for d in {os.path.dirname(f) for f in files}:
+            shutil.rmtree(d, ignore_errors=True)
 
     @staticmethod
     def _entries(snap: dict | None) -> tuple[list[dict], list[dict]]:
@@ -270,7 +310,11 @@ class DocTable:
                 {"deleted_where": predicate},
             )
 
-        return self._commit_snapshot(build)
+        try:
+            return self._commit_snapshot(build)
+        except RuntimeError:
+            self._discard_staged(del_files)
+            raise
 
     # -- maintenance ----------------------------------------------------------
 
@@ -344,7 +388,11 @@ class DocTable:
                 },
             )
 
-        return self._commit_snapshot(build)
+        try:
+            return self._commit_snapshot(build)
+        except RuntimeError:
+            self._discard_staged(new_files)
+            raise
 
     # -- read ----------------------------------------------------------------
 
@@ -376,15 +424,32 @@ class DocTable:
         groups: dict[int, list[str]] = defaultdict(list)
         for e in data:
             groups[e["seq"]].append(e["path"])
+        # materialize each delete key set ONCE (localCheckpoint — small
+        # metadata), then reuse it across every data-seq group instead
+        # of re-scanning the delete parquet per group
+        key_frames: dict[str, DataFrame] = {}
+        for key in {d["key"] for d in dels}:
+            parts = [
+                spark.read.parquet(d["path"])
+                .select(key)
+                .withColumn("_del_seq", F.lit(d["seq"]))
+                for d in dels
+                if d["key"] == key
+            ]
+            kf = parts[0]
+            for p in parts[1:]:
+                kf = kf.unionByName(p)
+            key_frames[key] = kf.localCheckpoint()
         out: DataFrame | None = None
         for seq, paths in sorted(groups.items()):
             df = spark.read.parquet(*paths)
-            by_key: dict[str, list[str]] = defaultdict(list)
-            for d in dels:
-                if d["seq"] > seq:
-                    by_key[d["key"]].append(d["path"])
-            for key, dpaths in by_key.items():
-                keys = spark.read.parquet(*dpaths).select(key).distinct()
-                df = df.join(F.broadcast(keys), key, "left_anti")
+            for key, kf in key_frames.items():
+                if any(d["key"] == key and d["seq"] > seq for d in dels):
+                    keys = (
+                        kf.where(F.col("_del_seq") > seq)
+                        .select(key)
+                        .distinct()
+                    )
+                    df = df.join(F.broadcast(keys), key, "left_anti")
             out = df if out is None else out.unionByName(df)
         return out

@@ -54,23 +54,26 @@ HEADLINE = [
 
 def _repin(cpus: int) -> None:
     """Re-exec under taskset so the whole JVM/Python tree is confined
-    to exactly `cpus` cores (CLAUDE.md: benchmarks must be pinned)."""
+    to exactly `cpus` cores (CLAUDE.md: benchmarks must be pinned).
+    Pins to the first `cpus` ids of the CURRENTLY allowed set — core
+    ids need not start at 0 inside a container cpuset, and a host with
+    fewer usable cores than requested just runs on what it has."""
     if os.environ.get("_BENCH_PINNED") == "1":
         return
     try:
-        affinity = os.sched_getaffinity(0)
+        allowed = sorted(os.sched_getaffinity(0))
     except AttributeError:  # non-Linux — run unpinned
         return
     os.environ["_BENCH_PINNED"] = "1"
-    if len(affinity) == cpus:
-        return
+    if len(allowed) <= cpus:
+        return  # already at (or below) the budget — nothing to restrict
     import shutil
 
     if shutil.which("taskset") is None:
         return
+    pick = ",".join(str(c) for c in allowed[:cpus])
     os.execvp(
-        "taskset",
-        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, *sys.argv],
+        "taskset", ["taskset", "-c", pick, sys.executable, *sys.argv]
     )
 
 

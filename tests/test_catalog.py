@@ -303,3 +303,71 @@ def test_upsert_survives_losing_cas(spark, tmp_path):
     cur = tbl.current_snapshot()
     assert cur["sequence"] == 3 and cur["parent"] == "snap-foreign"
     assert _vals(tbl.read(spark)) == [("a", 7), ("b", 1)]
+
+
+def test_orphan_claim_rolled_forward_not_lost(spark, tmp_path):
+    """A REAL orphan claim (full snapshot JSON hard-linked, writer died
+    before publish) must be ROLLED FORWARD — the dead writer's commit
+    becomes visible, and the next append builds on top of it.  Safe
+    with zero grace: a merely-slow writer republishing later writes
+    identical bytes, so no forked history."""
+    import json
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"), claim_grace_s=3600.0)
+    tbl.append(spark.createDataFrame([("a", 1)], "doc_id string, v int"))
+    cur = tbl.current_snapshot()
+
+    # simulate writer B: data files written, claim linked, death before
+    # the final rename
+    staged = tbl._write_data_files(
+        spark.createDataFrame([("b", 2), ("c", 3)], "doc_id string, v int"),
+        "commit",
+    )
+    orphan = {
+        "snapshot_id": "snap-orphan01", "sequence": 2,
+        "parent": cur["snapshot_id"],
+        "files": cur["files"] + staged,
+        "file_entries": [{"path": p, "seq": 1} for p in cur["files"]]
+        + [{"path": p, "seq": 2} for p in staged],
+        "delete_entries": [], "added_files": len(staged), "ts_ms": 0,
+    }
+    tmp = os.path.join(tbl.meta_dir, ".orphan.tmp")
+    with open(tmp, "w") as f:
+        json.dump(orphan, f)
+    os.link(tmp, os.path.join(tbl.meta_dir, f"{2:012d}.claim"))
+    os.remove(tmp)  # writer dies: claim exists, nothing published
+
+    sid = tbl.append(spark.createDataFrame([("d", 4)], "doc_id string, v int"))
+    cur = tbl.current_snapshot()
+    # orphan recovered at seq 2, our append landed at seq 3 on top
+    assert cur["snapshot_id"] == sid and cur["sequence"] == 3
+    assert cur["parent"] == "snap-orphan01"
+    assert _vals(tbl.read(spark)) == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+
+
+def test_refused_delete_where_leaves_no_orphan_files(spark, tmp_path):
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([("a", 1)], "doc_id string, v int"))
+    orig_commit = tbl._commit_snapshot
+
+    def racing_commit(build):
+        DocTable(tbl.root).append(
+            spark.createDataFrame([("z", 9)], "doc_id string, v int")
+        )
+        return orig_commit(build)
+
+    tbl._commit_snapshot = racing_commit
+    with pytest.raises(RuntimeError):
+        tbl.delete_where(spark, "v = 1", key_col="doc_id")
+    tbl._commit_snapshot = orig_commit
+
+    live = {f for s in tbl.snapshots() for f in s["files"]}
+    on_disk = set()
+    for root, _dirs, files in os.walk(tbl.data_dir):
+        on_disk |= {
+            os.path.join(root, f) for f in files if f.endswith(".parquet")
+        }
+    assert on_disk == live  # no delete-file staging dirs left behind

@@ -303,6 +303,12 @@ def test_global_row_number_matches_window(spark):
     }
     assert got == want
 
+    # output contract: input columns + pos_col, nothing else leaks
+    out_cols = global_row_number(
+        cust, key, F.col("c_custkey"), num_buckets=8
+    ).columns
+    assert out_cols == cust.columns + ["pos"]
+
     # heavy ties: constant rank key -> position = tiebreak order
     tied = cust.limit(100)
     gt = {

@@ -558,3 +558,60 @@ def test_wav_roundtrip_mono_stereo():
         decode_wav(b"RIFFxxxxWAVEnothing-else")
     with pytest.raises(ValueError):
         decode_wav(encode_wav(mono)[:-11])
+
+
+def test_png_bomb_and_short_structs_raise_valueerror():
+    """Codec errors must surface as ValueError (the kernels' row-skip
+    contract): decompression bombs are stopped at the declared size,
+    short IHDR/fmt chunks never leak struct.error, zero sample rates
+    are rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+    from accountant_pdf_extract_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # bomb: IHDR says 4x4 RGB (~52 bytes) but IDAT inflates to 64 MB
+    bomb_raw = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = (
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb_raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size does not match"):
+        decode_png(bomb)
+
+    # short IHDR -> ValueError, not struct.error
+    short = (
+        PNG_SIG + _chunk(b"IHDR", b"\x00" * 8)
+        + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(short)
+
+    # WAV: truncated fmt chunk and zero sample rate -> ValueError
+    def wav_with_fmt(fmt_body: bytes) -> bytes:
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", 0)
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(wav_with_fmt(b"\x01\x00\x01\x00"))
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(wav_with_fmt(struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)))
+
+    good = encode_wav(np.zeros(4, dtype=np.int16))
+    assert decode_wav(good)[0] == 16000

@@ -187,7 +187,7 @@ ratio under-measures true N→4N scaling.  Kernel-level control: the
 pure per-doc pipeline in 8 vs 32 OS processes (no Spark) reaches
 3.23× at 4× cores (0.81 of ideal), bounded by memory bandwidth.
 
-## Headline throughput (bench.py, sf0.1, local[32], unpinned)
+## Headline throughput (bench.py, sf0.1, local[32], pinned median-of-3 since r3)
 
 Flagship end-to-end extraction (synth + decode + parse + strip +
 fields + assemble over the interleaved corpus derived from the sf0.1
@@ -197,6 +197,16 @@ Heavy-corpus throughput: {hi['throughput_docs_s']:.0f} docs/s at just
 FlateDecode-compressed since r2).
 """
     os.makedirs("BENCH", exist_ok=True)
+    # preserve sections other tools append (bench/resume.py) across
+    # this file's full rewrite
+    marker = "\n## Resume pruning at bench scale"
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        if marker in old:
+            md = md.rstrip() + "\n" + old[old.index(marker) :]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(md)

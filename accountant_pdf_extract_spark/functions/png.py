@@ -27,6 +27,12 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}
 _CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
 
+# Decode refuses images above this pixel count (64 Mpx ≈ 200 MB RGB):
+# `expected` derives from the attacker-controlled IHDR, so without a
+# cap a crafted huge-dims header plus a high-ratio zlib stream would
+# still inflate gigabytes before the size check (bomb defense #2).
+MAX_PIXELS = 1 << 26
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -134,6 +140,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(f"image dimensions {w}x{h} out of range")
     c = _COLOR_CHANNELS[color]
     stride = w * c
     expected = h * (stride + 1)

@@ -66,4 +66,4 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if len(pcm) % (2 * n_ch):
         raise ValueError("data chunk not frame-aligned")
     arr = np.frombuffer(pcm, dtype="<i2").reshape(-1, n_ch)
-    return rate, arr
+    return int(rate), arr

@@ -5,9 +5,10 @@ step between cleaning and shard packing (``operators/packing.py``).
 Pure Catalyst: tokenize once per row, then ``sequence`` + ``explode``
 + ``slice`` build the windows map-side — no shuffle, no Python, scales
 linearly with executors.  Chunk starts advance by
-``chunk_tokens - overlap``; the last window starts at the largest
-multiple of the step below the token count (so trailing tokens are
-never dropped, and a short tail still becomes a chunk).
+``chunk_tokens - overlap``; a window is emitted only when it carries
+at least one NEW token (``start + overlap < n``), so trailing tokens
+are never dropped AND no fully-redundant tail chunk (one whose every
+token the previous window already covered) duplicates training data.
 """
 
 from __future__ import annotations
@@ -43,7 +44,13 @@ def chunk_text(
             F.explode(
                 F.sequence(
                     F.lit(0).cast("long"),
-                    F.floor((F.col("_n") - 1) / step),
+                    # last start must bring >= 1 new token: with
+                    # overlap o, starts beyond n-o-1 are fully covered
+                    # by the previous window (n <= o docs get 1 chunk)
+                    F.floor(
+                        (F.greatest(F.col("_n") - overlap, F.lit(1)) - 1)
+                        / step
+                    ),
                 )
             ).alias("chunk_id"),
             "_tk",

@@ -113,6 +113,8 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
                 try:
                     px = decode_png(bytes(payload))
                 except (ValueError, struct.error):
@@ -157,6 +159,8 @@ def audio_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
                 try:
                     rate, samples = decode_wav(bytes(payload))
                 except (ValueError, struct.error):
@@ -170,7 +174,8 @@ def audio_features(df: DataFrame) -> DataFrame:
                         "n_samples": int(samples.shape[0]),
                         "pcm_ms": int(samples.shape[0] * 1000 // rate),
                         "rms_milli": int(round(rms * 1000)),
-                        "peak": int(np.abs(samples).max()) if x.size else 0,
+                        "peak": int(np.abs(samples.astype(np.int32)).max())
+                        if x.size else 0,
                     }
                 )
             yield pd.DataFrame(
@@ -197,13 +202,19 @@ def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
         F.lit(1.0),
         F.lit(max_side) / F.greatest("width", "height").cast("double"),
     )
+    # greatest(1, ...): extreme aspect ratios must never plan a
+    # zero-pixel side (the resize kernel clamps identically)
     return df.select(
         "media_ref",
         "modality",
         "width",
         "height",
-        F.round(F.col("width") * scale).cast("int").alias("target_w"),
-        F.round(F.col("height") * scale).cast("int").alias("target_h"),
+        F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int")).alias(
+            "target_w"
+        ),
+        F.greatest(
+            F.lit(1), F.round(F.col("height") * scale).cast("int")
+        ).alias("target_h"),
     )
 
 
@@ -217,13 +228,18 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
                 try:
                     px = decode_png(bytes(payload))
                 except (ValueError, struct.error):
                     continue
                 h, w, _c = px.shape
                 scale = min(1.0, max_side / max(w, h))
-                tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+                # HALF_UP like resize_plan's F.round (Python round() is
+                # banker's: round(4.5)=4 would diverge from the plan)
+                tw = max(1, int(np.floor(w * scale + 0.5)))
+                th = max(1, int(np.floor(h * scale + 0.5)))
                 if (tw, th) == (w, h):
                     # already in budget: pass the ORIGINAL bytes through
                     # (no re-encode churn — byte-identical payloads keep

@@ -706,7 +706,8 @@ def q_bm25(spark, sf):
       FROM documents),
     nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
     ch AS (SELECT doc_id, tk,
-                  unnest(generate_series(0, (n - 1) // 24)) AS chunk_id
+                  unnest(generate_series(0, (greatest(n - 8, 1) - 1) // 24))
+                    AS chunk_id
            FROM nn)
     SELECT doc_id, chunk_id,
            array_to_string(tk[chunk_id*24+1 : chunk_id*24+32], ' ')

@@ -136,6 +136,14 @@ class DocTable:
         )
         if published:
             return  # normal lost-CAS: the claim backs a real snapshot
+        latest = self.current_snapshot()
+        if latest is not None and sequence <= latest["sequence"]:
+            # the claim's sequence is BEHIND published history: either
+            # its snapshot was published and later expired (manifests
+            # gone, data files GC'd — rolling forward would resurrect a
+            # manifest of deleted files), or it's dead contention junk.
+            # Never roll backward-history claims forward.
+            return
         try:
             with open(claim) as f:
                 snap = _json.load(f)
@@ -243,7 +251,11 @@ class DocTable:
             )
             return snap
 
-        return self._commit_snapshot(build)
+        try:
+            return self._commit_snapshot(build)
+        except RuntimeError:
+            self._discard_staged(new_files)
+            raise
 
     # -- row-level ops (Iceberg v2 merge-on-read shape) ----------------------
 
@@ -273,7 +285,11 @@ class DocTable:
                 {"added_files": len(new_files), "upsert_key": key_col},
             )
 
-        return self._commit_snapshot(build)
+        try:
+            return self._commit_snapshot(build)
+        except RuntimeError:
+            self._discard_staged(new_files + del_files)
+            raise
 
     def delete_where(self, spark: SparkSession, predicate: str, key_col: str) -> str:
         """Row-level delete, merge-on-read: evaluate ``predicate`` on
@@ -340,11 +356,18 @@ class DocTable:
         dead = sorted(
             {f for s in expired for f in _all_paths(s)} - live
         )
+        # NOTE: the per-sequence .claim files are deliberately KEPT —
+        # they are the CAS locks.  Deleting an expired sequence's claim
+        # would let a slow writer that read a pre-expiry parent win the
+        # link at that old sequence and publish a snapshot that no
+        # read() ever sees (silent lost append), and would let the
+        # orphan-claim reclaimer resurrect an expired manifest whose
+        # data files were just deleted.  Claims are tiny; they live for
+        # the table's lifetime.
         for s in expired:
             for name in (
                 f"{s['sequence']:012d}-{s['snapshot_id']}.json",
                 f"{s['snapshot_id']}.json",  # legacy naming
-                f"{s['sequence']:012d}.claim",
             ):
                 p = os.path.join(self.meta_dir, name)
                 if os.path.exists(p):

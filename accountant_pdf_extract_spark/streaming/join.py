@@ -54,6 +54,7 @@ def run_stream_stream_join(
     output_dir: str,
     left_ts: str = "ts",
     right_ts: str = "rts",
+    watermark: str = "10 seconds",
     band_seconds: int = 60,
 ):
     """File-source AvailableNow drain of the watermarked join —
@@ -63,7 +64,8 @@ def run_stream_stream_join(
     left = spark.readStream.schema(left_schema).parquet(left_dir)
     right = spark.readStream.schema(right_schema).parquet(right_dir)
     joined = stream_stream_join(
-        left, right, key, left_ts, right_ts, band_seconds=band_seconds
+        left, right, key, left_ts, right_ts,
+        watermark=watermark, band_seconds=band_seconds,
     )
 
     def sink(df, batch_id):

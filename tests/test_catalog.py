@@ -371,3 +371,42 @@ def test_refused_delete_where_leaves_no_orphan_files(spark, tmp_path):
             os.path.join(root, f) for f in files if f.endswith(".parquet")
         }
     assert on_disk == live  # no delete-file staging dirs left behind
+
+
+def test_expiry_keeps_claims_and_blocks_stale_sequence_reuse(spark, tmp_path):
+    """Claims survive expiry (they are the CAS locks): a slow writer
+    that read a pre-expiry parent must still LOSE the CAS at the old
+    sequence, and a stale claim behind published history is never
+    rolled forward by the reclaimer."""
+    import os
+
+    tbl = DocTable(str(tmp_path / "tbl"), claim_grace_s=0.0)
+    tbl.append(spark.createDataFrame([("a", 1)], "doc_id string, v int"))
+    tbl.append(spark.createDataFrame([("b", 2)], "doc_id string, v int"))
+    tbl.append(spark.createDataFrame([("c", 3)], "doc_id string, v int"))
+    tbl.expire_snapshots(keep_last=1)
+
+    # claims for expired sequences 1..2 are still on disk
+    for seq in (1, 2, 3):
+        assert os.path.exists(
+            os.path.join(tbl.meta_dir, f"{seq:012d}.claim")
+        ), seq
+
+    # a slow writer trying to seal at expired sequence 2 loses the CAS
+    # (and the reclaimer must NOT roll that stale claim forward into a
+    # resurrected manifest)
+    stale = {
+        "snapshot_id": "snap-slowpoke", "sequence": 2, "parent": None,
+        "files": [], "file_entries": [], "delete_entries": [],
+        "added_files": 0, "ts_ms": 0,
+    }
+    assert tbl._try_seal(stale) is False
+    assert not os.path.exists(
+        os.path.join(tbl.meta_dir, f"{2:012d}-snap-slowpoke.json")
+    )
+    assert [s["sequence"] for s in tbl.snapshots()] == [3]
+
+    # normal appends still proceed at the next fresh sequence
+    tbl.append(spark.createDataFrame([("d", 4)], "doc_id string, v int"))
+    assert tbl.current_snapshot()["sequence"] == 4
+    assert tbl.read(spark).count() == 4

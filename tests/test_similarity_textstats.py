@@ -330,7 +330,9 @@ def test_chunk_text_windows(spark):
 
     docs = spark.createDataFrame(
         [(1, " ".join(f"t{i}" for i in range(10))), (2, "only two"),
-         (3, "   "), (4, "x " * 24)],  # 24 tokens = exactly one step
+         (3, "   "), (4, "x " * 24),  # 24 tokens = exactly one step
+         (5, "y " * 25)],  # 25: token 25 is covered by the start-18
+                           # window; no fully-redundant tail chunk
         "doc_id long, text string",
     )
     got = {
@@ -344,6 +346,10 @@ def test_chunk_text_windows(spark):
     assert (3, 0) not in got  # blank doc yields nothing
     # doc 4: 24 tokens, step 6 -> starts 0,6,12,18
     assert sorted(c for d, c in got if d == 4) == [0, 1, 2, 3]
+    # doc 5: 25 tokens — a start-24 window would add ZERO new tokens
+    # (tokens 25.. are inside the start-18 window); it must not exist
+    assert sorted(c for d, c in got if d == 5) == [0, 1, 2, 3]
+    assert got[(5, 3)][1] == 7  # tokens 19..25
 
     import pytest
 

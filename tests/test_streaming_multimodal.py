@@ -361,3 +361,50 @@ def test_stream_stream_join_matches_batch(spark, tmp_path: pathlib.Path):
         ).collect()
     )
     assert got_pairs() == want
+
+
+def test_null_payload_and_fullscale_negative_audio(spark):
+    """NULL payloads skip the row in every kernel; a full-scale
+    negative sample (-32768) must report peak 32768, not wrap."""
+    from accountant_pdf_extract_spark.functions.png import encode_png
+    from accountant_pdf_extract_spark.functions.wav import encode_wav
+
+    wav = encode_wav(np.array([-32768, 5], dtype=np.int16), sample_rate=8000)
+    png = encode_png(np.full((4, 4, 3), 7, dtype=np.uint8))
+    rows = [
+        ("img", "image", png, 4, 4, 0),
+        ("aud", "audio", wav, 0, 0, 250),
+        ("nul", "image", None, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    assert [r["media_ref"] for r in multimodal.image_features(df).collect()] == ["img"]
+    audio = multimodal.audio_features(df).collect()
+    assert [r["media_ref"] for r in audio] == ["aud"]
+    assert audio[0]["peak"] == 32768
+    assert [r["media_ref"] for r in multimodal.resize_images(df).collect()] == ["img"]
+
+
+def test_resize_half_pixel_rounding_matches_plan(spark):
+    """Exact .5 scale products: the kernel must round HALF_UP like
+    resize_plan's F.round (Python round() is banker's and would give
+    4 for 4.5), and extreme aspect ratios never plan a zero side."""
+    from accountant_pdf_extract_spark.functions.png import encode_png
+
+    rows = [
+        # 18x36 at max_side 9 -> scale 0.25 -> 4.5 x 9.0
+        ("half", "image", encode_png(np.zeros((36, 18, 3), np.uint8)), 18, 36, 0),
+        # 1x256 at max_side 64 -> 0.25 x 64 -> clamps to 1 x 64
+        ("thin", "image", encode_png(np.zeros((256, 1, 3), np.uint8)), 1, 256, 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    for max_side in (9, 64):
+        plan = {
+            r["media_ref"]: (r["target_w"], r["target_h"])
+            for r in multimodal.resize_plan(df, max_side=max_side).collect()
+        }
+        got = {
+            r["media_ref"]: (r["width"], r["height"])
+            for r in multimodal.resize_images(df, max_side=max_side).collect()
+        }
+        assert got == plan, (max_side, got, plan)
+    assert all(w >= 1 and h >= 1 for w, h in plan.values())

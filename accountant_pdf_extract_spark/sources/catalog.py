@@ -420,7 +420,10 @@ class DocTable:
     # -- read ----------------------------------------------------------------
 
     def read(
-        self, spark: SparkSession, snapshot_id: str | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: str | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Manifest-based scan (snapshot pinning = time travel) with
         merge-on-read deletes: each equality-delete file masks only
@@ -430,15 +433,27 @@ class DocTable:
         anti-joins, the fact side never shuffles.  Long histories of
         mixed-seq files read as a union of per-seq scans; ``compact``
         collapses that back to one scan and zero delete files.  An
-        empty table raises — callers should create before reading."""
+        empty table raises — callers should create before reading.
+
+        ``merge_schema=True`` enables additive schema evolution: files
+        appended with extra columns union with older files, which read
+        those columns as null (parquet mergeSchema semantics — the
+        same switch Iceberg flips on schema evolution)."""
         snap = self._snapshot_at(snapshot_id)
         if snap is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         data, dels = self._entries(snap)
         if not data:
             raise FileNotFoundError(f"table {self.root} has no data files")
+
+        def scan(paths: list[str]) -> DataFrame:
+            r = spark.read
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            return r.parquet(*paths)
+
         if not dels:
-            return spark.read.parquet(*[e["path"] for e in data])
+            return scan([e["path"] for e in data])
 
         from collections import defaultdict
 
@@ -465,7 +480,7 @@ class DocTable:
             key_frames[key] = kf.localCheckpoint()
         out: DataFrame | None = None
         for seq, paths in sorted(groups.items()):
-            df = spark.read.parquet(*paths)
+            df = scan(paths)
             for key, kf in key_frames.items():
                 if any(d["key"] == key and d["seq"] > seq for d in dels):
                     keys = (
@@ -474,5 +489,9 @@ class DocTable:
                         .distinct()
                     )
                     df = df.join(F.broadcast(keys), key, "left_anti")
-            out = df if out is None else out.unionByName(df)
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=merge_schema)
+            )
         return out

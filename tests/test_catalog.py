@@ -410,3 +410,33 @@ def test_expiry_keeps_claims_and_blocks_stale_sequence_reuse(spark, tmp_path):
     tbl.append(spark.createDataFrame([("d", 4)], "doc_id string, v int"))
     assert tbl.current_snapshot()["sequence"] == 4
     assert tbl.read(spark).count() == 4
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Additive schema evolution: files appended with a new column
+    union with older files (read as null) under merge_schema=True,
+    incl. across the merge-on-read upsert path."""
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(spark.createDataFrame([("a", 1)], "doc_id string, v int"))
+    tbl.append(
+        spark.createDataFrame(
+            [("b", 2, "en")], "doc_id string, v int, lang string"
+        )
+    )
+    got = {
+        r["doc_id"]: (r["v"], r["lang"])
+        for r in tbl.read(spark, merge_schema=True).collect()
+    }
+    assert got == {"a": (1, None), "b": (2, "en")}
+
+    tbl.upsert(
+        spark.createDataFrame(
+            [("a", 9, "de")], "doc_id string, v int, lang string"
+        ),
+        key_col="doc_id",
+    )
+    got = {
+        r["doc_id"]: (r["v"], r["lang"])
+        for r in tbl.read(spark, merge_schema=True).collect()
+    }
+    assert got == {"a": (9, "de"), "b": (2, "en")}

@@ -80,7 +80,13 @@ def _repin(cpus: int) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # parse the scale factor BEFORE the multi-minute run — a dir not
+    # ending in sf<number> must not discard three finished passes with
+    # a ValueError while building the output dict
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = None
     _repin(cpus)
 
     from accountant_pdf_extract_spark.plans import driver_queries
@@ -110,7 +116,7 @@ def main() -> None:
         "value": timings["q_extract_spans"],
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "cpus": cpus,
         # measurement protocol: every query = median of N_RUNS pinned
         # warm-JVM runs, raw runs recorded for spread checks

@@ -23,29 +23,26 @@ import tempfile
 
 RUNNER = r"""
 import json, sys, time
-from pyspark.sql import SparkSession
 
 cores = int(sys.argv[1]); inp = sys.argv[2]; n_docs = int(sys.argv[3])
 # cluster-proxy session: this process is taskset-pinned to `cores` CPUs,
-# so GC/shuffle threads are sized to the budget like a real executor
+# so GC/shuffle threads are sized to the budget like a real executor.
+# Session comes from the ONE measured config in session.get_spark (so
+# tuning changes there can't silently drift from this benchmark);
+# extra_conf carries only the event log + per-core GC override.
 import tempfile as _tf
 _evdir = _tf.mkdtemp(prefix="evlog_")
-spark = (SparkSession.builder.appName(f"scale-{cores}").master(f"local[{cores}]")
-  .config("spark.eventLog.enabled", "true")
-  .config("spark.eventLog.dir", _evdir)
-  .config("spark.eventLog.compress", "false")
-  .config("spark.eventLog.rolling.enabled", "false")
-  .config("spark.driver.memory", "24g")
-  .config("spark.driver.extraJavaOptions",
-          f"-XX:+UseG1GC -XX:ParallelGCThreads={max(2, cores // 2)}")
-  .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
-  .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
-  .config("spark.sql.files.maxPartitionBytes", "16m")
-  .config("spark.sql.files.openCostInBytes", "262144")
-  .config("spark.sql.shuffle.partitions", "64")
-  .config("spark.sql.session.timeZone", "UTC")
-  .config("spark.ui.enabled", "false")
-  .getOrCreate())
+from accountant_pdf_extract_spark.session import get_spark
+spark = get_spark(
+  app=f"scale-{cores}", master=f"local[{cores}]", shuffle_partitions=64,
+  extra_conf={
+    "spark.eventLog.enabled": "true",
+    "spark.eventLog.dir": _evdir,
+    "spark.eventLog.compress": "false",
+    "spark.eventLog.rolling.enabled": "false",
+    "spark.driver.extraJavaOptions":
+        f"-XX:+UseG1GC -XX:ParallelGCThreads={max(2, cores // 2)}",
+  })
 spark.range(10_000).selectExpr("sum(id)").collect()  # warm up JVM
 
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
@@ -79,7 +76,13 @@ for fn in _ev_files:
             info = ev.get("Task Info", {})
             dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
             stage_tasks.setdefault(sid, []).append(dur)
-kernel = max(stage_tasks.values(), key=len) if stage_tasks else [0]
+# the kernel stage has exactly num_partitions (256) tasks; most-tasks
+# would pick the SCAN stage whenever the input has >256 file splits
+exact = [v for v in stage_tasks.values() if len(v) == 256]
+kernel = (
+    exact[0] if exact
+    else (max(stage_tasks.values(), key=len) if stage_tasks else [0])
+)
 print(json.dumps({"cores": cores, "wall_s": wall,
                   "throughput_docs_s": n_docs / wall,
                   "n_tasks": len(kernel),
@@ -93,7 +96,11 @@ def run_level(cores: int, inp: str, n_docs: int) -> dict:
     a real N-core executor runs its JVM, GC, and Python workers inside
     its N cores; without pinning, local[N] on a bigger box borrows idle
     cores for the JVM and the comparison stops being N vs 4N."""
-    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", RUNNER,
+    # pin to the first N ids of the ALLOWED set — core ids need not
+    # start at 0 inside a container cpuset (same fix as bench.py)
+    allowed = sorted(os.sched_getaffinity(0))
+    pick = ",".join(str(c) for c in allowed[:cores])
+    cmd = ["taskset", "-c", pick, sys.executable, "-c", RUNNER,
            str(cores), inp, str(n_docs)]
     out = subprocess.run(
         cmd,
@@ -116,6 +123,16 @@ def main() -> None:
 
     workdir = args.keep_input or tempfile.mkdtemp(prefix="scale_input_")
     inp = os.path.join(workdir, "interleaved")
+    docs_meta = os.path.join(workdir, "_docs.json")
+    if os.path.exists(inp) and os.path.exists(docs_meta):
+        with open(docs_meta) as f:
+            stored = int(json.load(f)["docs"])
+        if stored != args.docs:
+            raise SystemExit(
+                f"kept input at {inp} holds {stored} docs but --docs is "
+                f"{args.docs}; throughput would be computed against the "
+                "wrong corpus size — delete the dir or match --docs"
+            )
     if not os.path.exists(inp):
         # materialize the identical input once (excluded from timing)
         gen = subprocess.run(
@@ -135,6 +152,8 @@ def main() -> None:
             check=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
+        with open(docs_meta, "w") as f:
+            json.dump({"docs": args.docs}, f)
 
     lo = run_level(args.low, inp, args.docs)
     hi = run_level(args.high, inp, args.docs)
@@ -197,14 +216,16 @@ Heavy-corpus throughput: {hi['throughput_docs_s']:.0f} docs/s at just
 FlateDecode-compressed since r2).
 """
     os.makedirs("BENCH", exist_ok=True)
-    # preserve sections other tools append (bench/resume.py) across
-    # this file's full rewrite
-    marker = "\n## Resume pruning at bench scale"
+    # preserve everything from the FIRST preserved marker across this
+    # file's full rewrite: the bench/resume.py section and any
+    # hand-written evidence notes wrapped in <!-- PRESERVE -->
+    markers = ("\n<!-- PRESERVE -->", "\n## Resume pruning at bench scale")
     try:
         with open("BENCH/BASELINE.md") as f:
             old = f.read()
-        if marker in old:
-            md = md.rstrip() + "\n" + old[old.index(marker) :]
+        cuts = [old.index(m) for m in markers if m in old]
+        if cuts:
+            md = md.rstrip() + "\n" + old[min(cuts) :]
     except FileNotFoundError:
         pass
     with open("BENCH/BASELINE.md", "w") as f:

@@ -161,6 +161,9 @@ def main() -> None:
         f.write("\n".join(out))
     print("wrote PLANS.md")
     spark.stop()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,12 @@ def norm_cell(v):
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, datetime.datetime):
+        # pandas NaT IS a datetime instance and isoformats to 'NaT' —
+        # it must hit the null token, not ('t', 'NaT'), or a null
+        # timestamp surfacing as None in one engine and NaT in the
+        # other spuriously fails parity
+        if v != v:
+            return ("null",)
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, datetime.date):
         return ("t", datetime.datetime(v.year, v.month, v.day).isoformat())
@@ -113,6 +119,12 @@ def main() -> None:
 
     qs = __spark_entry__.queries()
     oracles = __spark_entry__.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would print a clean
+        # "0 pass, 0 fail" — the opposite of what the caller wanted
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = n_rows_only = 0
     failed = []
     for name, fn in qs.items():

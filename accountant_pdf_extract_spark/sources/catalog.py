@@ -377,19 +377,37 @@ class DocTable:
                 os.remove(f)
         return dead
 
-    def compact(self, spark: SparkSession, target_files: int = 4) -> str:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 4,
+        cluster_by: list[str] | None = None,
+    ) -> str:
         """Small-file compaction (the rewrite_data_files maintenance
         action): rewrite the current snapshot's file set into
         ``target_files`` files and seal a NEW snapshot over them.
         History stays intact — older snapshots still read the original
         files until expired.  If the table advances concurrently, the
         compaction REFUSES (its rewritten file set reflects the old
-        state; sealing it would drop the concurrent commit's rows)."""
+        state; sealing it would drop the concurrent commit's rows).
+
+        ``cluster_by``: sort-clustered rewrite (Iceberg's sort-order
+        rewrite): range-partition + sort within files on these columns,
+        so each output file owns a DISJOINT key range and parquet
+        min/max statistics prune whole files/row groups for selective
+        key predicates — the data-skipping maintenance action."""
         cur = self.current_snapshot()
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
+        view = self.read(spark)
+        if cluster_by:
+            view = view.repartitionByRange(
+                target_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            view = view.coalesce(target_files)
         new_files = self._write_data_files(
-            self.read(spark).coalesce(target_files), "compact"
+            view, "compact"
         )
 
         def build(parent: dict | None) -> dict:

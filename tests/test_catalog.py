@@ -440,3 +440,39 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         for r in tbl.read(spark, merge_schema=True).collect()
     }
     assert got == {"a": (9, "de"), "b": (2, "en")}
+
+
+def test_sort_clustered_compaction_skips_files(spark, tmp_path):
+    """cluster_by compaction gives each output file a DISJOINT key
+    range (verified from the parquet footers), so min/max statistics
+    can prune whole files for selective key predicates."""
+    import pyarrow.parquet as pq
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    # appends interleave ids so pre-compaction files all span the
+    # whole key range (no skipping possible)
+    for off in range(4):
+        tbl.append(
+            spark.range(off, 4000, 4).selectExpr(
+                "id AS k", "cast(id as string) AS doc_id"
+            )
+        )
+    tbl.compact(spark, target_files=4, cluster_by=["k"])
+
+    ranges = []
+    for f in tbl.current_snapshot()["files"]:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "k"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint: every file's max < next file's min
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    # rows intact and a selective filter still answers correctly
+    assert tbl.read(spark).count() == 4000
+    assert tbl.read(spark).where("k = 1234").count() == 1

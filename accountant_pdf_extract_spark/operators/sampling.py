@@ -28,12 +28,17 @@ def split_tag(id_col: Column, train_hex_threshold: str = "cc") -> Column:
     """'train' when the md5 hex prefix of the id sorts below the
     threshold string, else 'test'.  len(threshold) hex chars compared;
     'cc' ≈ 80/20, 'e6' ≈ 90/10, '80' = 50/50."""
-    prefix = F.substring(
-        F.md5(id_col.cast("string")), 1, len(train_hex_threshold)
-    )
-    return F.when(prefix < train_hex_threshold, F.lit("train")).otherwise(
-        F.lit("test")
-    )
+    t = train_hex_threshold.lower()
+    if not t or any(c not in "0123456789abcdef" for c in t):
+        # md5 hex is lowercase: an uppercase or non-hex threshold would
+        # compare lexically against it and silently skew the split
+        # fraction (e.g. 'CC' yields ~62/38, not 80/20)
+        raise ValueError(
+            f"train_hex_threshold must be lowercase hex, got "
+            f"{train_hex_threshold!r}"
+        )
+    prefix = F.substring(F.md5(id_col.cast("string")), 1, len(t))
+    return F.when(prefix < t, F.lit("train")).otherwise(F.lit("test"))
 
 
 def hash_split(

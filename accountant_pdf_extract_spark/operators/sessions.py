@@ -12,6 +12,7 @@ outgrows SQL aggregates.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,7 +83,13 @@ def grouped_stats(events: DataFrame) -> DataFrame:
     cents — numpy per group, Arrow in/out, no per-row Python."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # half-up AWAY from zero like the DuckDB oracle's round()
+        # (pandas .round() is banker's half-to-even and diverges on
+        # exact half-cents, e.g. value=0.125)
+        v = pdf["value"].to_numpy()
+        cents = pd.Series(
+            np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).astype("int64")
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

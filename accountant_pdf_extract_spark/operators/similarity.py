@@ -105,7 +105,14 @@ def brute_force_topk_pandas(
             # self-match would otherwise evict the true k-th neighbor
             # (the self row is filtered later, after the global top-k)
             kk = min(k + 1, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # per-batch selection must cut boundary TIES by the same
+            # (score desc, cid asc) order the global window uses —
+            # argpartition keeps an arbitrary tied subset, making the
+            # result depend on partition/batch boundaries when
+            # duplicate embeddings tie at the kk-th score
+            idx = np.stack(
+                [np.lexsort((ids, -sims[qi]))[:kk] for qi in range(sims.shape[0])]
+            )
             out = {
                 "qid": np.repeat(qids, kk),
                 "cid": ids[idx].ravel(),
@@ -145,11 +152,22 @@ def hyperplane_signature(
     driver-side ``df.first()`` per call; VERDICT r1 'What's wrong' #5)."""
     spark = df.sparkSession
     if planes is not None:
+        if planes.shape[0] % n_tables:
+            raise ValueError(
+                f"planes rows ({planes.shape[0]}) must divide evenly into "
+                f"n_tables={n_tables} — a remainder would silently drop "
+                "the trailing hyperplanes and coarsen every bucket"
+            )
         bc = spark.sparkContext.broadcast(planes.astype(np.float32))
         bits_per = planes.shape[0] // n_tables
     else:
         if seed is None or n_bits is None:
             raise ValueError("pass either planes or (seed, n_bits)")
+        if n_bits % n_tables:
+            raise ValueError(
+                f"n_bits={n_bits} must divide evenly into n_tables="
+                f"{n_tables} — a remainder would silently drop bits"
+            )
         bc = spark.sparkContext.broadcast((int(seed), int(n_bits)))
         bits_per = n_bits // n_tables
 

@@ -11,8 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# NO "cross": Spark treats a using-columns join with joinType 'cross'
+# as INNER, silently dropping unmatched keys — not a cartesian product
 _SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi",
-             "leftsemi", "left_anti", "leftanti", "cross"}
+             "leftsemi", "left_anti", "leftanti"}
+
+_SALT = "_sj_salt"  # internal; refuse inputs that already carry it
 
 
 def salted_join(
@@ -37,15 +41,21 @@ def salted_join(
         h.replace("_", "") for h in _SAFE_HOW
     }:
         raise ValueError(
-            f"salted_join does not support how={how!r}: the replicated "
-            "small side would duplicate unmatched outer rows "
-            "salt_buckets times"
+            f"salted_join does not support how={how!r}: outer joins "
+            "would duplicate unmatched small-side rows salt_buckets "
+            "times, and 'cross' silently degrades to inner on a "
+            "using-columns join"
+        )
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(
+            f"inputs must not carry the internal column {_SALT!r} — "
+            "it would be clobbered and dropped from the output"
         )
     salted_big = big.withColumn(
-        "_salt",
+        _SALT,
         F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int"),
     )
     replicated_small = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    ).withColumn("_salt", F.col("_salt").cast("int"))
-    return salted_big.join(replicated_small, [key, "_salt"], how).drop("_salt")
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn(_SALT, F.col(_SALT).cast("int"))
+    return salted_big.join(replicated_small, [key, _SALT], how).drop(_SALT)

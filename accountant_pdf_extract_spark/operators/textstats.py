@@ -90,8 +90,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
-    whitespace-collapsed, lowercased text (content-defined identity)."""
-    return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
+    whitespace-collapsed, lowercased text — the SAME content identity
+    the dedup operators key on (single-sourced via dedup.norm_text so
+    a normalization tweak can never fork the two)."""
+    from accountant_pdf_extract_spark.operators.dedup import norm_text
+
+    return F.md5(norm_text(col))
 
 
 def rolling_fingerprint(col: Column) -> Column:

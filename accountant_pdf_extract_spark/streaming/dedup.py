@@ -37,8 +37,23 @@ def stream_dedup_exact(
     """Drain ``docs_stream`` (needs ``id_col`` + ``text_col``), keeping
     only the first document observed per content hash across ALL
     micro-batches; appends (doc_id, content_hash) of the kept docs to
-    ``output_dir``.  Returns the StreamingQuery."""
-    hashed = docs_stream.select(
+    ``output_dir``.  Returns the StreamingQuery.
+
+    Contract: ``id_col`` must be an integral column (the state/output
+    schemas are pinned ``long`` and 'first' = smallest id) — enforced
+    up front, because a string id would only fail deep inside an
+    executor.  NULL ids are dropped (a null would promote the pandas
+    column to float and crash ``int(min)``; the batch twin ignores
+    null ids the same way)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = docs_stream.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"stream_dedup_exact needs an integral {id_col!r} "
+            f"(state schema is 'long'); got {id_type.simpleString()}"
+        )
+    hashed = docs_stream.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm_text(F.col(text_col))).alias("content_hash"),
     )

@@ -268,6 +268,14 @@ def test_salted_join_refuses_outer_and_is_content_deterministic(spark):
         salted_join(big, small, "k", how="full")
     with pytest.raises(ValueError, match="salted_join"):
         salted_join(big, small, "k", how="right")
+    # 'cross' is refused too: Spark plans a using-columns 'cross' join
+    # as INNER, silently dropping unmatched keys — never allow it
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="cross")
+    # inputs carrying the internal salt column are refused, not
+    # silently clobbered-and-dropped
+    with pytest.raises(ValueError, match="_sj_salt"):
+        salted_join(big.withColumn("_sj_salt", F.lit(1)), small, "k")
     # content-keyed salt: same result regardless of partitioning
     a = sorted(map(tuple, salted_join(big, small, "k").collect()))
     b = sorted(

@@ -378,3 +378,74 @@ def test_quantize_embeddings_zero_vector_and_range(spark):
         127 in r["q8"] or -127 in r["q8"]
         for r in real if r["max_abs_milli"] > 0
     )
+
+
+def test_gemm_topk_tie_determinism_across_partitioning(spark):
+    """Duplicate embeddings tie at the k-th score: the GEMM path must
+    return the same (lowest-cid) neighbor set regardless of how the
+    corpus is partitioned/batched — per-batch pruning cuts ties by the
+    same (score desc, cid asc) order as the global reduction."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.operators import similarity
+
+    # 40 corpus vectors, only 3 DISTINCT embeddings -> massive ties
+    base = np.random.default_rng(5).standard_normal((3, 8)).astype("float32")
+    rows = [(int(i), [float(x) for x in base[i % 3]]) for i in range(40)]
+    q = base[0:1]
+    qids = np.array([999], dtype=np.int64)
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(parts)
+        got = sorted(
+            r["cid"]
+            for r in similarity.brute_force_topk_pandas(
+                df, q, qids, k=5
+            ).collect()
+        )
+        outs.append(got)
+    assert outs[0] == outs[1]
+    # the winners are exactly the 5 lowest ids among exact-duplicates
+    # of the query embedding (cids 0,3,6,... are residue-0)
+    assert outs[0] == [0, 3, 6, 9, 12]
+
+
+def test_split_tag_rejects_non_hex_threshold(spark):
+    import pytest
+
+    from accountant_pdf_extract_spark.operators import sampling
+
+    for bad in ("xz", "", "c-"):
+        with pytest.raises(ValueError, match="lowercase hex"):
+            sampling.split_tag(F.col("doc_id"), bad)
+
+    # uppercase normalizes instead of silently skewing the split
+    # (raw 'CC' compared against lowercase md5 hex gave ~62/38)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    upper = docs.select(sampling.split_tag(F.col("doc_id"), "CC").alias("s"))
+    lower = docs.select(sampling.split_tag(F.col("doc_id"), "cc").alias("s"))
+    assert upper.collect() == lower.collect()
+
+
+def test_hyperplane_signature_rejects_indivisible_bits(spark):
+    import pytest
+
+    from accountant_pdf_extract_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="divide evenly"):
+        similarity.hyperplane_signature(emb, seed=1, n_bits=10, n_tables=4)
+
+
+def test_grouped_stats_half_cent_rounds_away_from_zero(spark):
+    """value=0.125 -> exactly 12.5 cents -> must round to 13 like the
+    DuckDB oracle's round(), not pandas' banker's 12."""
+    from accountant_pdf_extract_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [(1, 0.125), (1, 0.125), (1, 0.125)], "user_id long, value double"
+    )
+    r = sessions.grouped_stats(ev).collect()[0]
+    assert r["median_cents"] == 13.0

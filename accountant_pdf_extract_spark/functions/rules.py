@@ -31,12 +31,15 @@ DUE_ANCHOR = r"(?i)\b(?:due|f[äa]llig|vencimiento|[ée]ch[ée]ance)\b"
 
 # Currency amounts.  Symbol-leading ($1,234.56 / £12 345.00 / € 1.234,56)
 # and symbol-trailing European (1.234,56 €); parentheses => negative.
+# Separator-less runs are a single \d+ alternative with a trailing
+# (?!\d) guard: the old \d{1,3} head silently TRUNCATED "$1234.56"
+# to 123 (a wrong financial value, not a skip).
 AMOUNT_LEAD = (
     r"(\()?\s*([$\u20ac\u00a3])\s?"
-    r"(\d{1,3}(?:[.,\u00a0 ]\d{3})*(?:[.,]\d{2})?)(\s*\))?"
+    r"((?:\d{1,3}(?:[.,\u00a0 ]\d{3})+|\d+)(?:[.,]\d{2})?)(?!\d)(\s*\))?"
 )
 AMOUNT_TRAIL_EUR = (
-    r"(\()?(\d{1,3}(?:[.\u00a0 ]\d{3})*,\d{2})\s?(\u20ac)(\))?"
+    r"(\()?(?<![\d.,])((?:\d{1,3}(?:[.\u00a0 ]\d{3})+|\d+),\d{2})\s?(\u20ac)(\))?"
 )
 CURRENCY = {"$": "USD", "€": "EUR", "£": "GBP"}
 

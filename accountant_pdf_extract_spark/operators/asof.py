@@ -42,6 +42,10 @@ def asof_join_backward(
     (e.g. keep the max tiebreaker) or the winner among equal
     timestamps is unspecified.
     """
+    # right rows with a NULL `on` would sort NULLS FIRST and "match"
+    # every left row with no earlier real right row — a null timestamp
+    # can never satisfy right.on <= left.on (SQL ASOF agrees: no match)
+    right = right.where(F.col(on).isNotNull())
     rstruct = F.struct(*[F.col(c) for c in right_cols])
     r = right.select(
         F.col(by),

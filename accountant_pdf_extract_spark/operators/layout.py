@@ -132,7 +132,10 @@ def reading_order(page_idx: int, page: Page) -> list[Placed]:
 
 
 _NORM_WS = re.compile(r"\s+")
-_NORM_DIGIT = re.compile(r"\d")
+# digit RUNS collapse to one '#': per-digit mapping made "Page 9 of
+# 36" and "Page 10 of 36" normalize differently, so the repeated-line
+# strip leaked single-digit footers on every document of >= 10 pages
+_NORM_DIGIT = re.compile(r"\d+")
 
 
 def normalize_line(text: str) -> str:

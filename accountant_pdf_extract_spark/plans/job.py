@@ -120,10 +120,16 @@ def run_job(
         keep_salt=True,
     )
 
-    # Idempotent per-bucket overwrite: a redone bucket replaces only its
-    # own partition directory.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    flat.write.mode("overwrite").partitionBy(SALT_COL).parquet(output_path)
+    # Idempotent per-bucket overwrite: a redone bucket replaces only
+    # its own partition directory.  Writer-scoped option, NOT a
+    # session conf — flipping the session default would silently turn
+    # every later full overwrite in this session into a partial one.
+    (
+        flat.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(SALT_COL)
+        .parquet(output_path)
+    )
 
     wall_ms = int((time.monotonic() - t0) * 1000)
 

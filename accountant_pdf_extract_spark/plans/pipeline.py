@@ -76,19 +76,29 @@ def extract(
     """
     assert_input_schema(df.select("doc_id", "spans"))
     spark = df.sparkSession
-    np = num_partitions or spark.sparkContext.defaultParallelism * 4
+    np = _effective_partitions(spark, num_partitions, salt_buckets)
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
     run, dropped = _with_drop_metric(spark, extract_batches)
     out = salted.select("doc_id", "spans").mapInArrow(
         run, schema=FLAT_FIELDS_SCHEMA
     )
     if keep_salt:
-        out = out.withColumn(
-            SALT_COL,
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(salt_buckets)).cast("int"),
-        )
+        # same formula via salt() — the bucketing expression must never
+        # fork between the input path and the output column
+        out = salt(out, salt_buckets)
     out.dropped_docs_acc = dropped
     return out
+
+
+def _effective_partitions(
+    spark, num_partitions: int | None, salt_buckets: int
+) -> int:
+    """The repartition KEY is the salt bucket, so partitions beyond
+    ``salt_buckets`` can only sit empty (there are at most that many
+    distinct keys) — clamp, and get more parallelism by raising
+    ``salt_buckets`` instead."""
+    np = num_partitions or spark.sparkContext.defaultParallelism * 4
+    return min(np, salt_buckets)
 
 
 def extract_fields_table(
@@ -99,9 +109,16 @@ def extract_fields_table(
     """Fields-only extraction: one row per document (doc_id +
     accounting fields), same salted single-shuffle plan, but the
     kernel never materializes the span-text Arrow columns — the cheap
-    path when only structured fields are wanted.  Equivalent to
-    ``fields_view(extract(df))`` (pinned by
-    ``tests/test_corpus_pipeline.py``), minus ~20x of Arrow build."""
+    path when only structured fields are wanted.
+
+    Equivalence with ``fields_view(extract(df))`` (pinned by
+    ``tests/test_corpus_pipeline.py``) holds for every document that
+    emits at least one span.  A document whose spans all normalize to
+    NOTHING (e.g. one whitespace-only text span) appears HERE with
+    null fields but has no rows at all in the flat span output — the
+    fields table is per-document, the flat table is per-span, and a
+    zero-span doc has no row to carry fields on.  Pinned by
+    ``test_zero_span_doc_fields_vs_flat``."""
     from accountant_pdf_extract_spark.operators.kernel import (
         extract_fields_batches,
     )
@@ -109,7 +126,7 @@ def extract_fields_table(
 
     assert_input_schema(df.select("doc_id", "spans"))
     spark = df.sparkSession
-    np = num_partitions or spark.sparkContext.defaultParallelism * 4
+    np = _effective_partitions(spark, num_partitions, salt_buckets)
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
     run, dropped = _with_drop_metric(spark, extract_fields_batches)
     out = salted.select("doc_id", "spans").mapInArrow(

@@ -267,7 +267,8 @@ def _order_page(lines, images):
 
 
 def _norm(text: str) -> str:
-    return re.sub(r"\s+", " ", re.sub(r"\d", "#", text.lower())).strip()
+    # digit RUNS -> one '#' (mirrors engine normalize_line)
+    return re.sub(r"\s+", " ", re.sub(r"\d+", "#", text.lower())).strip()
 
 
 def pdf_spans(payload: str) -> list[tuple[str, str, str]]:

@@ -63,3 +63,32 @@ def test_fields_only_kernel_equals_fields_view(spark):
     a = sorted(map(tuple, via_flat.collect()))
     b = sorted(map(tuple, via_fields.collect()))
     assert a == b and len(a) == 120
+
+
+def test_zero_span_doc_fields_vs_flat(spark):
+    """Documented divergence pinned: a doc whose spans all normalize
+    to nothing has ONE null-fields row in the fields table but ZERO
+    rows in the flat span output (fields ride on span rows)."""
+    from accountant_pdf_extract_spark.plans.pipeline import (
+        extract,
+        extract_fields_table,
+        fields_view,
+    )
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+
+    inp = spark.createDataFrame(
+        [
+            ("empty", [{"kind": "text", "text": "   ", "media_ref": "", "offset": 0}]),
+            ("real", [{"kind": "text", "text": "invoice body", "media_ref": "", "offset": 0}]),
+        ],
+        INPUT_SCHEMA,
+    )
+    flat = extract(inp, salt_buckets=4, num_partitions=2)
+    ft = extract_fields_table(inp, salt_buckets=4, num_partitions=2)
+    assert sorted(r["doc_id"] for r in ft.select("doc_id").collect()) == [
+        "empty", "real"
+    ]
+    assert sorted(
+        r["doc_id"] for r in fields_view(flat).select("doc_id").collect()
+    ) == ["real"]
+    assert flat.where("doc_id = 'empty'").count() == 0

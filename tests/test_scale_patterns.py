@@ -129,7 +129,11 @@ def test_asof_join_backward_semantics(spark):
         "k long, t long, lid long",
     )
     right = spark.createDataFrame(
-        [(1, 3, 900, 33), (1, 10, 901, None), (2, 9, 902, 99)],
+        # the (1, NULL, ...) row must never match: a null timestamp
+        # cannot satisfy right.t <= left.t (old code sorted it NULLS
+        # FIRST and leaked it into early left rows)
+        [(1, 3, 900, 33), (1, 10, 901, None), (2, 9, 902, 99),
+         (1, None, 999, 77)],
         "k long, t long, rid long, rv long",
     )
     out = {

@@ -103,7 +103,10 @@ def test_boilerplate_kept_single_page():
 
 
 def test_normalize_line():
-    assert normalize_line("Page 3 of 12") == "page # of ##"
+    # digit RUNS collapse to one # — "Page 9 of 36" and "Page 10 of
+    # 36" must normalize identically or >=10-page docs leak footers
+    assert normalize_line("Page 3 of 12") == "page # of #"
+    assert normalize_line("Page 10 of 12") == "page # of #"
 
 
 def test_image_media_ref_passthrough():
@@ -148,6 +151,20 @@ def test_amounts_in_forms():
     assert ("EUR", Decimal("1234.56")) in vals
     assert ("USD", Decimal("-987.65")) in vals
     assert ("GBP", Decimal("12345.00")) in vals
+
+
+def test_amounts_without_thousands_separators_not_truncated():
+    # the old \d{1,3} head silently parsed "$1234.56" as 123.00
+    assert [(c, v) for _, c, v in amounts_in("Total: $1234.56")] == [
+        ("USD", Decimal("1234.56"))
+    ]
+    assert [(c, v) for _, c, v in amounts_in("betrag 9876,00 € offen")] == [
+        ("EUR", Decimal("9876.00"))
+    ]
+    assert [(c, v) for _, c, v in amounts_in("$500 and $12.34")] == [
+        ("USD", Decimal("500.00")),
+        ("USD", Decimal("12.34")),
+    ]
 
 
 def test_dates_in_forms():

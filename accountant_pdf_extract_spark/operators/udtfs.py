@@ -20,8 +20,14 @@ class ShingleUDTF:
     """All k-char shingles of whitespace-normalized, lowercased text."""
 
     def eval(self, text: str, k: int):  # noqa: D102
+        import re
+
         if text and k and k > 0:
-            n = " ".join(text.lower().split())
+            # EXACT mirror of _shingles_sql's normalization:
+            # lower → trim SPACES only (SQL trim) → collapse \s+ runs.
+            # ' '.join(split()) would also strip edge tabs/newlines and
+            # fork the two advertised-equivalent surfaces.
+            n = re.sub(r"\s+", " ", text.lower().strip(" "))
             for i in range(max(len(n) - k + 1, 0)):
                 yield n[i : i + k], i
 

@@ -47,13 +47,15 @@ def q_extract_fields(spark, sf):
 @register("q_salt")
 def q_salt(spark, sf):
     """Salt-bucket distribution evidence (rows-only): per-bucket doc
-    counts for the skew-defeating repartition key."""
+    counts for the skew-defeating repartition key — computed via the
+    SAME salt() the pipeline shuffles on (never a re-implementation of
+    the bucketing formula), at the sibling queries' 256 buckets."""
+    from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, salt
+
     docs = interleaved_from_documents(spark, sf, seed=42)
     return (
-        docs.select(
-            F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int").alias("bucket")
-        )
-        .groupBy("bucket")
+        salt(docs, 256)
+        .groupBy(F.col(SALT_COL).alias("bucket"))
         .agg(F.count("*").alias("n_docs"))
     )
 

@@ -41,16 +41,25 @@ def _pdf_objects(raw: str) -> dict[int, str]:
 
 
 def _page_object_numbers(objs: dict[int, str]) -> list[int]:
+    # mirror engine: stop at the FIRST /Type /Pages object whether or
+    # not it carries /Kids, and fall back to the object-order scan
+    # whenever the resolved list is EMPTY (empty /Kids included)
+    page_nums: list[int] = []
     for body in objs.values():
         if "/Type /Pages" in body:
             km = re.search(r"/Kids\s*\[([^\]]*)\]", body)
             if km:
-                return [int(x) for x in re.findall(r"(\d+)\s+0\s+R", km.group(1))]
-    return [
-        n
-        for n, b in sorted(objs.items())
-        if "/Type /Page" in b and "/Type /Pages" not in b
-    ]
+                page_nums = [
+                    int(x) for x in re.findall(r"(\d+)\s+0\s+R", km.group(1))
+                ]
+            break
+    if not page_nums:
+        page_nums = [
+            n
+            for n, b in sorted(objs.items())
+            if "/Type /Page" in b and "/Type /Pages" not in b
+        ]
+    return page_nums
 
 
 def _unesc(s: str) -> str:
@@ -66,8 +75,14 @@ def _unesc(s: str) -> str:
                     j += 1
                 out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
                 i = j
-            else:
+            elif nxt in "()\\n":
+                # only the escapes the engine's _ESC_RE recognizes;
+                # anything else stays a LITERAL backslash pair
                 out.append("\n" if nxt == "n" else nxt)
+                i += 2
+            else:
+                out.append("\\")
+                out.append(nxt)
                 i += 2
         else:
             out.append(c)
@@ -97,7 +112,17 @@ def _interpret(content: str, xobjs: dict[str, str]):
     st = _TextState()
     ctm = [1.0, 1.0, 0.0, 0.0]
     saved = []
-    operands: list = []
+    # Separate operand stacks with ENGINE lifetimes: nums survive q/Q,
+    # strings die after EVERY operator, names live until Do, the TJ
+    # array lives until TJ consumes it (a new '[' resets it).  The old
+    # single-operand-list model cleared everything per op (keeping it
+    # on q/Q), which diverged on '/Im0 12 Tf Do', '(A) q Tj' and
+    # '[(A)] 0 0 Td TJ'.
+    nums: list[float] = []
+    strs: list[str] = []
+    names_l: list[str] = []
+    tj_parts: list[tuple] = []
+    in_array = False
 
     token_pat = re.compile(
         r"\(((?:[^()\\]|\\.)*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
@@ -109,37 +134,39 @@ def _interpret(content: str, xobjs: dict[str, str]):
             runs.append((st.x, st.y, st.size, txt))
             st.x = st.x + spec.CHAR_W_FACTOR * st.size * len(txt)
 
-    arr: list | None = None
     for tok in token_pat.finditer(content):
         string, open_b, close_b, name, number, op, hexs = tok.groups()
         if hexs is not None:
-            (arr if arr is not None else operands).append(("str", _hexdec(hexs)))
+            if in_array:
+                tj_parts.append(("str", _hexdec(hexs)))
+            else:
+                strs.append(_hexdec(hexs))
             continue
         if open_b:
-            arr = []
+            in_array = True
+            tj_parts = []
             continue
         if close_b:
-            operands.append(arr)
-            arr = None
+            in_array = False
             continue
         if string is not None:
-            (arr if arr is not None else operands).append(("str", _unesc(string)))
+            s = _unesc(string)
+            if in_array:
+                tj_parts.append(("str", s))
+            else:
+                strs.append(s)
             continue
         if name:
-            operands.append(("name", name[1:]))
+            names_l.append(name[1:])
             continue
         if number:
             v = float(number)
-            if arr is not None:
-                arr.append(("num", v))
+            if in_array:
+                tj_parts.append(("num", v))
             else:
-                operands.append(("num", v))
+                nums.append(v)
             continue
 
-        nums = [
-            v for o in operands if isinstance(o, tuple) and o[0] == "num"
-            for v in [o[1]]
-        ]
         if op == "Tf" and nums:
             st.size = nums[-1]
         elif op == "TL" and nums:
@@ -163,26 +190,22 @@ def _interpret(content: str, xobjs: dict[str, str]):
         elif op == "BT":
             st.lx = st.x = st.y = 0.0
         elif op == "Tj":
-            strs = [v for t, v in operands if t == "str"]
             if strs:
                 advance(strs[-1])
         elif op == "'":
             st.y -= st.leading
             st.x = st.lx
-            strs = [v for t, v in operands if t == "str"]
             if strs:
                 advance(strs[-1])
         elif op == "TJ":
             parts = []
-            last_arr = next(
-                (o for o in reversed(operands) if isinstance(o, list)), []
-            )
-            for t, v in last_arr:
+            for t, v in tj_parts:
                 if t == "str":
                     parts.append(v)
                 elif v <= spec.TJ_SPACE_THRESH:
                     parts.append(" ")
             advance("".join(parts))
+            tj_parts = []
         elif op == "re" and len(nums) >= 4:
             rx, ry, rw, rh = nums[-4:]
             if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
@@ -193,17 +216,19 @@ def _interpret(content: str, xobjs: dict[str, str]):
             ctm = [nums[-6], nums[-3], nums[-2], nums[-1]]
         elif op == "q":
             saved.append(list(ctm))
-            continue  # keep operands (mirrors engine)
         elif op == "Q":
             ctm = saved.pop() if saved else [1.0, 1.0, 0.0, 0.0]
-            continue
         elif op == "Do":
-            names = [
-                o[1] for o in operands if isinstance(o, tuple) and o[0] == "name"
-            ]
-            if names and names[-1] in xobjs:
-                images.append((ctm[2], ctm[3], ctm[0], ctm[1], xobjs[names[-1]]))
-        operands = []
+            if names_l:
+                ref = xobjs.get(names_l[-1], "")
+                if ref:  # falsy (empty /Name) never emits, like engine
+                    images.append((ctm[2], ctm[3], ctm[0], ctm[1], ref))
+        # engine operand lifetimes after every operator:
+        if op not in ("q", "Q"):
+            nums = []
+        strs = []
+        if op == "Do":
+            names_l = []
     return runs, vrules, hrules, images
 
 

@@ -34,3 +34,33 @@ def test_tokenize_udtf(spark):
         "FROM (SELECT 'the quick fox and the dog' AS t), LATERAL tokenize(t)"
     ).first()
     assert row["n"] == 6 and row["s"] == 3
+
+
+def test_shingle_udtf_matches_sql_on_edge_whitespace(spark):
+    """Leading tabs/newlines: the UDTF must normalize exactly like
+    _shingles_sql (SQL trim strips SPACES only, so '\\tfoo' keeps a
+    leading collapsed space) — str.split() would diverge."""
+    from accountant_pdf_extract_spark.operators.dedup import shingle_df
+    from accountant_pdf_extract_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "\tfoo bar"), (2, "tail newline\n"), (3, " spaced ")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("edge_docs")
+    via_udtf = {
+        (r["doc_id"], r["shingle"])
+        for r in spark.sql(
+            "SELECT d.doc_id, s.shingle "
+            "FROM edge_docs d, LATERAL shingles(d.text, 4) s"
+        ).collect()
+    }
+    via_sql = {
+        (r["sid"], r["shingle"])
+        for r in shingle_df(docs, k=4).collect()
+    }
+    assert via_udtf == via_sql and via_udtf
+    # the leading tab survives as a collapsed leading SPACE (SQL trim
+    # strips spaces only) — pin the agreed semantics, not just parity
+    assert (1, " foo") in via_udtf

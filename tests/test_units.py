@@ -632,3 +632,71 @@ def test_png_bomb_and_short_structs_raise_valueerror():
 
     good = encode_wav(np.zeros(4, dtype=np.int16))
     assert decode_wav(good)[0] == 16000
+
+
+# --------------------------------------------------------------------------
+# Engine ≡ oracle on malformed-PDF corners (reviewer-found divergences)
+# --------------------------------------------------------------------------
+
+
+def _engine_content(content, xobjs=None):
+    from accountant_pdf_extract_spark.operators import pdfparse
+
+    page = pdfparse._parse_content(content, xobjs or {})
+    return (
+        [r.text for r in page.runs],
+        [im.media_ref for im in page.images],
+    )
+
+
+def _oracle_content(content, xobjs=None):
+    from tests import oracle
+
+    runs, _v, _h, images = oracle._interpret(content, xobjs or {})
+    return [t for _x, _y, _s, t in runs], [ref for *_a, ref in images]
+
+
+def test_operand_lifetimes_engine_equals_oracle():
+    cases = [
+        # name must survive Tf until Do consumes it
+        ("/Im0 12 Tf Do", {"Im0": "media://img"}),
+        # strings are cleared by EVERY operator incl. q — Tj emits nothing
+        ("BT (A) q Tj ET", None),
+        # the TJ array survives an intervening Td
+        ("BT [(A)] 0 0 Td TJ ET", None),
+        # an empty /Name in the XObject map never emits a media span
+        ("/Im0 Do", {"Im0": ""}),
+        # two arrays before TJ: a new '[' resets the pending array
+        ("BT [(A)] [(B)] TJ ET", None),
+        # unknown string escapes stay literal backslash pairs
+        (r"BT (a\tb) Tj ET", None),
+    ]
+    for content, xobjs in cases:
+        assert _engine_content(content, xobjs) == _oracle_content(
+            content, xobjs
+        ), content
+    # spot semantics, not just parity:
+    assert _engine_content("/Im0 12 Tf Do", {"Im0": "media://img"})[1] == [
+        "media://img"
+    ]
+    assert _engine_content("BT (A) q Tj ET")[0] == []
+    assert _engine_content("BT [(A)] 0 0 Td TJ ET")[0] == ["A"]
+    assert _engine_content("BT [(A)] [(B)] TJ ET")[0] == ["B"]
+    assert _engine_content(r"BT (a\tb) Tj ET")[0] == ["a\\tb"]
+
+
+def test_empty_kids_falls_back_to_page_scan():
+    from tests.oracle import pdf_spans
+
+    body = "BT /F1 10 Tf 72 700 Td (fallback page) Tj ET\n"
+    pdf = (
+        "%PDF-1.4\n"
+        "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Kids [ ] /Count 0 >> endobj\n"
+        "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        f"4 0 obj << /Length {len(body)} >>\nstream\n{body}endstream endobj\n"
+        "%%EOF\n"
+    )
+    out, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [t for _, t, _, _ in out] == ["fallback page"]
+    assert [t for _k, t, _r in pdf_spans(pdf)] == ["fallback page"]

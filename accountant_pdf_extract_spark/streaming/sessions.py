@@ -1,0 +1,84 @@
+"""Streaming sessionization via ``session_window`` — the streaming
+twin of ``operators/sessions.sessionize`` (batch = two window
+functions; streaming = Spark's built-in gap-based session windows
+with watermark-driven state eviction).
+
+A session closes when no event arrives for ``gap``; the watermark
+bounds how late an event may extend a session, so state for sessions
+older than (watermark + gap) is evicted — bounded state on an
+unbounded stream, the property a hand-rolled stateful op would have
+to re-implement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-(user, session) aggregates over gap-based session windows:
+    (user_id, session_start, session_end, n_events, value_cents).
+    Append-mode compatible (rows emit once the watermark passes the
+    session's end)."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_streaming_sessionize(
+    spark,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 seconds",
+):
+    """AvailableNow drain to a batch-id-keyed dynamic-overwrite sink
+    (replays replace their own partition — idempotent)."""
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(input_dir)
+    sess = streaming_sessionize(stream, gap=gap, watermark=watermark)
+
+    def sink(df, batch_id):
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(output_dir)
+        )
+
+    q = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -408,3 +408,74 @@ def test_resize_half_pixel_rounding_matches_plan(spark):
         }
         assert got == plan, (max_side, got, plan)
     assert all(w >= 1 and h >= 1 for w, h in plan.values())
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path: pathlib.Path):
+    """Gap-based session windows over an AvailableNow drain equal the
+    batch session_window aggregation on the same input (gap merges,
+    separate users, a quiet-period split)."""
+    import datetime as dt
+
+    from accountant_pdf_extract_spark.streaming.sessions import (
+        run_streaming_sessionize,
+        streaming_sessionize,  # noqa: F401  (public API surface)
+    )
+
+    t0 = dt.datetime(2026, 2, 1, 9, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: events at 0,10,20 chain into ONE session (gap 30m),
+        # then a 90-minute silence splits a second session at 110
+        (ts(0), 1, 1.0), (ts(10), 1, 2.0), (ts(20), 1, 3.0),
+        (ts(110), 1, 4.0),
+        # user 2: single event
+        (ts(5), 2, 10.0),
+    ]
+    inp = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double"
+    ).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "sess_out")
+    run_streaming_sessionize(
+        spark, inp, str(tmp_path / "sess_ckpt"), out, gap="30 minutes"
+    )
+    # append mode emits a session only once the WATERMARK passes its
+    # end — the stream's final open sessions stay in state after the
+    # first drain.  A second drain with a far-future sentinel event
+    # pushes the watermark and flushes them (cross-batch state).
+    spark.createDataFrame(
+        [(ts(10_000), 999, 0.0)], "ts timestamp, user_id long, value double"
+    ).write.mode("append").parquet(inp)
+    run_streaming_sessionize(
+        spark, inp, str(tmp_path / "sess_ckpt"), out, gap="30 minutes"
+    )
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 999  # the sentinel's own session stays open
+    }
+    batch = {
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["value_cents"])
+        for r in spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        )
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+        .collect()
+    }
+    assert got == batch
+    assert len(got) == 3  # two sessions for user 1, one for user 2
+    assert (1, str(ts(0)), 3, 600) in got

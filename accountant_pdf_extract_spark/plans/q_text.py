@@ -764,3 +764,75 @@ def q_quantize(spark, sf):
         ).alias("q8"),
         "max_abs_milli",
     )
+
+
+@register(
+    "q_repetition",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                               x -> x <> '') AS l
+            FROM documents)),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    tstat AS (SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n,
+                     CAST(max(c) AS BIGINT) AS best,
+                     CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup
+              FROM tc GROUP BY doc_id),
+    big AS (SELECT a.doc_id, a.t || ' ' || b.t AS g
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+    bstat AS (SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS nb,
+                     CAST(max(c) AS BIGINT) AS best,
+                     CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup
+              FROM bc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(ts.n, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN ts.n > 0 THEN floor(ts.best * 1000.0 / ts.n) ELSE 0 END AS BIGINT) AS top_token_milli,
+           CAST(CASE WHEN ts.n > 0 THEN floor(ts.dup * 1000.0 / ts.n) ELSE 0 END AS BIGINT) AS dup_token_milli,
+           CAST(CASE WHEN bs.nb > 0 THEN floor(bs.best * 1000.0 / bs.nb) ELSE 0 END AS BIGINT) AS top_bigram_milli,
+           CAST(CASE WHEN bs.nb > 0 THEN floor(bs.dup * 1000.0 / bs.nb) ELSE 0 END AS BIGINT) AS dup_bigram_milli
+    FROM documents d
+    LEFT JOIN tstat ts USING (doc_id)
+    LEFT JOIN bstat bs USING (doc_id)
+    """,
+)
+def q_repetition(spark, sf):
+    """Gopher-style repetition quality signals — engine computes every
+    stat map-side per row (array_sort + linear run-length fold, bigrams
+    from zip_with over shifted slices: ZERO exchanges), while the
+    oracle does the explode + per-doc GROUP BY."""
+    return textstats.repetition_features(t(spark, sf, "documents"))
+
+
+@register(
+    "q_oov",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS t
+      FROM documents),
+    v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t
+                         ORDER BY c DESC, t ASC LIMIT 20)),
+    per AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN t NOT IN (SELECT t FROM v)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS oov
+            FROM tok GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN per.n > 0 THEN floor(per.oov * 1000.0 / per.n)
+                ELSE 0 END AS BIGINT) AS oov_milli
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_oov(spark, sf):
+    """Out-of-vocabulary rate vs the corpus top-20 vocabulary: the
+    vocabulary cut is TakeOrderedAndProject (never a global sort), the
+    20 survivors collapse to one broadcast array, and scoring is a
+    map-side HOF — the corpus never shuffles for the scoring pass."""
+    return textstats.oov_rate(t(spark, sf, "documents"), vocab_size=20)

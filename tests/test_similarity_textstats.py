@@ -449,3 +449,73 @@ def test_grouped_stats_half_cent_rounds_away_from_zero(spark):
     )
     r = sessions.grouped_stats(ev).collect()[0]
     assert r["median_cents"] == 13.0
+
+
+def test_repetition_fold_matches_python_reference(spark):
+    """The zero-shuffle run-length fold must equal a Counter-based
+    reference on handcrafted repetition shapes (all-same, all-distinct,
+    runs at both ends, singleton, empty)."""
+    from collections import Counter
+
+    from accountant_pdf_extract_spark.operators import textstats
+
+    texts = [
+        "a a a a",                # one token repeated: top=dup=1000
+        "a b c d e",              # all distinct
+        "a a b c c",              # dup runs at both ends of sorted order
+        "x",                      # singleton: no bigrams
+        "",                       # empty: everything 0
+        "spam spam eggs spam bacon spam",
+        "go go go stop go go",    # repeated bigram 'go go'
+    ]
+    df = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in textstats.repetition_features(df).collect()
+    }
+
+    def ref(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def stats(items):
+            c = Counter(items)
+            best = max(c.values()) if c else 0
+            dup = sum(v for v in c.values() if v >= 2)
+            return best, dup
+
+        def milli(num, den):
+            return num * 1000 // den if den > 0 else 0
+
+        tb, td = stats(toks)
+        bb, bd = stats(bigs)
+        n, nb = len(toks), len(bigs)
+        return {
+            "n_tokens": n,
+            "top_token_milli": milli(tb, n),
+            "dup_token_milli": milli(td, n),
+            "top_bigram_milli": milli(bb, nb),
+            "dup_bigram_milli": milli(bd, nb),
+        }
+
+    for i, text in enumerate(texts):
+        want = ref(text)
+        have = {k: got[f"d{i}"][k] for k in want}
+        assert have == want, (text, have, want)
+
+
+def test_oov_rate_vocab_cut_is_deterministic(spark):
+    """Vocabulary = top-V by (count desc, token asc); tokens tied at
+    the cut resolve alphabetically, and OOV counts follow exactly."""
+    from accountant_pdf_extract_spark.operators import textstats
+
+    # counts: a=3, b=2, c=2, d=1 -> vocab_size=2 keeps {a, b} (b beats
+    # c on the alphabetical tiebreak at equal count)
+    df = spark.createDataFrame(
+        [("d1", "a a a b"), ("d2", "b c c d")], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r["oov_milli"] for r in
+           textstats.oov_rate(df, vocab_size=2).collect()}
+    assert got == {"d1": 0, "d2": 750}  # d2: c,c,d OOV -> 3/4

@@ -294,3 +294,244 @@ def tpch_q12(spark, sf):
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(v) AS BIGINT) AS revenue_cents
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS v
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark, sf):
+    """Q7 volume-shipping shape (nation-pair revenue by year).  The
+    two nation dims broadcast (25 rows); the nation-pair disjunction is
+    applied post-join while supplier/customer pre-filter to the two
+    nations so the fact joins stay small."""
+    n = t(spark, sf, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = t(spark, sf, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    c = t(spark, sf, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    )
+    li = t(spark, sf, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13(spark, sf):
+    """Q13 customer-order-count distribution: LEFT OUTER join with a
+    join-side predicate (urgent orders excluded WITHOUT dropping
+    order-less customers), then a two-level aggregate."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    WITH pf AS (SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#23' AND p_size < 15),
+         lp AS (SELECT l.l_partkey,
+                       CAST(round(l.l_quantity * 100) AS BIGINT) AS q_cents,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT) AS p_cents
+                FROM lineitem l JOIN pf ON l.l_partkey = pf.p_partkey),
+         ag AS (SELECT l_partkey,
+                       CAST(sum(q_cents) AS BIGINT) AS sum_q,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM lp GROUP BY l_partkey)
+    SELECT CAST(coalesce(sum(lp.p_cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+    FROM lp JOIN ag ON lp.l_partkey = ag.l_partkey
+    WHERE lp.q_cents * 5 * ag.cnt < ag.sum_q
+    """,
+)
+def tpch_q17(spark, sf):
+    """Q17 small-quantity-order revenue (per-part avg correlated
+    subquery).  Engine plan: the brand/size filter broadcasts into the
+    fact join, then the per-part average becomes a PARTITIONED window
+    (sum/count over l_partkey) — one exchange, no self-join, no
+    re-scan; the quantity test is pure integer arithmetic
+    (q*5*cnt < sum_q  <=>  qty < 0.2*avg)."""
+    from pyspark.sql.window import Window
+
+    pf = t(spark, sf, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    lp = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity") * 100).cast("long").alias("q_cents"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_cents"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        lp.withColumn("sum_q", F.sum("q_cents").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .where(F.col("q_cents") * 5 * F.col("cnt") < F.col("sum_q"))
+        .agg(
+            F.expr("coalesce(sum(p_cents), 0) div 7")
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT CAST(coalesce(sum(
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           ), 0) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf):
+    """Q19 disjunctive-predicate join.  The OR spans both sides, so
+    Catalyst cannot push anything to either scan by itself — the
+    engine derives the implied single-side filters (brand IN the three
+    brands / size <= 15 on part, quantity <= 30 on lineitem) so both
+    scans prune BEFORE the join, and the exact disjunction runs as the
+    residual post-join filter."""
+    p = t(spark, sf, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    )
+    li = t(spark, sf, "lineitem").where(F.col("l_quantity").between(1, 30))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("revenue_cents"))
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    WITH pool AS (SELECT c_custkey, c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+         s AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM pool WHERE cents > 0)
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+    FROM pool, s
+    WHERE pool.cents > 0 AND pool.cents * s.n > s.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22(spark, sf):
+    """Q22 global-avg + anti-join shape: customers in five nations
+    with above-average positive balance and no URGENT orders (the
+    driver testdata gives every customer at least one order, so the
+    classic no-orders predicate would be vacuously empty — the
+    filtered anti-join keeps the identical plan shape with a
+    non-trivial result).  The mean test is pure integer (cents*n >
+    total — strict, no float avg crosses the engines); the (total, n)
+    scalar broadcasts; the no-urgent-orders test is a shuffle LEFT
+    ANTI against orders (orders' custkey set is too big to broadcast
+    at scale)."""
+    pool = (
+        t(spark, sf, "customer")
+        .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    s = pool.where(F.col("cents") > 0).agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n")
+    )
+    o = (
+        t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        pool.where(F.col("cents") > 0)
+        .crossJoin(F.broadcast(s))
+        .where(F.col("cents") * F.col("n") > F.col("total"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("cents").alias("totacctbal_cents"),
+        )
+    )

@@ -97,6 +97,31 @@ COMMENT = {
         "BroadcastExchange, and the top-20 is TakeOrderedAndProject "
         "(per-partition partial top-k), never a global-sort window."
     ),
+    "q_repetition": (
+        "ZERO-exchange repetition signals: bigrams via zip_with over "
+        "shifted slices, multiplicity stats via array_sort + linear "
+        "run-length fold — scan → project, no Generate/groupBy at "
+        "all; repetition filtering can run before a pipeline's first "
+        "shuffle."
+    ),
+    "q_oov": (
+        "the corpus is never shuffled for scoring: token counts "
+        "aggregate once, the vocabulary cut is TakeOrderedAndProject "
+        "(top-V by count), collapses to a one-row array, broadcasts, "
+        "and the per-doc rate is a map-side HOF over that broadcast."
+    ),
+    "tpch_q17": (
+        "per-part-average correlated subquery as ONE partitioned "
+        "window: broadcast the filtered part keys into the fact join, "
+        "a single Exchange on l_partkey feeds sum/count window + the "
+        "integer quantity test — no self-join, no second fact scan."
+    ),
+    "tpch_q19": (
+        "the cross-side OR cannot push down by itself, so the derived "
+        "single-side filters (brand IN, size/quantity ranges) appear "
+        "as PushedFilters on BOTH scans; the exact disjunction is the "
+        "residual post-join filter on the broadcast join."
+    ),
 }
 
 
@@ -129,7 +154,8 @@ def main() -> None:
     sections.append(("extract", extract(docs, 256, 32)))
     for name in ("q_filter", "q_agg", "q_join_bcast", "q_dedup_minhash",
                  "q_dedup_simhash", "q_embed_topk", "q_asof", "tpch_q5",
-                 "q_ntile", "q_range_join", "q_global_rank", "tpch_q10"):
+                 "q_ntile", "q_range_join", "q_global_rank", "tpch_q10",
+                 "q_repetition", "q_oov", "tpch_q17", "tpch_q19"):
         sections.append((name, qs[name](spark, sf)))
 
     # resume pruning over a bucket-partitioned input

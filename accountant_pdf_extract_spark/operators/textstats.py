@@ -104,11 +104,9 @@ def rolling_fingerprint(col: Column) -> Column:
     to right, so token REORDERING changes the fingerprint while the
     md5 ``fingerprint`` only sees the multiset of characters.  Pure
     Catalyst fold — intermediate values stay < 2^36, so the arithmetic
-    never overflows a long even under ANSI mode.  Empty/blank text
-    fingerprints to 0."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
-    )
+    never overflows a long even under ANSI mode.  Empty/blank/NULL
+    text fingerprints to 0."""
+    toks = _tokens_arr(col)
     m = F.lit(2_147_483_648)  # 2^31
     return F.aggregate(
         toks,
@@ -118,10 +116,14 @@ def rolling_fingerprint(col: Column) -> Column:
 
 
 def _tokens_arr(col: Column) -> Column:
-    """Lowercased whitespace tokens, blanks dropped — the shared token
-    identity for repetition / OOV signals (same normalization as
-    ``rolling_fingerprint`` and ``term_doc_stats``)."""
-    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != "")
+    """Lowercased whitespace tokens, blanks dropped — the single
+    shared token identity for repetition / OOV / fingerprint / TF-IDF
+    (a normalization tweak here moves all of them together, never
+    forks them).  NULL text tokenizes like empty text: the DuckDB
+    oracle twins emit 0-rows-then-coalesce for NULL, so the engine
+    must not propagate NULL through size()/aggregate()."""
+    c = F.coalesce(col, F.lit(""))
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
 
 
 def _run_length_stats(sorted_arr: Column) -> Column:
@@ -278,12 +280,7 @@ def term_doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     signal)."""
     toks = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("term"),
+        F.explode(_tokens_arr(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
     doc_len = toks.groupBy("doc").agg(F.count("*").alias("dl"))

@@ -358,8 +358,8 @@ def tpch_q7(spark, sf):
 @register(
     "tpch_q13",
     """
-    SELECT c_count, count(*) AS custdist
-    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
           FROM customer c LEFT OUTER JOIN orders o
             ON c.c_custkey = o.o_custkey
            AND o.o_orderpriority <> '1-URGENT'
@@ -486,7 +486,7 @@ def tpch_q19(spark, sf):
          s AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
                       CAST(count(*) AS BIGINT) AS n
                FROM pool WHERE cents > 0)
-    SELECT c_nationkey, count(*) AS numcust,
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
            CAST(sum(cents) AS BIGINT) AS totacctbal_cents
     FROM pool, s
     WHERE pool.cents > 0 AND pool.cents * s.n > s.total

@@ -88,17 +88,11 @@ def stream_dedup_exact(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def sink(df, batch_id):
-        # batch-id-keyed dynamic overwrite: replays replace their own
-        # partition instead of appending duplicates
-        (
-            df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(output_dir)
-        )
+    from accountant_pdf_extract_spark.streaming.sink import (
+        batch_keyed_parquet_sink,
+    )
 
+    sink = batch_keyed_parquet_sink(output_dir)
     writer = (
         deduped.writeStream.outputMode("append")
         .foreachBatch(sink)

@@ -35,27 +35,20 @@ def stream_extract(
         .parquet(input_dir)
     )
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import functions as F
+    from accountant_pdf_extract_spark.streaming.sink import (
+        batch_keyed_parquet_sink,
+    )
 
+    sink = batch_keyed_parquet_sink(output_dir, SALT_COL)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
         flat = extract(
             batch_df,
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
             keep_salt=True,
         )
-        # Idempotent on replay: output is keyed by batch_id with
-        # dynamic partition overwrite, so a batch re-run after a crash
-        # between the write and the checkpoint commit REPLACES its own
-        # partitions instead of appending duplicates (plain append
-        # would be at-least-once).
-        (
-            flat.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id", SALT_COL)
-            .parquet(output_dir)
-        )
+        sink(flat, batch_id)
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

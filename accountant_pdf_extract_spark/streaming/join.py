@@ -68,15 +68,11 @@ def run_stream_stream_join(
         watermark=watermark, band_seconds=band_seconds,
     )
 
-    def sink(df, batch_id):
-        (
-            df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(output_dir)
-        )
+    from accountant_pdf_extract_spark.streaming.sink import (
+        batch_keyed_parquet_sink,
+    )
 
+    sink = batch_keyed_parquet_sink(output_dir)
     q = (
         joined.writeStream.outputMode("append")
         .foreachBatch(sink)

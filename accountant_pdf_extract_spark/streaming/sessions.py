@@ -22,6 +22,7 @@ def streaming_sessionize(
     watermark: str = "10 seconds",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Per-(user, session) aggregates over gap-based session windows:
     (user_id, session_start, session_end, n_events, value_cents).
@@ -35,7 +36,7 @@ def streaming_sessionize(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
                 "value_cents"
             ),
         )
@@ -59,20 +60,15 @@ def run_streaming_sessionize(
 ):
     """AvailableNow drain to a batch-id-keyed dynamic-overwrite sink
     (replays replace their own partition — idempotent)."""
+    from accountant_pdf_extract_spark.streaming.sink import (
+        batch_keyed_parquet_sink,
+    )
+
     stream = spark.readStream.schema(
         "ts timestamp, user_id long, value double"
     ).parquet(input_dir)
     sess = streaming_sessionize(stream, gap=gap, watermark=watermark)
-
-    def sink(df, batch_id):
-        (
-            df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(output_dir)
-        )
-
+    sink = batch_keyed_parquet_sink(output_dir)
     q = (
         sess.writeStream.outputMode("append")
         .foreachBatch(sink)

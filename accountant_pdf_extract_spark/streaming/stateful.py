@@ -56,19 +56,11 @@ def running_user_counts(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    def sink(df, batch_id):
-        from pyspark.sql import functions as F
+    from accountant_pdf_extract_spark.streaming.sink import (
+        batch_keyed_parquet_sink,
+    )
 
-        # batch-id-keyed dynamic overwrite: replays replace their own
-        # partition instead of appending duplicates
-        (
-            df.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(output_dir)
-        )
-
+    sink = batch_keyed_parquet_sink(output_dir)
     writer = (
         stateful.writeStream.outputMode("update")
         .foreachBatch(sink)

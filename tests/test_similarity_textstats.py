@@ -519,3 +519,27 @@ def test_oov_rate_vocab_cut_is_deterministic(spark):
     got = {r["doc_id"]: r["oov_milli"] for r in
            textstats.oov_rate(df, vocab_size=2).collect()}
     assert got == {"d1": 0, "d2": 750}  # d2: c,c,d OOV -> 3/4
+
+
+def test_null_text_tokenizes_like_empty(spark):
+    """documents.text is nullable: NULL must flow through the shared
+    token identity as zero tokens (n_tokens=0, all milli 0, rolling
+    fingerprint 0) — matching the oracle twins' 0-rows-then-coalesce,
+    never a NULL that hash-diverges from the oracle's 0."""
+    from accountant_pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [("d0", None), ("d1", "a a")], "doc_id string, text string"
+    )
+    rep = {r["doc_id"]: r.asDict() for r in
+           textstats.repetition_features(df).collect()}
+    assert rep["d0"] == {"doc_id": "d0", "n_tokens": 0, "top_token_milli": 0,
+                         "dup_token_milli": 0, "top_bigram_milli": 0,
+                         "dup_bigram_milli": 0}
+    oov = {r["doc_id"]: (r["n_tokens"], r["oov_milli"]) for r in
+           textstats.oov_rate(df, vocab_size=1).collect()}
+    assert oov["d0"] == (0, 0)
+    fp = df.select(
+        "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("fp")
+    ).collect()
+    assert {r["doc_id"]: r["fp"] for r in fp}["d0"] == 0

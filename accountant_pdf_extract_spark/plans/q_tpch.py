@@ -535,3 +535,86 @@ def tpch_q22(spark, sf):
             F.sum("cents").alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           CAST(floor(1000.0
+             * sum(CASE WHEN nation = 'NATION_1' THEN v ELSE 0 END)
+             / sum(v)) AS BIGINT) AS mkt_share_milli
+    FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS v,
+                 n2.n_name AS nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'ASIA'
+            AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                  AND TIMESTAMP '1996-12-31 00:00:00')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8(spark, sf):
+    """Q8 market-share shape: NATION_1 suppliers' share of ECONOMY-part
+    volume sold into ASIA customers, by order year, in integer milli
+    (conditional-sum / total-sum, floored — the same integer-share
+    convention as q_promo_share).  Seven relations: part pre-filters
+    and broadcasts into the fact; nation/region dims broadcast; the
+    customer-side nation->region chain prunes customers BEFORE the
+    fact join; only orders-lineitem shuffle at scale."""
+    p = t(spark, sf, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = t(spark, sf, "region").where(F.col("r_name") == "ASIA").select("r_regionkey")
+    n1 = (
+        t(spark, sf, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        t(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    n2 = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "nation")
+    )
+    o = t(spark, sf, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    li = t(spark, sf, "lineitem")
+    v = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            v.alias("v"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.floor(
+                F.lit(1000.0)
+                * F.sum(F.when(F.col("nation") == "NATION_1", F.col("v")).otherwise(0))
+                / F.sum("v")
+            )
+            .cast("long")
+            .alias("mkt_share_milli")
+        )
+    )

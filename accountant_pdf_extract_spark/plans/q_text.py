@@ -836,3 +836,32 @@ def q_oov(spark, sf):
     20 survivors collapse to one broadcast array, and scoring is a
     map-side HOF — the corpus never shuffles for the scoring pass."""
     return textstats.oov_rate(t(spark, sf, "documents"), vocab_size=20)
+
+
+@register(
+    "q_jsonl_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark, sf):
+    """Lossless-export proof: the engine writes `documents` to
+    content-addressed gzip JSONL shards and returns the READ-BACK
+    rows, while the oracle reads the parquet directly — the driver's
+    full-value hash compare then certifies the export/import is
+    byte-lossless for every row (ids, unicode text, nulls, counts)."""
+    import hashlib
+    import tempfile
+
+    from accountant_pdf_extract_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = f"{tempfile.gettempdir()}/apes_jsonl_export_{tag}"
+    write_jsonl_shards(docs, out, n_shards=8)
+    return read_jsonl(spark, out, docs.schema)

@@ -543,3 +543,44 @@ def test_null_text_tokenizes_like_empty(spark):
         "doc_id", textstats.rolling_fingerprint(F.col("text")).alias("fp")
     ).collect()
     assert {r["doc_id"]: r["fp"] for r in fp}["d0"] == 0
+
+
+def test_jsonl_shard_assignment_is_partitioning_invariant(spark, tmp_path):
+    """Content-addressed sharding: the same row lands in the same
+    shard no matter how the input was partitioned, and read-back with
+    an explicit schema returns the exact original rows."""
+    from accountant_pdf_extract_spark.sources.jsonl import (
+        SHARD_COL,
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    rows = [(i, f"tok{i} " * (i % 5), i % 3) for i in range(40)]
+    schema = "doc_id long, text string, grp long"
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl_shards(spark.createDataFrame(rows, schema).repartition(1), a, 4)
+    write_jsonl_shards(spark.createDataFrame(rows, schema).repartition(13), b, 4)
+
+    def shard_map(path):
+        df = spark.read.schema(schema).json(path)
+        return {
+            r["doc_id"]: r[SHARD_COL]
+            for r in df.withColumn(SHARD_COL, F.input_file_name()).select(
+                "doc_id", F.regexp_extract(F.input_file_name(), r"_shard=(\d+)", 1).alias(SHARD_COL)
+            ).collect()
+        }
+
+    assert shard_map(a) == shard_map(b)
+
+    got = sorted(
+        (r["doc_id"], r["text"], r["grp"])
+        for r in read_jsonl(
+            spark, a, spark.createDataFrame(rows, schema).schema
+        ).collect()
+    )
+    assert got == sorted(rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_jsonl_shards(spark.createDataFrame(rows, schema), a, 0)

@@ -99,3 +99,16 @@ def _load() -> None:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(c):
+    """THE cross-engine money convention, single-sourced: round(x*100)
+    HALF_UP -> BIGINT.  Spark F.round matches DuckDB round() on the
+    non-negative money domains in this battery; never aggregate
+    doubles, never emit DECIMAL output columns (memory: DuckDB parity
+    gotchas).  Every oracle-paired query converting money/quantity to
+    integer cents must use this helper so a rounding-mode change can
+    never fork a subset of queries."""
+    from pyspark.sql import functions as F
+
+    return F.round(c * 100).cast("long")

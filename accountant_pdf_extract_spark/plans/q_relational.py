@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from accountant_pdf_extract_spark.plans.driver_queries import register, t
+from accountant_pdf_extract_spark.plans.driver_queries import cents, register, t
 
 # ---------------------------------------------------------------- P: project/filter
 
@@ -82,7 +82,6 @@ def q_valid(spark, sf):
     """,
 )
 def q_agg(spark, sf):
-    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -154,7 +153,7 @@ def q_join_bcast(spark, sf):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+            F.sum(cents(F.col("c_acctbal"))).alias(
                 "acctbal_cents"
             ),
         )
@@ -179,7 +178,7 @@ def q_join_smj(spark, sf):
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
         )
     )
 
@@ -279,14 +278,14 @@ def q_rank(spark, sf):
     """,
 )
 def q_lag(spark, sf):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cc = cents(F.col("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         t(spark, sf, "events")
         .select(
             "user_id",
             "event_id",
-            (cents - F.lag(cents).over(w)).alias("delta_cents"),
+            (cc - F.lag(cc).over(w)).alias("delta_cents"),
         )
     )
 
@@ -302,14 +301,14 @@ def q_lag(spark, sf):
     """,
 )
 def q_frame(spark, sf):
-    cents = F.round(F.col("value") * 100).cast("long")
+    cc = cents(F.col("value"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return t(spark, sf, "events").select(
-        "user_id", "event_id", F.sum(cents).over(w).alias("running_cents")
+        "user_id", "event_id", F.sum(cc).over(w).alias("running_cents")
     )
 
 
@@ -359,12 +358,10 @@ def q_union(spark, sf):
     """,
 )
 def q_except(spark, sf):
-    # SQL EXCEPT = distinct(left) minus right — distinct the left FIRST
-    # (exceptAll-then-distinct returns rows whose left multiplicity
-    # exceeds the right's, which diverges when the left has duplicates)
+    # DataFrame.subtract IS SQL EXCEPT DISTINCT (Except(isAll=false))
     o = t(spark, sf, "orders").select("o_orderkey")
     li = t(spark, sf, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return o.distinct().exceptAll(li.distinct())
+    return o.subtract(li)
 
 
 @register(
@@ -453,15 +450,23 @@ def q_date_roundtrip(spark, sf):
     """,
 )
 def q_hof(spark, sf):
+    # Mirror DuckDB list_sum's NULL semantics exactly: NULL elements
+    # are SKIPPED (Spark's aggregate would poison the fold to NULL),
+    # and a list with no non-NULL elements sums to NULL, not 0.
+    vals = F.filter(
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ),
+        lambda v: v.isNotNull(),
+    )
+    summed = F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
     return t(spark, sf, "embeddings").select(
         "vec_id",
-        F.aggregate(
-            F.transform(
-                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sum_milli"),
+        F.when(F.size(vals) == 0, F.lit(None).cast("long"))
+        .otherwise(summed)
+        .alias("sum_milli"),
         F.size("embedding").alias("dim"),
     )
 
@@ -652,12 +657,12 @@ def q_grouped_stats(spark, sf):
     """,
 )
 def q_pivot(spark, sf):
-    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    cc = cents(F.col("l_quantity"))
     out = (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.sum(cents))
+        .agg(F.sum(cc))
     )
     return out.select(
         "l_returnflag",
@@ -686,7 +691,7 @@ def q_ntile(spark, sf):
     return scalable_ntile(
         cust,
         4,
-        -F.round(F.col("c_acctbal") * 100).cast("long"),
+        -cents(F.col("c_acctbal")),
         F.col("c_custkey"),
         tile_col="quartile",
     ).select("c_custkey", "quartile")
@@ -704,13 +709,13 @@ def q_ntile(spark, sf):
     """,
 )
 def q_percentile(spark, sf):
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cc = cents(F.col("l_extendedprice"))
     return (
         t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile(cents, F.lit(0.5)).alias("p50_cents"),
-            F.percentile(cents, F.lit(0.95)).alias("p95_cents"),
+            F.percentile(cc, F.lit(0.5)).alias("p50_cents"),
+            F.percentile(cc, F.lit(0.95)).alias("p95_cents"),
         )
     )
 
@@ -732,7 +737,7 @@ def q_like(spark, sf):
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias(
+            F.sum(cents(F.col("p_retailprice"))).alias(
                 "price_cents"
             ),
         )
@@ -773,7 +778,7 @@ def q_asof(spark, sf):
             "user_id",
             "ts",
             F.col("event_id").alias("quote_id"),
-            F.round(F.col("value") * 100).cast("long").alias("quote_cents"),
+            cents(F.col("value")).alias("quote_cents"),
         )
     )
     w = Window.partitionBy("user_id", "ts").orderBy(F.desc("quote_id"))
@@ -846,14 +851,12 @@ def q_countif(spark, sf):
 def q_promo_share(spark, sf):
     li = t(spark, sf, "lineitem")
     p = t(spark, sf, "part")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
-    promo = F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))
+    cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), cc).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.floor(F.lit(1000.0) * F.sum(promo) / F.sum(cents))
+            F.floor(F.lit(1000.0) * F.sum(promo) / F.sum(cc))
             .cast("long")
             .alias("promo_milli")
         )
@@ -865,7 +868,7 @@ def q_promo_share(spark, sf):
     """
     WITH p AS (
       SELECT event_id, user_id,
-             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d
+             CAST(floor(epoch(ts) / 86400.0) AS BIGINT) - 10592 AS d
       FROM events),
     iv AS (
       SELECT o_orderkey, o_orderpriority,
@@ -884,13 +887,19 @@ def q_range_join(spark, sf):
     events (points, epoch days) against 7-day order windows via the
     bucketed equi-join in operators/rangejoin.py; the oracle runs the
     plain non-equi BETWEEN join.  Aggregated so the match set verifies
-    exactly cross-engine."""
+    exactly cross-engine.
+
+    Event days are shifted by a CONSTANT 10592 to land inside the
+    order-date era (events are generated in 2024, days ~19723-19752;
+    orders span days 9131-11535 at every SF) — without the shift the
+    domains are disjoint and the query passes vacuously with 0 rows,
+    gating nothing."""
     from accountant_pdf_extract_spark.operators.rangejoin import range_join
 
     pts = t(spark, sf, "events").select(
         "event_id",
         "user_id",
-        F.floor(F.unix_timestamp("ts") / 86400).alias("d"),
+        (F.floor(F.unix_timestamp("ts") / 86400) - 10592).alias("d"),
     )
     iv = (
         t(spark, sf, "orders")
@@ -933,7 +942,7 @@ def q_global_rank(spark, sf):
 
     return global_row_number(
         t(spark, sf, "orders"),
-        -F.round(F.col("o_totalprice") * 100).cast("long"),
+        -cents(F.col("o_totalprice")),
         F.col("o_orderkey"),
         num_buckets=32,
     ).select("o_orderkey", "pos")

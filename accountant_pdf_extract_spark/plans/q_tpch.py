@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from accountant_pdf_extract_spark.plans.driver_queries import register, t
+from accountant_pdf_extract_spark.plans.driver_queries import cents, register, t
 
 _CUTOFF = "1998-09-01"
 
@@ -30,7 +30,6 @@ _CUTOFF = "1998-09-01"
 )
 def tpch_q1(spark, sf):
     li = t(spark, sf, "lineitem").where(F.col("l_shipdate") <= _CUTOFF)
-    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
     price = F.col("l_extendedprice")
     disc = F.col("l_discount")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -65,14 +64,12 @@ def tpch_q3(spark, sf):
     c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
     li = t(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"))
-        .agg(F.sum(cents).alias("revenue_cents"))
+        .agg(F.sum(cc).alias("revenue_cents"))
         .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue_cents", "orderdate")
@@ -102,9 +99,7 @@ def tpch_q5(spark, sf):
     s = t(spark, sf, "supplier")
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
@@ -115,7 +110,7 @@ def tpch_q5(spark, sf):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(cents).alias("revenue_cents"))
+        .agg(F.sum(cc).alias("revenue_cents"))
     )
 
 
@@ -141,9 +136,7 @@ def tpch_q6(spark, sf):
     )
     return li.agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
-                "long"
-            )
+            cents(F.col("l_extendedprice") * F.col("l_discount"))
         ).alias("revenue_cents"),
         F.count("*").alias("n"),
     )
@@ -168,9 +161,7 @@ def tpch_q10(spark, sf):
     shuffle joins orders⋈lineitem, broadcast nation dim, top-20 via
     TakeOrderedAndProject (never a global-sort window)."""
     li = t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
-    rev = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         t(spark, sf, "customer")
         .join(t(spark, sf, "orders"), F.col("c_custkey") == F.col("o_custkey"))
@@ -208,7 +199,7 @@ def tpch_q18(spark, sf):
     big = (
         t(spark, sf, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"))
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_cents"))
         .where(F.col("qty_cents") > 30000)
     )
     return (
@@ -220,7 +211,7 @@ def tpch_q18(spark, sf):
             "c_custkey",
             "o_orderkey",
             "qty_cents",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            cents(F.col("o_totalprice")).alias("total_cents"),
         )
     )
 
@@ -335,9 +326,7 @@ def tpch_q7(spark, sf):
     li = t(spark, sf, "lineitem").where(
         F.col("l_shipdate").between("1995-01-01", "1996-12-31")
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t(spark, sf, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
@@ -351,7 +340,7 @@ def tpch_q7(spark, sf):
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(cents).alias("revenue_cents"))
+        .agg(F.sum(cc).alias("revenue_cents"))
     )
 
 
@@ -417,8 +406,8 @@ def tpch_q17(spark, sf):
         .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
-            F.round(F.col("l_quantity") * 100).cast("long").alias("q_cents"),
-            F.round(F.col("l_extendedprice") * 100).cast("long").alias("p_cents"),
+            cents(F.col("l_quantity")).alias("q_cents"),
+            cents(F.col("l_extendedprice")).alias("p_cents"),
         )
     )
     w = Window.partitionBy("l_partkey")
@@ -467,13 +456,11 @@ def tpch_q19(spark, sf):
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & q.between(20, 30))
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-    ).cast("long")
+    cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
-        .agg(F.coalesce(F.sum(cents), F.lit(0)).cast("long").alias("revenue_cents"))
+        .agg(F.coalesce(F.sum(cc), F.lit(0)).cast("long").alias("revenue_cents"))
     )
 
 
@@ -513,7 +500,7 @@ def tpch_q22(spark, sf):
         .select(
             "c_custkey",
             "c_nationkey",
-            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            cents(F.col("c_acctbal")).alias("cents"),
         )
     )
     s = pool.where(F.col("cents") > 0).agg(
@@ -594,9 +581,7 @@ def tpch_q8(spark, sf):
         F.col("o_orderdate").between("1995-01-01", "1996-12-31")
     )
     li = t(spark, sf, "lineitem")
-    v = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "long"
-    )
+    v = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))

@@ -3,17 +3,18 @@ x/y line clustering, table/cell detection (ruling-line + whitespace-gap),
 reading-order sort with two-column detection, and repeated-line
 header/footer boilerplate stripping.
 
-Pure per-document functions invoked from the Arrow batch kernel; numpy
-for the sort-heavy paths.  Spec: ``BASELINE.json:6``; constants in
-``spec.py`` shared with the code-disjoint oracle.
+Pure per-document functions invoked from the Arrow batch kernel
+(plain sorted()/dict passes — per-page token counts are small enough
+that numpy marshalling costs more than it saves; see cluster_lines).
+Spec: ``BASELINE.json:6``; constants in ``spec.py`` shared with the
+code-disjoint oracle.
 """
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
-
-import numpy as np
 
 from accountant_pdf_extract_spark import spec
 from accountant_pdf_extract_spark.operators.pdfparse import Page
@@ -164,7 +165,7 @@ def strip_boilerplate(
         in_zone = it.y >= spec.TOP_ZONE_Y or it.y <= spec.BOT_ZONE_Y
         pages_of.setdefault(key, set()).add(it.page)
         always_zoned[key] = always_zoned.get(key, True) and in_zone
-    min_pages = max(2, int(np.ceil(spec.BOILER_FRAC * n_pages)))
+    min_pages = max(2, math.ceil(spec.BOILER_FRAC * n_pages))
     boiler = {
         k
         for k, pgs in pages_of.items()

@@ -38,7 +38,7 @@ def salt(df: DataFrame, buckets: int = 1024) -> DataFrame:
     )
 
 
-def _with_drop_metric(spark, kernel_fn):
+def _with_drop_metric(spark, kernel_fn, acc=None):
     """Wrap an Arrow kernel so per-doc extraction failures increment a
     driver-readable accumulator (surfaced as ``dropped_docs_acc`` on
     the result DataFrame and recorded in commit-log lineage) in
@@ -49,8 +49,13 @@ def _with_drop_metric(spark, kernel_fn):
     counts are AT-LEAST-ONCE — task retries / speculative duplicates
     re-increment, so treat the value as an upper bound / alarm signal,
     not an exact ledger.  The exact ground truth is the commit-log
-    n_docs-vs-input delta per bucket."""
-    dropped = spark.sparkContext.accumulator(0)
+    n_docs-vs-input delta per bucket.
+
+    ``acc`` lets long-lived callers (streaming foreachBatch) reuse ONE
+    accumulator across calls — each extract() otherwise registers a
+    fresh entry in the driver's global accumulator registry, which is
+    never released (unbounded growth on a continuous stream)."""
+    dropped = acc if acc is not None else spark.sparkContext.accumulator(0)
 
     def run(batches):
         def note(doc_id, exc):
@@ -67,18 +72,20 @@ def extract(
     salt_buckets: int = 1024,
     num_partitions: int | None = None,
     keep_salt: bool = False,
+    drop_acc=None,
 ) -> DataFrame:
     """Interleaved input table → flattened output spans + fields.
 
     One row per output span: (doc_id, kind, text, media_ref, order,
     invoice_id, invoice_date, due_date, currency, total, amounts,
-    account_codes).
+    account_codes).  ``drop_acc``: optional shared accumulator for the
+    dropped-doc metric (streaming callers pass one per stream).
     """
     assert_input_schema(df.select("doc_id", "spans"))
     spark = df.sparkSession
     np = _effective_partitions(spark, num_partitions, salt_buckets)
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-    run, dropped = _with_drop_metric(spark, extract_batches)
+    run, dropped = _with_drop_metric(spark, extract_batches, acc=drop_acc)
     out = salted.select("doc_id", "spans").mapInArrow(
         run, schema=FLAT_FIELDS_SCHEMA
     )
@@ -96,15 +103,26 @@ def _effective_partitions(
     """The repartition KEY is the salt bucket, so partitions beyond
     ``salt_buckets`` can only sit empty (there are at most that many
     distinct keys) — clamp, and get more parallelism by raising
-    ``salt_buckets`` instead."""
-    np = num_partitions or spark.sparkContext.defaultParallelism * 4
-    return min(np, salt_buckets)
+    ``salt_buckets`` instead.
+
+    The exchange hash-maps bucket VALUES to partitions, so at
+    np ≈ salt_buckets collisions leave ~1/e of partitions empty and
+    pile 3-5 buckets into single tasks (the giant-PDF straggler the
+    salt exists to prevent).  The DEFAULT therefore caps np at
+    salt_buckets // 4 — ≥4 expected buckets per task bounds the
+    collision skew near 2x whp.  An EXPLICIT num_partitions is
+    honored up to salt_buckets (callers pinning small test plans)."""
+    if num_partitions is not None:
+        return min(num_partitions, salt_buckets)
+    np = spark.sparkContext.defaultParallelism * 4
+    return max(1, min(np, salt_buckets // 4))
 
 
 def extract_fields_table(
     df: DataFrame,
     salt_buckets: int = 1024,
     num_partitions: int | None = None,
+    drop_acc=None,
 ) -> DataFrame:
     """Fields-only extraction: one row per document (doc_id +
     accounting fields), same salted single-shuffle plan, but the
@@ -128,7 +146,7 @@ def extract_fields_table(
     spark = df.sparkSession
     np = _effective_partitions(spark, num_partitions, salt_buckets)
     salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-    run, dropped = _with_drop_metric(spark, extract_fields_batches)
+    run, dropped = _with_drop_metric(spark, extract_fields_batches, acc=drop_acc)
     out = salted.select("doc_id", "spans").mapInArrow(
         run, schema=DOC_FIELDS_SCHEMA
     )

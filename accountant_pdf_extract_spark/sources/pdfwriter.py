@@ -96,14 +96,27 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False) -> str:
         content = pg.content()
         raw = content.encode("latin-1")
         stream_body = None
-        if compress:
-            comp = zlib.compress(raw, 6)
-            if b"endstream" not in comp and b"endobj" not in comp:
-                stream_body = (
-                    f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
-                    f"stream\n{comp.decode('latin-1')}endstream"
-                )
+        # A plain stream whose CONTENT embeds a structural marker
+        # (caller text containing "endstream"/"endobj") would make the
+        # parser's lazy stream regex terminate early and silently drop
+        # the rest of the page — force Flate for such pages even when
+        # compress=False, trying several levels for marker-free bytes.
+        plain_ok = b"endstream" not in raw and b"endobj" not in raw
+        if compress or not plain_ok:
+            for lvl in (6, 9, 1):
+                comp = zlib.compress(raw, lvl)
+                if b"endstream" not in comp and b"endobj" not in comp:
+                    stream_body = (
+                        f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
+                        f"stream\n{comp.decode('latin-1')}endstream"
+                    )
+                    break
         if stream_body is None:
+            if not plain_ok:
+                raise ValueError(
+                    "page content embeds PDF structural markers in both "
+                    "plain and compressed form"
+                )
             stream_body = (
                 f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
             )

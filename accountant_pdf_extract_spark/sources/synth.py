@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
+from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
 from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
 
 ARROW_INPUT = pa.schema(
@@ -133,15 +134,20 @@ def make_invoice_pdf(
     for _ in range(n_rows):
         y -= 18
         amt = Decimal(int(rng.integers(100, 500000))) / 100
-        total += amt
+        # ~6% of rows are parenthesized-negative credit lines, derived
+        # from the amount itself (no extra rng draw — keeps every other
+        # byte of the corpus stable) so the parens→negative rule in
+        # functions/rules.py is exercised by the golden corpus
+        neg = int(amt * 100) % 17 == 0
+        total += -amt if neg else amt
         pg.text(72, y, _words(rng, vocab, int(rng.integers(1, 4))))
         pg.text(300, y, str(int(rng.integers(1, 20))))
-        pg.text(450, y, _fmt_amount(amt, ccy))
+        pg.text(450, y, _fmt_amount(amt, ccy, neg=neg))
     if ruled:
         pg.vrule(290, y - 6, top_y - (y - 6))
         pg.vrule(440, y - 6, top_y - (y - 6))
     y -= 24
-    pg.text(72, y, f"Total: {_fmt_amount(total, ccy)}")
+    pg.text(72, y, f"Total: {_fmt_amount(abs(total), ccy, neg=total < 0)}")
     pages.append(pg)
 
     for p in range(2, n_pages + 1):
@@ -199,7 +205,10 @@ def build_doc(
     per-task overhead) dominates — the realistic shape for measuring
     throughput/scaling of the extraction kernel.
     """
-    rng = np.random.default_rng([seed, doc_key & 0x7FFFFFFF])
+    # SeedSequence accepts arbitrary non-negative ints — do NOT mask
+    # doc_key to 31 bits (doc 0 and doc 2^31 would get identical rng
+    # streams, i.e. byte-identical duplicate docs at >2G-doc scale)
+    rng = np.random.default_rng([seed, doc_key])
     # pdf payloads travel as latin-1 strings: a vocab word with any
     # char > U+00FF would make build_pdf's strict latin-1 encode raise
     # inside the synth generator (killing the task, not one doc) —
@@ -294,7 +303,7 @@ def interleaved_from_documents(
                 rows.append((f"doc-{did:08d}", build_doc(int(did), seed, vocab)))
             yield _spans_to_arrow(rows)
 
-    return docs.mapInArrow(gen, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    return docs.mapInArrow(gen, schema=INPUT_SCHEMA)
 
 
 def synth_interleaved(
@@ -316,4 +325,4 @@ def synth_interleaved(
             ]
             yield _spans_to_arrow(rows)
 
-    return rng_free.mapInArrow(gen, schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    return rng_free.mapInArrow(gen, schema=INPUT_SCHEMA)

@@ -28,7 +28,11 @@ def stream_extract(
     available_now: bool = True,
 ):
     """Start (and by default fully drain) the streaming extraction.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery, with the stream-wide dropped-doc
+    accumulator attached as ``q.dropped_docs_acc`` (ONE accumulator
+    shared across all micro-batches — per-batch registration would
+    grow the driver's accumulator registry without bound on a
+    continuous stream, and its value would be thrown away)."""
     stream = (
         spark.readStream.schema(INPUT_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -40,6 +44,7 @@ def stream_extract(
     )
 
     sink = batch_keyed_parquet_sink(output_dir, SALT_COL)
+    drop_acc = spark.sparkContext.accumulator(0)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         flat = extract(
@@ -47,6 +52,7 @@ def stream_extract(
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
             keep_salt=True,
+            drop_acc=drop_acc,
         )
         sink(flat, batch_id)
 
@@ -56,6 +62,14 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
+    q.dropped_docs_acc = drop_acc
     if available_now:
         q.awaitTermination()
+        if drop_acc.value:
+            print(
+                f"stream_extract: {drop_acc.value} doc(s) dropped by the "
+                "extraction kernel this drain (at-least-once count; see "
+                "commit-log deltas for the exact ledger)",
+                flush=True,
+            )
     return q

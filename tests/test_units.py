@@ -700,3 +700,39 @@ def test_empty_kids_falls_back_to_page_scan():
     out, _ = extract_doc([("pdf", pdf, "", 0)])
     assert [t for _, t, _, _ in out] == ["fallback page"]
     assert [t for _k, t, _r in pdf_spans(pdf)] == ["fallback page"]
+
+
+def test_structural_marker_text_survives_roundtrip():
+    """Caller text containing 'endstream'/'endobj' must not truncate
+    the page: build_pdf forces FlateDecode for such pages (plain
+    emission would end the stream at the embedded marker and silently
+    drop everything after it)."""
+    pg = PageBuilder()
+    pg.text(72, 700, "before endstream marker")
+    pg.text(72, 680, "after endobj marker still here")
+    pdf = build_pdf([pg])  # compress=False: the guard must kick in
+    assert "/FlateDecode" in pdf
+    pages = parse_pdf(pdf.encode("latin-1"))
+    texts = " ".join(r.text for p in pages for r in p.runs)
+    assert "endstream marker" in texts
+    assert "still here" in texts
+
+
+def test_parenthesized_negative_amounts_in_corpus_and_rules():
+    """The synth corpus must exercise the parens→negative amount rule:
+    some invoice rows are credit lines like '($123.45)', and the
+    extraction kernel parses them to negative cents."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.sources.synth import make_invoice_pdf
+
+    neg_amounts = []
+    for k in range(60):
+        rng = np.random.default_rng([7, k])
+        pdf = make_invoice_pdf(rng, ["ledger", "balance", "audit"])
+        pages = parse_pdf(pdf.encode("latin-1"))
+        text = "\n".join(r.text for p in pages for r in p.runs)
+        if "($" in text or "(£" in text:
+            fields = extract_doc([("pdf", pdf, "", 0)])[1]
+            neg_amounts += [a for a in (fields["amounts"] or []) if a < 0]
+    assert neg_amounts, "no parenthesized-negative amounts in 60 docs"

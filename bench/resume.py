@@ -194,11 +194,22 @@ read-then-dropped.  Plan evidence (resume scan):
     md_path = os.path.join("BENCH", "BASELINE.md")
     with open(md_path) as f:
         md = f.read()
+    # Replace ONLY this script's own section: cut from its marker to
+    # the next top-level section or a <!-- PRESERVE --> block, and
+    # keep that tail (hand-written evidence appendices live there —
+    # truncating to EOF silently clobbered them once).
     marker = "\n## Resume pruning at bench scale"
+    tail = ""
     if marker in md:
-        md = md[: md.index(marker)]
+        start = md.index(marker)
+        rest = md[start + len(marker):]
+        nexts = [i for m in ("\n<!-- PRESERVE -->", "\n## ")
+                 if (i := rest.find(m)) != -1]
+        if nexts:
+            tail = rest[min(nexts):]
+        md = md[:start]
     with open(md_path, "w") as f:
-        f.write(md.rstrip() + "\n" + section)
+        f.write(md.rstrip() + "\n" + section + tail)
 
 
 if __name__ == "__main__":

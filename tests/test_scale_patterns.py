@@ -448,3 +448,32 @@ def test_range_join_matches_nonequi_join(spark):
         range_join(
             ev.withColumnRenamed("d", "lo"), iv, "lo", "lo", "hi", 7
         )
+
+
+def test_repetition_features_plan_is_map_only(spark):
+    """The repetition signals must stay a scan->project plan: zero
+    Exchange, zero Generate/Aggregate — the property that lets
+    repetition filtering run before a pipeline's first shuffle."""
+    from accountant_pdf_extract_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    df = repetition_features(spark.read.parquet(f"{SF}/documents.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan and "Aggregate" not in plan, plan
+
+
+def test_oov_rate_plan_scores_without_corpus_shuffle(spark):
+    """oov_rate's vocabulary cut must plan as TakeOrderedAndProject
+    (never a global sort of token counts), and the scoring side of the
+    plan must not shuffle the corpus: the only exchanges belong to the
+    vocabulary aggregation (token counts + the one-row collect_list),
+    plus the broadcast of that one row."""
+    from accountant_pdf_extract_spark.operators.textstats import oov_rate
+
+    df = oov_rate(spark.read.parquet(f"{SF}/documents.parquet"), vocab_size=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan

@@ -463,6 +463,17 @@ class DocTable:
         data, dels = self._entries(snap)
         if not data:
             raise FileNotFoundError(f"table {self.root} has no data files")
+        return self._scan_entries(spark, data, dels, merge_schema)
+
+    def _scan_entries(
+        self,
+        spark: SparkSession,
+        data: list[dict],
+        dels: list[dict],
+        merge_schema: bool,
+    ) -> DataFrame:
+        """Union the data-file entries with merge-on-read delete
+        masking (shared by ``read`` and ``read_incremental``)."""
 
         def scan(paths: list[str]) -> DataFrame:
             r = spark.read
@@ -513,3 +524,58 @@ class DocTable:
                 else out.unionByName(df, allowMissingColumns=merge_schema)
             )
         return out
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: str,
+        to_snapshot_id: str | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Incremental append scan (Iceberg's incremental read shape):
+        rows ADDED after ``from_snapshot_id`` up to ``to_snapshot_id``
+        (default: current) — the driver of incremental downstream
+        pipelines ("extract only what landed since the last run")
+        without ever re-scanning the existing table.
+
+        Semantics: data files committed in the window, masked by
+        window delete files with a NEWER sequence (a key appended then
+        upserted inside the window reads once, in its final form).
+        REFUSES across a compaction boundary: a compaction snapshot
+        rewrites OLD rows into new files, so emitting its files would
+        replay the whole table as "new" — the same append-only
+        restriction Iceberg's incremental scan enforces; consume the
+        window up to the compaction, then resume after it."""
+        snaps = sorted(self.snapshots(), key=lambda s: s["sequence"])
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if from_snapshot_id not in by_id:
+            raise FileNotFoundError(
+                f"unknown from_snapshot {from_snapshot_id!r} (expired?)"
+            )
+        to_snap = self._snapshot_at(to_snapshot_id)
+        if to_snap is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        from_seq = by_id[from_snapshot_id]["sequence"]
+        to_seq = to_snap["sequence"]
+        if to_seq < from_seq:
+            raise ValueError(
+                f"to_snapshot (seq {to_seq}) predates from_snapshot "
+                f"(seq {from_seq})"
+            )
+        for s in snaps:
+            if from_seq < s["sequence"] <= to_seq and "compaction_of" in s:
+                raise ValueError(
+                    "incremental read window crosses a compaction "
+                    f"(snapshot {s['snapshot_id']}); read up to its "
+                    "parent, then restart the incremental cursor after it"
+                )
+        data, dels = self._entries(to_snap)
+        added = [e for e in data if e["seq"] > from_seq]
+        win_dels = [d for d in dels if d["seq"] > from_seq]
+        if not added:
+            if not data:
+                raise FileNotFoundError(
+                    f"table {self.root} has no data files"
+                )
+            return self._scan_entries(spark, data, [], merge_schema).limit(0)
+        return self._scan_entries(spark, added, win_dels, merge_schema)

@@ -476,3 +476,58 @@ def test_sort_clustered_compaction_skips_files(spark, tmp_path):
     # rows intact and a selective filter still answers correctly
     assert tbl.read(spark).count() == 4000
     assert tbl.read(spark).where("k = 1234").count() == 1
+
+
+def test_incremental_read_appends_and_upserts(spark, tmp_path):
+    """read_incremental(from, to) returns rows ADDED in the window —
+    appends plus upsert rows, with window deletes masking a key that
+    was appended then upserted inside the same window (it reads once,
+    in its final form)."""
+    tbl = DocTable(str(tmp_path / "tbl"))
+    s1 = tbl.append(
+        spark.createDataFrame([("a", 1), ("b", 1)], "doc_id string, v int")
+    )
+    s2 = tbl.append(
+        spark.createDataFrame([("c", 1), ("d", 1)], "doc_id string, v int")
+    )
+    s3 = tbl.upsert(
+        spark.createDataFrame([("c", 2), ("e", 1)], "doc_id string, v int"),
+        "doc_id",
+    )
+
+    def rows(df):
+        return sorted((r["doc_id"], r["v"]) for r in df.collect())
+
+    # window s1 -> s3: c appended at s2 then upserted at s3 — final form only
+    assert rows(tbl.read_incremental(spark, s1)) == [
+        ("c", 2), ("d", 1), ("e", 1)]
+    # window s2 -> s3: just the upsert's rows
+    assert rows(tbl.read_incremental(spark, s2, s3)) == [("c", 2), ("e", 1)]
+    # empty window: same schema, zero rows
+    inc = tbl.read_incremental(spark, s3, s3)
+    assert inc.count() == 0 and inc.columns == ["doc_id", "v"]
+    # full read unchanged by any of this
+    assert rows(tbl.read(spark)) == [
+        ("a", 1), ("b", 1), ("c", 2), ("d", 1), ("e", 1)]
+
+
+def test_incremental_read_refuses_compaction_window(spark, tmp_path):
+    """A window crossing a compaction must refuse (its files rewrite
+    OLD rows — emitting them would replay the table as 'new'), and
+    restarting the cursor after the compaction works."""
+    tbl = DocTable(str(tmp_path / "tbl"))
+    s1 = tbl.append(
+        spark.createDataFrame([("a", 1)], "doc_id string, v int"))
+    tbl.append(spark.createDataFrame([("b", 1)], "doc_id string, v int"))
+    s3 = tbl.compact(spark, target_files=1)
+    with pytest.raises(ValueError, match="compaction"):
+        tbl.read_incremental(spark, s1)
+    s4 = tbl.append(
+        spark.createDataFrame([("c", 1)], "doc_id string, v int"))
+    got = sorted(
+        r["doc_id"] for r in tbl.read_incremental(spark, s3, s4).collect())
+    assert got == ["c"]
+    with pytest.raises(FileNotFoundError, match="unknown from_snapshot"):
+        tbl.read_incremental(spark, "snap-nonexistent")
+    with pytest.raises(ValueError, match="predates"):
+        tbl.read_incremental(spark, s4, s1)

@@ -584,3 +584,48 @@ def test_jsonl_shard_assignment_is_partitioning_invariant(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         write_jsonl_shards(spark.createDataFrame(rows, schema), a, 0)
+
+
+def test_repetition_fold_fuzz_300_random_docs(spark):
+    """One Spark pass over 300 seeded random token sequences (skewed
+    multiplicities, runs, singletons, empties) must equal the Counter
+    reference on every doc — fuzz for the run-length fold's state
+    machine beyond the handcrafted shapes."""
+    import random
+    from collections import Counter
+
+    from accountant_pdf_extract_spark.operators import textstats
+
+    rnd = random.Random(20260816)
+    docs = []
+    for i in range(300):
+        n = rnd.choice([0, 1, 2, 3, 5, 8, 20, 60])
+        vocab_n = rnd.choice([1, 2, 3, 8, 30])
+        toks = [f"w{rnd.randrange(vocab_n)}" for _ in range(n)]
+        docs.append((f"d{i:03d}", " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.repetition_features(df).collect()}
+
+    def stats(items):
+        c = Counter(items)
+        best = max(c.values()) if c else 0
+        return best, sum(v for v in c.values() if v >= 2)
+
+    def milli(num, den):
+        return num * 1000 // den if den > 0 else 0
+
+    for doc_id, text in docs:
+        toks = text.split()
+        bigs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        tb, td = stats(toks)
+        bb, bd = stats(bigs)
+        n, nb = len(toks), len(bigs)
+        want = {
+            "doc_id": doc_id, "n_tokens": n,
+            "top_token_milli": milli(tb, n),
+            "dup_token_milli": milli(td, n),
+            "top_bigram_milli": milli(bb, nb),
+            "dup_bigram_milli": milli(bd, nb),
+        }
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)

@@ -206,3 +206,56 @@ def test_commit_log_empty_records(spark, tmp_path: pathlib.Path):
     log = CommitLog(str(tmp_path / "clog2"))
     assert log.records(spark).count() == 0
     assert log.committed_buckets() == set()
+
+
+def test_incremental_job_extracts_only_new_snapshots(spark, tmp_path):
+    """Snapshot-cursor incremental extraction: first run processes the
+    full table; later runs process only window-added docs, split into
+    append-only segments around a compaction (whose rewritten rows
+    must NOT be re-emitted); an up-to-date cursor is a no-op."""
+    from accountant_pdf_extract_spark.plans.job import run_incremental_job
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+    from accountant_pdf_extract_spark.sources.catalog import DocTable
+
+    def docs(*ids):
+        return spark.createDataFrame(
+            [
+                (d, [{"kind": "text", "text": f"ledger {d}", "media_ref": "",
+                      "offset": 0}])
+                for d in ids
+            ],
+            INPUT_SCHEMA,
+        )
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    out = str(tmp_path / "out")
+    cursor = str(tmp_path / "cursor.json")
+
+    tbl.append(docs("d1", "d2"))
+    r1 = run_incremental_job(
+        spark, tbl, out, cursor, salt_buckets=8, num_partitions=2)
+    assert not r1["skipped"] and len(r1["segments"]) == 1
+
+    def by_batch():
+        rows = spark.read.parquet(out).select("_batch_id", "doc_id").collect()
+        got = {}
+        for r in rows:
+            got.setdefault(int(r["_batch_id"]), set()).add(r["doc_id"])
+        return got
+
+    assert by_batch() == {1: {"d1", "d2"}}
+
+    tbl.append(docs("d3"))               # seq 2
+    tbl.compact(spark, target_files=1)   # seq 3 (rewrites d1-d3)
+    tbl.append(docs("d4"))               # seq 4
+    r2 = run_incremental_job(
+        spark, tbl, out, cursor, salt_buckets=8, num_partitions=2)
+    assert [s["batch_id"] for s in r2["segments"]] == [2, 4]
+    # d1/d2 appear once (batch 1); the compaction's rewrite of them is
+    # never re-emitted; d3 and d4 land under their own segment batches
+    assert by_batch() == {1: {"d1", "d2"}, 2: {"d3"}, 4: {"d4"}}
+
+    r3 = run_incremental_job(
+        spark, tbl, out, cursor, salt_buckets=8, num_partitions=2)
+    assert r3["skipped"] and by_batch() == {1: {"d1", "d2"}, 2: {"d3"},
+                                            4: {"d4"}}

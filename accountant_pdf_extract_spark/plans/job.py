@@ -213,7 +213,16 @@ def run_incremental_job(
     later one appears once per run, under increasing ``_batch_id`` —
     downstream consumers keep the max ``_batch_id`` row per doc (the
     standard CDC contract; within a single window the newest form
-    already wins via the window's delete files)."""
+    already wins via the window's delete files).
+
+    Deletions (``delete_where``) are retracted as TOMBSTONES: each
+    window ``delete_where`` snapshot's keys land under
+    ``<output>/_tombstones`` keyed by its sequence, written BEFORE the
+    cursor advances.  The full consumer contract is therefore: live
+    rows = max-``_batch_id`` row per doc, minus docs carrying a
+    tombstone with ``_batch_id`` >= that row's batch.  (Upsert delete
+    files need no tombstone — the replacement rows in the same batch
+    win the max-batch race on their own.)"""
     import json
     import os
     import tempfile
@@ -235,6 +244,13 @@ def run_incremental_job(
 
     snaps = sorted(table.snapshots(), key=lambda s: s["sequence"])
     by_id = {s["snapshot_id"]: s for s in snaps}
+    if cursor is not None and cursor not in by_id:
+        raise FileNotFoundError(
+            f"cursor snapshot {cursor!r} is not in the table history "
+            "(expired?) — expire_snapshots must keep at least the last "
+            "consumed snapshot, or delete the cursor file to force a "
+            "full re-extraction"
+        )
     from_seq = by_id[cursor]["sequence"] if cursor is not None else 0
     window = [s for s in snaps if from_seq < s["sequence"] <= cur["sequence"]]
 
@@ -257,6 +273,13 @@ def run_incremental_job(
     sink = batch_keyed_parquet_sink(output_path, SALT_COL)
     done_segments = []
     for frm, to in segments:
+        # metadata-only emptiness check: a segment of delete-only
+        # snapshots adds no data files — nothing to extract (its
+        # retraction is the tombstone pass below), skip the Spark job
+        seg_from_seq = by_id[frm]["sequence"] if frm is not None else 0
+        seg_data, _ = table._entries(to)
+        if not any(e["seq"] > seg_from_seq for e in seg_data):
+            continue
         delta = (
             table.read_incremental(spark, frm, to["snapshot_id"])
             if frm is not None
@@ -273,13 +296,35 @@ def run_incremental_job(
             {"from": frm, "to": to["snapshot_id"], "batch_id": to["sequence"]}
         )
 
+    # retract delete_where keys as tombstones (underscore-prefixed dir:
+    # invisible to plain parquet reads of the sink).  Written before
+    # the cursor advances, idempotent per snapshot like the segments.
+    tombstones = []
+    for s in window:
+        if "deleted_where" not in s:
+            continue
+        dels = [
+            d for d in s.get("delete_entries", [])
+            if d["seq"] == s["sequence"]
+        ]
+        if not dels:
+            continue
+        keys = spark.read.parquet(*[d["path"] for d in dels]).distinct()
+        tomb_sink = batch_keyed_parquet_sink(
+            os.path.join(output_path, "_tombstones")
+        )
+        tomb_sink(keys, s["sequence"])
+        tombstones.append(
+            {"snapshot": s["snapshot_id"], "batch_id": s["sequence"]}
+        )
+
     # atomic cursor advance, only after every segment write committed
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cursor_path) or ".")
     with os.fdopen(fd, "w") as f:
         json.dump({"snapshot_id": cur["snapshot_id"]}, f)
     os.replace(tmp, cursor_path)
-    return {"segments": done_segments, "skipped": False,
-            "cursor": cur["snapshot_id"]}
+    return {"segments": done_segments, "tombstones": tombstones,
+            "skipped": False, "cursor": cur["snapshot_id"]}
 
 
 def main() -> None:

@@ -48,8 +48,15 @@ def write_jsonl_shards(
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """Read a JSONL export back with an EXPLICIT schema (inference is
-    a second full scan — refused by design).  The shard partition
-    column is dropped; column order follows the given schema."""
-    return spark.read.schema(schema).json(path).select(
-        *[f.name for f in schema.fields]
+    a second full scan — refused by design) in FAILFAST mode: a
+    corrupt/truncated shard line raises instead of silently becoming
+    an all-null row (PERMISSIVE, Spark's default, would swallow it —
+    the opposite of an interchange format's lossless contract).  The
+    shard partition column is dropped; column order follows the given
+    schema."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .json(path)
+        .select(*[f.name for f in schema.fields])
     )

@@ -190,23 +190,31 @@ buckets — committed bucket directories are pruned AT THE SCAN, not
 read-then-dropped.  Plan evidence (resume scan):
 
     {pf_line[:160]}
+<!-- /resume-section -->
 """
     md_path = os.path.join("BENCH", "BASELINE.md")
     with open(md_path) as f:
         md = f.read()
-    # Replace ONLY this script's own section: cut from its marker to
-    # the next top-level section or a <!-- PRESERVE --> block, and
-    # keep that tail (hand-written evidence appendices live there —
-    # truncating to EOF silently clobbered them once).
+    # Replace ONLY this script's own section.  The section carries an
+    # explicit end sentinel, so EVERYTHING after it survives — prose,
+    # H1s, tables, not just H2/PRESERVE-shaped tails (truncating to
+    # EOF silently clobbered a hand-written appendix once).  Sections
+    # written before the sentinel existed fall back to the next H2 /
+    # PRESERVE heuristic.
     marker = "\n## Resume pruning at bench scale"
+    end_sentinel = "<!-- /resume-section -->\n"
     tail = ""
     if marker in md:
         start = md.index(marker)
         rest = md[start + len(marker):]
-        nexts = [i for m in ("\n<!-- PRESERVE -->", "\n## ")
-                 if (i := rest.find(m)) != -1]
-        if nexts:
-            tail = rest[min(nexts):]
+        end = rest.find(end_sentinel)
+        if end != -1:
+            tail = rest[end + len(end_sentinel):]
+        else:
+            nexts = [i for m in ("\n<!-- PRESERVE -->", "\n## ")
+                     if (i := rest.find(m)) != -1]
+            if nexts:
+                tail = rest[min(nexts):]
         md = md[:start]
     with open(md_path, "w") as f:
         f.write(md.rstrip() + "\n" + section + tail)

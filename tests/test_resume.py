@@ -259,3 +259,64 @@ def test_incremental_job_extracts_only_new_snapshots(spark, tmp_path):
         spark, tbl, out, cursor, salt_buckets=8, num_partitions=2)
     assert r3["skipped"] and by_batch() == {1: {"d1", "d2"}, 2: {"d3"},
                                             4: {"d4"}}
+
+
+def test_incremental_job_retracts_deletes_as_tombstones(spark, tmp_path):
+    """delete_where keys must be retracted: they land under
+    <output>/_tombstones keyed by the delete snapshot's sequence, the
+    underscore dir stays invisible to plain reads of the sink, and the
+    documented consumer contract (max-batch row minus tombstoned docs)
+    yields the table's live set."""
+    from accountant_pdf_extract_spark.plans.job import run_incremental_job
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+    from accountant_pdf_extract_spark.sources.catalog import DocTable
+
+    def docs(*ids):
+        return spark.createDataFrame(
+            [(d, [{"kind": "text", "text": f"ledger {d}", "media_ref": "",
+                   "offset": 0}]) for d in ids],
+            INPUT_SCHEMA,
+        )
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    out = str(tmp_path / "out")
+    cursor = str(tmp_path / "cursor.json")
+    tbl.append(docs("d1", "d2"))                              # seq 1
+    run_incremental_job(spark, tbl, out, cursor, salt_buckets=8,
+                        num_partitions=2)
+    tbl.delete_where(spark, "doc_id = 'd1'", "doc_id")        # seq 2
+    r = run_incremental_job(spark, tbl, out, cursor, salt_buckets=8,
+                            num_partitions=2)
+    assert r["segments"] == [] and r["tombstones"] == [
+        {"snapshot": tbl.current_snapshot()["snapshot_id"], "batch_id": 2}]
+
+    sink = spark.read.parquet(out)
+    assert "_tombstones" not in [p for p in sink.columns]
+    assert sorted(set(r["doc_id"] for r in sink.collect())) == ["d1", "d2"]
+    tomb = spark.read.parquet(f"{out}/_tombstones")
+    assert [(r["doc_id"], int(r["_batch_id"])) for r in tomb.collect()] == [
+        ("d1", 2)]
+
+    # consumer contract: latest batch per doc, minus tombstones >= it
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    latest = (
+        sink.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("_batch_id"),
+                                                     F.desc("order"))),
+        ).where(F.col("rn") == 1).select("doc_id", "_batch_id")
+    )
+    live = latest.join(
+        tomb.select("doc_id", F.col("_batch_id").alias("_tomb_b")),
+        "doc_id", "left",
+    ).where(
+        F.col("_tomb_b").isNull() | (F.col("_tomb_b") < F.col("_batch_id"))
+    )
+    assert [r["doc_id"] for r in live.collect()] == ["d2"]
+    # idempotent re-run after table advances by a no-op? cursor is
+    # current -> skipped, tombstones untouched
+    assert run_incremental_job(spark, tbl, out, cursor, salt_buckets=8,
+                               num_partitions=2)["skipped"]

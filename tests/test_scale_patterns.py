@@ -477,3 +477,18 @@ def test_oov_rate_plan_scores_without_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "Sort " not in plan.replace("SortAggregate", ""), plan
+
+
+def test_range_join_query_is_not_vacuous(spark):
+    """q_range_join's constant era shift must keep the point and
+    interval domains overlapping: a regeneration of either table's
+    date era would silently re-vacuize the query (0 rows passes
+    parity while gating nothing — the exact bug fixed in r3)."""
+    from accountant_pdf_extract_spark.plans import driver_queries
+
+    df = driver_queries.queries()["q_range_join"](spark, SF)
+    rows = df.collect()
+    assert rows and sum(r["n"] for r in rows) > 0, (
+        "q_range_join matched nothing — the 10592-day shift no longer "
+        "lands events inside the orders era; re-derive the constant"
+    )

@@ -33,3 +33,4 @@ def amount_to_cents(s: pd.Series) -> pd.Series:
 
     cents = cleaned.map(to_cents, na_action="ignore")
     return cents.where(~neg, -cents).astype("Int64")
+

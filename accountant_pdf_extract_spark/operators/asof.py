@@ -42,26 +42,49 @@ def asof_join_backward(
     (e.g. keep the max tiebreaker) or the winner among equal
     timestamps is unspecified.
     """
+    left_cols = left.columns
+    # output columns must be unambiguous, and the _side/_r tags must
+    # not clobber caller data — refuse up front (rangejoin house rule)
+    clash = (set(right_cols) & set(left_cols)) | (
+        {"_side", "_r"} & (set(left_cols) | set(right_cols))
+    )
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: column collision {sorted(clash)} — "
+            "rename/drop before joining (right_cols may not repeat left "
+            "columns; _side/_r are reserved)"
+        )
     # right rows with a NULL `on` would sort NULLS FIRST and "match"
     # every left row with no earlier real right row — a null timestamp
-    # can never satisfy right.on <= left.on (SQL ASOF agrees: no match)
-    right = right.where(F.col(on).isNotNull())
+    # can never satisfy right.on <= left.on (SQL ASOF agrees: no match).
+    # A NULL `by` key likewise never joins in SQL (NULL = NULL is not
+    # true) — but Window.partitionBy groups NULLs together, so drop
+    # null-key RIGHT rows; null-key left rows then flow through
+    # unmatched (null right_cols), exactly the ASOF LEFT JOIN answer.
+    right = right.where(F.col(on).isNotNull() & F.col(by).isNotNull())
     rstruct = F.struct(*[F.col(c) for c in right_cols])
+    l = left.select(
+        *left_cols,
+        F.lit(1).alias("_side"),
+        F.lit(None)
+        .cast(
+            right.select(rstruct.alias("_r")).schema["_r"].dataType
+        )
+        .alias("_r"),
+    )
+    # one projection, not a withColumn chain (N nested Projects on a
+    # wide left frame cost super-linear analysis time)
     r = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
         rstruct.alias("_r"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+            if c not in (by, on)
+        ],
     )
-    left_cols = left.columns
-    l = left.select(
-        *left_cols,
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
-    )
-    for c in left_cols:
-        if c not in (by, on):
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.unionByName(r)
 
     # right rows sort before left rows at equal `on` (_side 0 < 1), so

@@ -42,6 +42,12 @@ def sessionize(
 ) -> DataFrame:
     """Assign a per-user session index: a new session starts when the
     gap from the previous event exceeds ``gap_minutes``."""
+    # a NULL timestamp cannot belong to any gap-defined session, and
+    # its ordering FORKS between engines (Spark windows sort NULLS
+    # FIRST, DuckDB ORDER BY defaults NULLS LAST — same row, different
+    # session_idx) — drop such rows on both sides (oracle twins carry
+    # the matching WHERE ts IS NOT NULL)
+    events = events.where(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap_s = gap_minutes * 60
     is_new = (
@@ -83,22 +89,30 @@ def grouped_stats(events: DataFrame) -> DataFrame:
     cents — numpy per group, Arrow in/out, no per-row Python."""
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        # half-up AWAY from zero like the DuckDB oracle's round()
-        # (pandas .round() is banker's half-to-even and diverges on
-        # exact half-cents, e.g. value=0.125)
-        v = pdf["value"].to_numpy()
-        cents = pd.Series(
-            np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).astype("int64")
+        from accountant_pdf_extract_spark.functions.money import (
+            half_up_cents_np,
         )
+
+        # NULL values: count(*) counts the row, the quantiles skip it
+        # (DuckDB quantile_cont semantics).  The NaN must be dropped
+        # BEFORE the int cast — np.floor(NaN).astype('int64') silently
+        # emits INT64_MIN and drags the quantiles to garbage.
+        v = pdf["value"].to_numpy()
+        v = v[~np.isnan(v)]
+        cents = pd.Series(half_up_cents_np(v).astype("int64"))
+
+        def q(p):
+            # linear interpolation == DuckDB quantile_cont; all-NULL
+            # group -> NULL (pandas would give NaN, DuckDB gives NULL)
+            return float(cents.quantile(p)) if len(cents) else None
+
+        med, q3, q1 = q(0.5), q(0.75), q(0.25)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
-                # linear interpolation == DuckDB quantile_cont
-                "median_cents": [float(cents.quantile(0.5))],
-                "iqr_cents": [
-                    float(cents.quantile(0.75)) - float(cents.quantile(0.25))
-                ],
+                "median_cents": [med],
+                "iqr_cents": [q3 - q1 if len(cents) else None],
             }
         )
 

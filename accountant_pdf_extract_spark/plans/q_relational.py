@@ -587,7 +587,7 @@ def q_hash(spark, sf):
              CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
     SELECT user_id, event_id,
            CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
@@ -611,7 +611,7 @@ def q_sessionize(spark, sf):
              CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) > 1800
                   THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     sess AS (
       SELECT user_id, ts,
              CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -36,13 +36,14 @@ def running_user_counts(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # half-up AWAY FROM ZERO like F.round (pandas .round() is
-            # banker's half-to-even; plain floor(x*100+0.5) rounds
-            # toward +inf, diverging on negative exact half-cents)
             import numpy as np
 
+            from accountant_pdf_extract_spark.functions.money import (
+                half_up_cents_np,
+            )
+
             v = pdf["value"].to_numpy()
-            cents += int(np.copysign(np.floor(np.abs(v) * 100 + 0.5), v).sum())
+            cents += int(half_up_cents_np(v[~np.isnan(v)]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}

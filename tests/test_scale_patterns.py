@@ -492,3 +492,71 @@ def test_range_join_query_is_not_vacuous(spark):
         "q_range_join matched nothing — the 10592-day shift no longer "
         "lands events inside the orders era; re-derive the constant"
     )
+
+
+def test_asof_null_keys_and_collisions(spark):
+    """SQL semantics on NULLs: a NULL by-key right row matches nothing
+    and a NULL by-key left row passes through unmatched; colliding
+    output/reserved column names refuse up front."""
+    import pytest
+
+    from accountant_pdf_extract_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    left = spark.createDataFrame(
+        [(None, 10, "ln"), (1, 10, "l1")], "k long, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "rn"), (1, 5, "r1")], "k long, ts long, v string"
+    )
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join_backward(
+            left, right, on="ts", by="k", right_cols=["v"]
+        ).collect()
+    }
+    assert got == {"ln": None, "l1": "r1"}  # NULL keys never match
+
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_backward(left, right, on="ts", by="k",
+                           right_cols=["v", "tag"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_backward(left.withColumn("_side", F.lit(1)), right,
+                           on="ts", by="k", right_cols=["v"])
+
+
+def test_grouped_stats_null_value_skipped_not_int64min(spark):
+    """A NULL value must be skipped by the quantiles (never floor(NaN)
+    -> INT64_MIN garbage); count(*) still counts the row; an all-NULL
+    group yields NULL stats like DuckDB quantile_cont."""
+    from accountant_pdf_extract_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0), (2, None)],
+        "user_id long, value double",
+    )
+    got = {r["user_id"]: r.asDict() for r in
+           sessions.grouped_stats(ev).collect()}
+    assert got[1]["n_events"] == 3 and got[1]["median_cents"] == 200.0
+    assert got[2]["n_events"] == 1 and got[2]["median_cents"] is None
+
+
+def test_packing_guards_null_tokens_and_bad_budget(spark):
+    import pytest
+
+    from accountant_pdf_extract_spark.operators.packing import (
+        pack_token_shards,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 7)], "doc_id string, n long"
+    )
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_shards(df, "doc_id", "n", budget=0)
+    out = pack_token_shards(df, "doc_id", "n", budget=10).collect()
+    # NULL token count packs as 0 tokens: every doc still gets a
+    # non-null, group-prefixed shard key
+    assert all(r["shard_key"] is not None and "-" in r["shard_key"]
+               for r in out)
+    assert len(out) == 3

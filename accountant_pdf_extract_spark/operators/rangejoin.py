@@ -50,6 +50,16 @@ def range_join(
         raise ValueError(
             f"points/intervals share columns {sorted(overlap)}; rename first"
         )
+    reserved = {"_rj_b", "_rj_lo_b", "_rj_hi_b"} & (
+        set(points.columns) | set(intervals.columns)
+    )
+    if reserved:
+        # withColumn would silently OVERWRITE these and the internal
+        # drop() would then delete caller data
+        raise ValueError(
+            f"columns {sorted(reserved)} are reserved by range_join; "
+            "rename them first"
+        )
 
     w = F.lit(bucket_width)
     valid = intervals.where(F.col(lo_col) <= F.col(hi_col))

@@ -560,3 +560,14 @@ def test_packing_guards_null_tokens_and_bad_budget(spark):
     assert all(r["shard_key"] is not None and "-" in r["shard_key"]
                for r in out)
     assert len(out) == 3
+
+
+def test_range_join_rejects_reserved_columns(spark):
+    import pytest
+
+    from accountant_pdf_extract_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "p long, _rj_b long")
+    iv = spark.createDataFrame([(0, 10)], "lo long, hi long")
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(pts, iv, "p", "lo", "hi", bucket_width=7)

@@ -50,9 +50,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         raw = str(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
         ).lower().strip()
-        # Spark accepts '134217728', '128m', and '128mb' forms
-        m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "": 1}
+        # Spark accepts '134217728', '128m', and '128mb' forms (any
+        # JVM byte-size suffix up to pb — an unmatched suffix must NOT
+        # silently fall back to 128m: with e.g. '1t' that overestimates
+        # splits ~8000x and skips the repartition exactly when the real
+        # split count is tiny)
+        m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", raw)
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                 "t": 1 << 40, "p": 1 << 50, "": 1}
         max_bytes = (
             int(m.group(1)) * units[m.group(2)] if m else 128 << 20
         )
@@ -68,9 +73,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: md5-of-normalized-text groups with member count and
-    the kept (minimum) id — one hash aggregate, fully parallel."""
+    the kept (minimum) id — one hash aggregate, fully parallel.  NULL
+    text is EXCLUDED: md5(NULL)=NULL and groupBy treats NULL hashes as
+    equal, which would collapse every failed-extraction doc into one
+    phantom 'duplicate' group and let a keep-only consumer delete them
+    all as copies of each other."""
     return (
-        df.select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("content_hash"))
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.count("*").alias("n_members"),
@@ -164,7 +174,11 @@ def minhash_rescored_pairs(
     ).where(F.size("sh") > 0)
     a = sets.select(F.col("sid").alias("a"), F.col("sh").alias("sha"))
     b = sets.select(F.col("sid").alias("b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb"))
+    # LongType math: F.size is int32, and 1000 * n_common wraps int32
+    # beyond ~2.1M shingles (long docs at web scale) while the oracle
+    # computes in double/HUGEINT — the twin jaccard_pairs already
+    # counts in long
+    inter = F.size(F.array_intersect("sha", "shb")).cast("long")
     return (
         cand.join(a, "a")
         .join(b, "b")
@@ -173,7 +187,7 @@ def minhash_rescored_pairs(
             "b",
             F.floor(
                 F.lit(1000) * inter
-                / (F.size("sha") + F.size("shb") - inter)
+                / (F.size("sha").cast("long") + F.size("shb") - inter)
             ).cast("long").alias("jaccard_milli"),
         )
         .where(F.col("jaccard_milli") >= threshold_milli)

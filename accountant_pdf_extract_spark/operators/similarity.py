@@ -22,11 +22,32 @@ products are exact integers — float sum order never matters.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def quantized_array(c):
+    """Milli-quantized component array — THE single quantizer the
+    oracle-parity contract depends on; every path (explode relation,
+    LSH rescore) must use this exact expression or the LSH rescore
+    silently desynchronizes from the brute-force path it is a
+    documented verified subset of."""
+    return F.transform(c, lambda x: F.round(x.cast("double") * 1000).cast("long"))
+
+
+@functools.lru_cache(maxsize=8)
+def _derived_planes(seed: int, n_bits: int, dim: int):
+    """Seed-derived hyperplane matrix, cached per worker process."""
+    return (
+        np.random.default_rng(seed)
+        .standard_normal((n_bits, dim))
+        .astype(np.float32)
+    )
 
 
 def quantized_components(
@@ -36,12 +57,7 @@ def quantized_components(
     relation for deterministic dot products."""
     return df.select(
         F.col(id_col).alias("vid"),
-        F.posexplode(
-            F.transform(
-                F.col(vec_col),
-                lambda x: F.round(x.cast("double") * 1000).cast("long"),
-            )
-        ).alias("pos", "comp"),
+        F.posexplode(quantized_array(F.col(vec_col))).alias("pos", "comp"),
     )
 
 
@@ -86,6 +102,17 @@ def brute_force_topk_pandas(
     query matrix; per-batch top-k then global top-k.  Corpus is never
     shuffled; the reduction is k·|queries| rows per partition."""
     spark = df.sparkSession
+    if metric not in ("cosine", "dot"):
+        # an unknown metric must not silently degrade to raw dot —
+        # wrong neighbors with no signal
+        raise ValueError(f"unknown metric {metric!r}; use 'cosine' or 'dot'")
+    out_schema = "qid long, cid long, score double"
+    if len(queries) == 0:
+        # np.stack over zero queries would crash every executor task;
+        # an empty query set has a well-defined empty answer
+        return spark.createDataFrame(
+            [], out_schema + ", rank int"
+        ).select("qid", "cid", "score", "rank")
     qn = queries.astype(np.float32)
     if metric == "cosine":
         qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
@@ -94,6 +121,8 @@ def brute_force_topk_pandas(
     def score(batches):
         qm, qids = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             if metric == "cosine":
@@ -145,11 +174,14 @@ def hyperplane_signature(
     (n_tables * bits_per_table, dim); output is one row per (vector,
     table): (vid, table, bucket).
 
-    When ``planes`` is None, pass ``seed`` + ``n_bits`` instead: each
-    executor derives the identical plane matrix from the seed at the
-    first batch, once the embedding dim is observed — so building the
-    plan never runs a Spark job to sniff the dimension (round-1 used a
-    driver-side ``df.first()`` per call; VERDICT r1 'What's wrong' #5)."""
+    When ``planes`` is None, pass ``seed`` + ``n_bits`` instead: the
+    identical plane matrix is derived from the seed at the first batch,
+    once the embedding dim is observed — so building the plan never
+    runs a Spark job to sniff the dimension (round-1 used a driver-side
+    ``df.first()`` per call; VERDICT r1 'What's wrong' #5).  The
+    derivation is cached per (seed, bits, dim) in the Python worker
+    PROCESS (lru_cache), so it runs once per worker, not once per
+    task."""
     spark = df.sparkSession
     if planes is not None:
         if planes.shape[0] % n_tables:
@@ -179,14 +211,12 @@ def hyperplane_signature(
         pl = None if derive_planes else bc.value
         weights = 1 << np.arange(bits_per, dtype=np.int64)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             if pl is None:
                 s, nb = bc.value
-                pl = (
-                    np.random.default_rng(s)
-                    .standard_normal((nb, mat.shape[1]))
-                    .astype(np.float32)
-                )
+                pl = _derived_planes(s, nb, mat.shape[1])
             bits = (mat @ pl.T) > 0  # |batch| x (n_tables*bits_per)
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             frames = []
@@ -385,10 +415,7 @@ def cosine_near_dup_pairs_lsh(
     )
     quant = df.select(
         F.col(id_col).alias("vid"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * 1000).cast("long"),
-        ).alias("q"),
+        quantized_array(F.col(vec_col)).alias("q"),
     )
     qa = quant.select(F.col("vid").alias("a"), F.col("q").alias("qa"))
     qb = quant.select(F.col("vid").alias("b"), F.col("q").alias("qb"))
@@ -408,7 +435,12 @@ def cosine_near_dup_pairs_lsh(
         .select(
             "a",
             "b",
-            F.floor(F.lit(1000) * dot / F.sqrt(nsq("qa") * nsq("qb")))
+            # norm product in DOUBLE: nsq*nsq as long*long wraps past
+            # 2^63 for unnormalized embeddings (oracle sums in HUGEINT)
+            F.floor(
+                F.lit(1000) * dot
+                / F.sqrt(nsq("qa").cast("double") * nsq("qb").cast("double"))
+            )
             .cast("long")
             .alias("cos_milli"),
         )
@@ -451,7 +483,8 @@ def cosine_near_dup_pairs(
             "a",
             "b",
             F.floor(
-                F.lit(1000) * F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))
+                F.lit(1000) * F.col("dot")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
             )
             .cast("long")
             .alias("cos_milli"),

@@ -235,7 +235,8 @@ def q_fingerprint(spark, sf):
     SELECT content_hash, count(*) AS n_members, min(doc_id) AS keep_id
     FROM (SELECT doc_id,
                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
-          FROM documents)
+          FROM documents
+          WHERE text IS NOT NULL)
     GROUP BY content_hash
     """,
 )

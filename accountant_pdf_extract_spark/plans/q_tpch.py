@@ -603,3 +603,45 @@ def tpch_q8(spark, sf):
             .alias("mkt_share_milli")
         )
     )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS total_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf):
+    """Q15 top-supplier shape (the revenue 'view' + its max): one
+    fact-side aggregate builds the revenue relation, its single-row
+    max broadcasts back as an equi-filter (never an unpartitioned
+    rank window over the whole relation), and the supplier dim joins
+    only the surviving row(s)."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_cents") == F.col("mx")
+    ).select("supplier_no", "total_cents")
+    s = t(spark, sf, "supplier")
+    return (
+        s.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_cents")
+    )

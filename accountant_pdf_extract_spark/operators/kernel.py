@@ -26,9 +26,9 @@ def _decode_spans_batch(batch: pa.RecordBatch):
     null slots, which repeat the offset) — never use .flatten() here,
     it re-bases and breaks on slices."""
     doc_ids = batch.column("doc_id").to_pylist()
+    # RecordBatch.column is always a contiguous pa.Array (ChunkedArray
+    # exists only on Table) — no combine_chunks case here
     spans_col = batch.column("spans")
-    if isinstance(spans_col, pa.ChunkedArray):
-        spans_col = spans_col.combine_chunks()
     list_offsets = spans_col.offsets.to_pylist()
     flat = spans_col.values
     return (
@@ -41,12 +41,10 @@ def _decode_spans_batch(batch: pa.RecordBatch):
     )
 
 
-_FLAT_TYPES = [
-    pa.string(), pa.string(), pa.string(), pa.string(), pa.int32(),
-    pa.string(), pa.date32(), pa.date32(), pa.string(),
-    pa.decimal128(18, 2), pa.list_(pa.decimal128(18, 2)),
-    pa.list_(pa.string()),
-]
+# DERIVED from the pinned schema — a hand-maintained copy could drift
+# after a schema edit, and (because of the per-doc isolation fallback)
+# the drift would surface as every doc silently dropped, not an error
+_FLAT_TYPES = [f.type for f in ARROW_FLAT_FIELDS]
 
 
 def _yield_with_doc_isolation(cols, types, schema, bounds, on_drop):
@@ -54,7 +52,14 @@ def _yield_with_doc_isolation(cols, types, schema, bounds, on_drop):
     conversion (the build runs after all per-doc trys), retry doc by
     doc so only the offender is dropped — per-doc fault isolation must
     hold through the column build too, or one bad value kills the
-    whole task."""
+    whole task.
+
+    Fail-fast guard: if EVERY doc in the batch fails the per-doc
+    retry, the failure is systemic (schema drift, a pyarrow behavior
+    change, a kernel bug making column lengths unequal), not one bad
+    payload — re-raise instead of silently dropping the whole batch
+    (a job that 'succeeds' with zero output is the worst failure
+    mode at 10^12 docs)."""
 
     def build(segments):
         return pa.RecordBatch.from_arrays(
@@ -66,12 +71,27 @@ def _yield_with_doc_isolation(cols, types, schema, bounds, on_drop):
         return
     except Exception:  # noqa: BLE001 — isolate the offending doc(s)
         pass
+    survived, last_exc = 0, None
     for doc_id, lo, hi in bounds:
         seg = [c[lo:hi] for c in cols]
         try:
-            yield build(seg)
+            batch = build(seg)
         except Exception as exc:  # noqa: BLE001
+            last_exc = exc
             _report_drop(on_drop, doc_id, exc)
+            continue
+        survived += 1
+        yield batch
+    # threshold 8: an all-fail across >=8 independent docs is
+    # vanishingly unlikely to be coincident bad payloads; below it a
+    # tail batch of genuinely-bad docs keeps plain per-doc drop
+    # semantics (other, larger batches would still raise)
+    if len(bounds) >= 8 and survived == 0:
+        raise RuntimeError(
+            f"Arrow build failed for ALL {len(bounds)} docs in the "
+            "batch — systemic failure (schema/pyarrow drift?), not a "
+            "bad document; refusing to silently drop the batch"
+        ) from last_exc
 
 
 def _report_drop(on_drop, doc_id, exc) -> None:
@@ -202,7 +222,7 @@ def extract_fields_batches(
                 col_doc, col_inv, col_idate, col_ddate, col_ccy,
                 col_total, col_amounts, col_codes,
             ],
-            [_FLAT_TYPES[0]] + _FLAT_TYPES[5:],
+            [f.type for f in ARROW_DOC_FIELDS],
             ARROW_DOC_FIELDS,
             bounds,
             on_drop,

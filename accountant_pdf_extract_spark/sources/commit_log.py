@@ -18,6 +18,16 @@ Protocol (two-level commit):
    place.  A killed job therefore resumes exactly: committed buckets
    are skipped via anti-join, uncommitted buckets are redone
    idempotently (deterministic kernels, seeded synth).
+
+Durability scope, stated honestly: the exact-resume guarantee covers
+PROCESS failure (kill/crash of the job), the case the protocol is
+exercised against.  Across an OS crash or power loss it is weaker
+than a real table format: the snapshot JSON is fsynced before the
+rename, but the bucket parquet it certifies is written by Spark
+WITHOUT fsync, so the journal could persist a seal whose data pages
+were still dirty.  Production table formats inherit close-durability
+from HDFS/S3; on local disk, a power-loss-safe variant would need to
+fsync the bucket files (and directories) before sealing.
 """
 
 from __future__ import annotations

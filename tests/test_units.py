@@ -736,3 +736,43 @@ def test_parenthesized_negative_amounts_in_corpus_and_rules():
             fields = extract_doc([("pdf", pdf, "", 0)])[1]
             neg_amounts += [a for a in (fields["amounts"] or []) if a < 0]
     assert neg_amounts, "no parenthesized-negative amounts in 60 docs"
+
+
+def test_kernel_isolation_vs_systemic_failure():
+    """One bad doc among good ones drops ONLY the offender; an
+    all-docs Arrow failure across >=8 docs re-raises (systemic drift
+    must not become a silent zero-output success); tiny all-bad
+    batches keep plain per-doc drop semantics."""
+    import pyarrow as pa
+    import pytest
+
+    from accountant_pdf_extract_spark.operators.kernel import (
+        _yield_with_doc_isolation,
+    )
+
+    schema = pa.schema([pa.field("doc", pa.string()), pa.field("n", pa.int32())])
+    types = [f.type for f in schema]
+
+    # mixed: doc d1's n value can't convert to int32
+    cols = [["a", "b", "c"], [1, "boom", 3]]
+    bounds = [("d0", 0, 1), ("d1", 1, 2), ("d2", 2, 3)]
+    dropped = []
+    got = list(_yield_with_doc_isolation(
+        cols, types, schema, bounds, lambda d, e: dropped.append(d)))
+    assert dropped == ["d1"]
+    assert sum(b.num_rows for b in got) == 2
+
+    # systemic: every doc fails across >= 8 docs -> raise
+    n = 8
+    cols = [[f"r{i}" for i in range(n)], ["x"] * n]
+    bounds = [(f"d{i}", i, i + 1) for i in range(n)]
+    with pytest.raises(RuntimeError, match="systemic"):
+        list(_yield_with_doc_isolation(
+            cols, types, schema, bounds, lambda d, e: None))
+
+    # tiny all-bad batch: per-doc drops, no raise
+    cols = [["r0"], ["x"]]
+    dropped = []
+    got = list(_yield_with_doc_isolation(
+        cols, types, schema, [("d0", 0, 1)], lambda d, e: dropped.append(d)))
+    assert dropped == ["d0"] and got == []

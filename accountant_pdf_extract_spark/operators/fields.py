@@ -63,10 +63,14 @@ def dates_in(line: str) -> list[tuple[int, dt.date]]:
     for m in _DATE_SLASH.finditer(line):
         found.append((m.start(), _safe_date(int(m[3]), int(m[2]), int(m[1]))))
     for m in _DATE_MONTH.finditer(line):
-        mon = _MONTH_NUM.get(m[1].lower()[:3] if len(m[1]) <= 3 else m[1].lower())
+        # 3-letter prefixes of rules.MONTHS are unique, so one lookup
+        # suffices; a miss (only possible under regex/MONTHS drift)
+        # SKIPS the date like the oracle's KeyError path — it must
+        # never fabricate a January date
+        mon = _MONTH_NUM.get(m[1].lower()[:3])
         if mon is None:
-            mon = _MONTH_NUM.get(m[1].lower()[:3])
-        found.append((m.start(), _safe_date(int(m[3]), mon or 1, int(m[2]))))
+            continue
+        found.append((m.start(), _safe_date(int(m[3]), mon, int(m[2]))))
     return sorted(
         [(p, d) for p, d in found if d is not None], key=lambda t: t[0]
     )
@@ -117,7 +121,15 @@ def extract_fields(lines: list[str]) -> dict:
         # six regex passes on prose-only lines (the common case)
         if not _HAS_DIGIT.search(line):
             continue
-        line_dates = dates_in(line)
+        # dates are only CONSUMED while one of the two date fields is
+        # unresolved — skipping the 4 date-regex passes afterwards is
+        # semantics-identical and saves them on every remaining
+        # digit line (amount tables run to hundreds of lines)
+        line_dates = (
+            dates_in(line)
+            if invoice_date is None or due_date is None
+            else []
+        )
         if line_dates and invoice_date is None:
             invoice_date = line_dates[0][1]
         if line_dates and due_date is None:

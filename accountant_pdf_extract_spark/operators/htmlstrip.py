@@ -71,6 +71,16 @@ def strip_html(html: str) -> list[str]:
     """HTML → list of main-content text blocks, document order."""
     if not html:
         return []
+    # Hostile/not-HTML bail (spec.HTML_HOSTILE_*): unclosed-'<' dense
+    # payloads make every [^>]* scan run toward end-of-string —
+    # measured quadratic (0.45s at 64KB, hours at 10MB), wedging the
+    # whole Arrow batch task on ONE bad doc.  Such payloads are not
+    # parseable HTML; treat as plain text (entities decoded, no tag
+    # stripping).  The oracle mirrors this exactly.
+    n_lt, n_gt = html.count("<"), html.count(">")
+    if n_lt > spec.HTML_HOSTILE_MIN_LT and n_lt > spec.HTML_HOSTILE_LT_PER_GT * n_gt:
+        text = _WS_RE.sub(" ", _ENTITY_RE.sub(_entity, html)).strip()
+        return [text] if len(text) >= spec.HTML_MIN_CHARS else []
     body = _COMMENT_RE.sub(" ", html)
     # Iterate: nested drop-tags (nav inside header, ...) need repeats.
     prev = None

@@ -63,6 +63,13 @@ COL_MIN_TOTAL = 6
 # HTML main-content heuristics (boilerpipe-style, from-scratch):
 HTML_MIN_CHARS = 10          # keep a block iff its text length >= this
 HTML_MAX_LINK_DENSITY = 0.5  # ... and anchor-text chars / total chars <= this
+# hostile/not-HTML bail: payloads whose '<' openers vastly outnumber
+# '>' closers make every [^>]* tag scan run to (nearly) end-of-string
+# — quadratic on one bad doc.  When '<' count exceeds BOTH thresholds
+# the payload is treated as plain text (entities decoded, no tag
+# stripping) by engine AND oracle.
+HTML_HOSTILE_MIN_LT = 64     # density test applies above this many '<'
+HTML_HOSTILE_LT_PER_GT = 4   # ... when '<' > this x '>' count
 HTML_DROP_TAGS = ("script", "style", "nav", "header", "footer", "aside")
 HTML_BLOCK_TAGS = (
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6",

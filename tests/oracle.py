@@ -423,6 +423,16 @@ def _strip_tags(s: str) -> str:
 def html_spans(payload: str) -> list[tuple[str, str, str]]:
     if not payload:
         return []
+    # hostile/not-HTML bail — mirrors the engine's guard exactly
+    # (spec.HTML_HOSTILE_*): '<'-dense, '>'-sparse payloads are
+    # treated as plain text with entities decoded, no tag stripping
+    n_lt, n_gt = payload.count("<"), payload.count(">")
+    if (
+        n_lt > spec.HTML_HOSTILE_MIN_LT
+        and n_lt > spec.HTML_HOSTILE_LT_PER_GT * n_gt
+    ):
+        text = re.sub(r"\s+", " ", _decode_entities(payload)).strip()
+        return [("text", text, "")] if len(text) >= spec.HTML_MIN_CHARS else []
     s = re.sub(r"<!--.*?-->", " ", payload, flags=re.S)
     # One COMBINED alternation per fixed-point pass (not per-tag loops):
     # on malformed HTML with mispaired overlapping drop tags of

@@ -571,3 +571,33 @@ def test_range_join_rejects_reserved_columns(spark):
     iv = spark.createDataFrame([(0, 10)], "lo long, hi long")
     with pytest.raises(ValueError, match="reserved"):
         range_join(pts, iv, "p", "lo", "hi", bucket_width=7)
+
+
+def test_global_rank_degenerate_bounds_not_empty(spark):
+    """num_buckets=1 and all-NULL rank keys must DEGRADE to one bucket
+    (still every row ranked), never silently drop to an empty result;
+    internal-column collisions refuse up front."""
+    import pytest
+
+    from accountant_pdf_extract_spark.operators.ranking import (
+        global_row_number,
+    )
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(10)],
+                               "id long, v long")
+    one = global_row_number(df, F.col("v"), F.col("id"), num_buckets=1)
+    assert sorted((r["id"], r["pos"]) for r in one.collect()) == [
+        (i, i + 1) for i in range(10)]
+
+    nulls = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = global_row_number(
+        nulls, F.lit(None).cast("long"), F.col("id"), num_buckets=8)
+    assert sorted((r["id"], r["pos"]) for r in got.collect()) == [
+        (i, i + 1) for i in range(5)]
+
+    with pytest.raises(ValueError, match="collide"):
+        global_row_number(df.withColumn("_rk", F.lit(1)), F.col("v"),
+                          F.col("id"))
+    from accountant_pdf_extract_spark.operators.ranking import scalable_ntile
+    with pytest.raises(ValueError, match="n_tiles"):
+        scalable_ntile(df, 0, F.col("v"), F.col("id"))

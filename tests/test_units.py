@@ -776,3 +776,24 @@ def test_kernel_isolation_vs_systemic_failure():
     got = list(_yield_with_doc_isolation(
         cols, types, schema, [("d0", 0, 1)], lambda d, e: dropped.append(d)))
     assert dropped == ["d0"] and got == []
+
+
+def test_hostile_html_bails_to_plain_text_fast():
+    """'<'-dense, '>'-sparse payloads must take the plain-text path
+    (quadratic tag scans otherwise wedge the batch task on one doc) —
+    and the oracle mirrors the bail exactly."""
+    import time
+
+    from accountant_pdf_extract_spark.operators.htmlstrip import strip_html
+    from tests.oracle import html_spans
+
+    hostile = ("<script " * 20000) + "payload words here &amp; more"
+    t0 = time.monotonic()
+    got = strip_html(hostile)
+    assert time.monotonic() - t0 < 1.0, "hostile payload not bailed"
+    assert got and "payload words here & more" in got[0]
+    assert [("text", b, "") for b in got] == html_spans(hostile)
+
+    # well-formed HTML is untouched by the guard
+    ok = "<html><body><p>a perfectly normal paragraph of text</p></body></html>"
+    assert strip_html(ok) == ["a perfectly normal paragraph of text"]

@@ -12,7 +12,15 @@ UDTF form exists for SQL-first composition — same shingle semantics as
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+# Java/Spark regex \s is ASCII-only ([ \t\n\x0B\f\r]) while Python's
+# \s is Unicode (matches NBSP U+00A0 etc.) — the UDTF must use the
+# ASCII class or SQL users get different shingles than shingle_df for
+# the same rows (NBSP is representable in the latin-1 PDF plane).
+_ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="shingle: string, pos: int")
@@ -20,14 +28,13 @@ class ShingleUDTF:
     """All k-char shingles of whitespace-normalized, lowercased text."""
 
     def eval(self, text: str, k: int):  # noqa: D102
-        import re
-
         if text and k and k > 0:
             # EXACT mirror of _shingles_sql's normalization:
-            # lower → trim SPACES only (SQL trim) → collapse \s+ runs.
-            # ' '.join(split()) would also strip edge tabs/newlines and
-            # fork the two advertised-equivalent surfaces.
-            n = re.sub(r"\s+", " ", text.lower().strip(" "))
+            # lower → trim SPACES only (SQL trim) → collapse Java-\s
+            # runs.  ' '.join(split()) would also strip edge
+            # tabs/newlines and fork the two advertised-equivalent
+            # surfaces.
+            n = _ASCII_WS_RE.sub(" ", text.lower().strip(" "))
             for i in range(max(len(n) - k + 1, 0)):
                 yield n[i : i + k], i
 

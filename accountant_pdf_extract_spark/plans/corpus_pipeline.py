@@ -17,10 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from accountant_pdf_extract_spark.operators import textstats
-from accountant_pdf_extract_spark.operators.dedup import norm_text
 from accountant_pdf_extract_spark.plans.pipeline import extract
 
 
@@ -51,11 +49,20 @@ def curate(
     flat = extract(docs, salt_buckets=salt_buckets, num_partitions=num_partitions)
     texts = doc_text(flat)
 
-    w = Window.partitionBy(F.md5(norm_text(F.col("text")))).orderBy("doc_id")
+    # keep-min-doc_id per content hash as a map-side-combinable AGG —
+    # a row_number window here would ship every duplicate's full text
+    # through the exchange and sort it; min(struct(doc_id, text))
+    # collapses duplicates in the partial aggregate, so at most one
+    # candidate row per (hash, map task) shuffles.  The hash is the
+    # single-sourced content identity (textstats.fingerprint — same
+    # key every dedup operator uses).
     deduped = (
-        texts.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        texts.groupBy(textstats.fingerprint(F.col("text")).alias("_h"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("_keep"))
+        .select(
+            F.col("_keep.doc_id").alias("doc_id"),
+            F.col("_keep.text").alias("text"),
+        )
     )
 
     scored = textstats.quality_features(deduped)

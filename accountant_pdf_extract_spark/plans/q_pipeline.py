@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.plans.driver_queries import register
-from accountant_pdf_extract_spark.plans.pipeline import extract, spans_view
+from accountant_pdf_extract_spark.plans.pipeline import (
+    SALT_COL,
+    extract,
+    extract_fields_table,
+    salt,
+    spans_view,
+)
 from accountant_pdf_extract_spark.sources.synth import interleaved_from_documents
 
 
@@ -26,8 +32,6 @@ def q_extract_fields(spark, sf):
     fields-only kernel — one output row per doc, span-text Arrow
     columns never built (equivalence with fields_view(extract(...))
     pinned by tests)."""
-    from accountant_pdf_extract_spark.plans.pipeline import extract_fields_table
-
     docs = interleaved_from_documents(spark, sf, seed=42)
     dv = extract_fields_table(docs, salt_buckets=256, num_partitions=32)
     return dv.select(
@@ -50,8 +54,6 @@ def q_salt(spark, sf):
     counts for the skew-defeating repartition key — computed via the
     SAME salt() the pipeline shuffles on (never a re-implementation of
     the bucketing formula), at the sibling queries' 256 buckets."""
-    from accountant_pdf_extract_spark.plans.pipeline import SALT_COL, salt
-
     docs = interleaved_from_documents(spark, sf, seed=42)
     return (
         salt(docs, 256)

@@ -21,6 +21,18 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _n(v: float) -> str:
+    """Exponent-free number formatting for content streams: the
+    parser's token grammar (and its oracle mirror) has no exponent
+    form, while '%g' silently switches to '1e-05'/'1.2e+06' outside
+    [1e-4, 1e6) — geometry would corrupt with no error (the lexer
+    reads '1e-05' as 1, unknown op 'e', -05).  Fixed-point, 4
+    decimals, trailing zeros stripped — identical output to %g for
+    every coordinate the synth corpus emits."""
+    s = f"{v:.4f}".rstrip("0").rstrip(".")
+    return s if s not in ("", "-", "-0") else "0"
+
+
 @dataclass
 class PageBuilder:
     """Accumulates content-stream ops + image XObjects for one page."""
@@ -30,7 +42,7 @@ class PageBuilder:
 
     def text(self, x: float, y: float, s: str, size: float = 10.0) -> None:
         self.ops.append(
-            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_esc(s)}) Tj ET"
+            f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td ({_esc(s)}) Tj ET"
         )
 
     def text_tj(
@@ -38,9 +50,9 @@ class PageBuilder:
     ) -> None:
         """[(s1) -250 (s2)] TJ — numbers are kerning (1/1000 em)."""
         body = " ".join(
-            f"({_esc(p)})" if isinstance(p, str) else f"{p:g}" for p in parts
+            f"({_esc(p)})" if isinstance(p, str) else _n(p) for p in parts
         )
-        self.ops.append(f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{body}] TJ ET")
+        self.ops.append(f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td [{body}] TJ ET")
 
     def text_block(
         self, x: float, y: float, lines: list[str], size: float = 10.0,
@@ -49,7 +61,7 @@ class PageBuilder:
         """One BT block using TD (sets leading) + ' (next-line-show)."""
         if not lines:
             return
-        ops = [f"BT /F1 {size:g} Tf {leading:g} TL {x:g} {y:g} Td"]
+        ops = [f"BT /F1 {_n(size)} Tf {_n(leading)} TL {_n(x)} {_n(y)} Td"]
         ops.append(f"({_esc(lines[0])}) Tj")
         for ln in lines[1:]:
             ops.append(f"({_esc(ln)}) '")
@@ -57,15 +69,15 @@ class PageBuilder:
         self.ops.append(" ".join(ops))
 
     def hrule(self, x: float, y: float, w: float) -> None:
-        self.ops.append(f"{x:g} {y:g} {w:g} 0.5 re S")
+        self.ops.append(f"{_n(x)} {_n(y)} {_n(w)} 0.5 re S")
 
     def vrule(self, x: float, y: float, h: float) -> None:
-        self.ops.append(f"{x:g} {y:g} 0.5 {h:g} re S")
+        self.ops.append(f"{_n(x)} {_n(y)} 0.5 {_n(h)} re S")
 
     def image(self, x: float, y: float, w: float, h: float, media_ref: str) -> None:
         idx = len(self.images) + 1
         self.images.append(media_ref)
-        self.ops.append(f"q {w:g} 0 0 {h:g} {x:g} {y:g} cm /Im{idx} Do Q")
+        self.ops.append(f"q {_n(w)} 0 0 {_n(h)} {_n(x)} {_n(y)} cm /Im{idx} Do Q")
 
     def content(self) -> str:
         return "\n".join(self.ops) + "\n"

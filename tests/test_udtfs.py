@@ -64,3 +64,31 @@ def test_shingle_udtf_matches_sql_on_edge_whitespace(spark):
     # the leading tab survives as a collapsed leading SPACE (SQL trim
     # strips spaces only) — pin the agreed semantics, not just parity
     assert (1, " foo") in via_udtf
+
+
+def test_shingle_udtf_matches_sql_on_unicode_whitespace(spark):
+    """NBSP (U+00A0, latin-1-representable) is whitespace to Python's
+    \\s but NOT to Java/Spark's — the UDTF must use the ASCII class so
+    SQL users and shingle_df get identical shingles."""
+    from accountant_pdf_extract_spark.operators.dedup import _shingles_sql
+
+    df = spark.createDataFrame(
+        [("d1", "a b cd")], "doc_id string, text string"
+    )
+    df.createOrReplaceTempView("nbsp_docs")
+    register_udtfs(spark)
+    via_udtf = sorted(
+        (r["pos"], r["shingle"])
+        for r in spark.sql(
+            "SELECT s.* FROM nbsp_docs d, LATERAL shingles(d.text, 3) s"
+        ).collect()
+    )
+    via_sql = sorted(
+        (i, s)
+        for row in df.select(
+            F.expr(_shingles_sql("text", 3)).alias("sh")
+        ).collect()
+        for i, s in enumerate(row["sh"])
+    )
+    assert [s for _, s in via_udtf] == [s for _, s in via_sql]
+    assert "a b" in [s for _, s in via_udtf]  # NBSP survives

@@ -797,3 +797,24 @@ def test_hostile_html_bails_to_plain_text_fast():
     # well-formed HTML is untouched by the guard
     ok = "<html><body><p>a perfectly normal paragraph of text</p></body></html>"
     assert strip_html(ok) == ["a perfectly normal paragraph of text"]
+
+
+def test_pdfwriter_numbers_never_use_exponent_notation():
+    """%g emitted '1e-05' for tiny coordinates, which the token
+    grammar lexes as (1, unknown-op 'e', -05) — geometry silently
+    shifted to wrong positions.  The fixed-point formatter keeps every
+    number exponent-free and round-trips within 1e-4."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import _n
+
+    assert _n(1e-05) == "0" and _n(5e-05) == "0.0001" and _n(-1e-05) == "0"
+    assert _n(1234567.0) == "1234567" and _n(0.5) == "0.5"
+    assert "e" not in _n(2.5e6).lower()
+
+    pg = PageBuilder()
+    pg.text(5e-05, 700, "hello")
+    pg.hrule(1e-05, 100, 1.5e6)
+    pages = parse_pdf(build_pdf([pg]).encode("latin-1"))
+    r = pages[0].runs[0]
+    assert abs(r.x) <= 1e-4 and r.y == 700.0  # was x = -5.0 under %g
+    rule = pages[0].rules[0]
+    assert abs(rule.x) <= 1e-4 and rule.length == 1500000.0

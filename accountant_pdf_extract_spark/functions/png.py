@@ -31,7 +31,13 @@ _CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
 # `expected` derives from the attacker-controlled IHDR, so without a
 # cap a crafted huge-dims header plus a high-ratio zlib stream would
 # still inflate gigabytes before the size check (bomb defense #2).
-MAX_PIXELS = 1 << 26
+# Bomb defense is budgeted in COMPONENTS (w*h*channels), because the
+# decode path holds ~5 bytes per component at peak (raw scanlines +
+# two int16 working copies): 2^26 components ~= 320 MB peak per
+# payload — x32 concurrent local tasks ~= 10 GB, inside the heap.  A
+# pixel-count cap alone under-counted RGBA 6x and the documented
+# defense did not hold.
+MAX_COMPONENTS = 1 << 26
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -63,6 +69,11 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad filter {filter_type}")
     h, w, c = px.shape
+    if h == 0 or w == 0:
+        # a zero-dim PNG is an artifact our own decoder (and the spec)
+        # rejects — refuse to emit it rather than producing bytes the
+        # pipeline later classifies as corrupt
+        raise ValueError(f"empty image dimensions {w}x{h}")
     bpp = c  # bytes per pixel at bit depth 8
 
     flat = px.reshape(h, w * c).astype(np.int16)
@@ -140,9 +151,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
-    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
-        raise ValueError(f"image dimensions {w}x{h} out of range")
     c = _COLOR_CHANNELS[color]
+    if w <= 0 or h <= 0 or w * h * c > MAX_COMPONENTS:
+        raise ValueError(f"image dimensions {w}x{h} out of range")
     stride = w * c
     expected = h * (stride + 1)
     # bounded inflate: dims are known BEFORE decompression, so a
@@ -151,10 +162,11 @@ def decode_png(data: bytes) -> np.ndarray:
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected + 1)
-        trailing = d.unconsumed_tail or d.flush()
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from e
-    if len(raw) != expected or trailing:
+    # post-eof garbage lands in unused_data (unconsumed_tail is only
+    # populated by the max_length bound, which len(raw) covers)
+    if len(raw) != expected or d.unused_data:
         raise ValueError("IDAT size does not match dimensions")
 
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)

@@ -43,7 +43,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     pos = 12
     fmt = None
     pcm = None
-    while pos + 8 <= len(data):
+    # walk only the declared RIFF body — trailing bytes after it (ID3
+    # tags, tool padding) are NOT chunks; scanning to len(data) turned
+    # such tails into bogus "truncated chunk" errors (dropping valid
+    # rows) or, worse, let a stray fmt/data tag override the real ones
+    end = min(len(data), 8 + riff_len)
+    while pos + 8 <= end:
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
@@ -61,8 +66,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1 or bits != 16 or n_ch not in (1, 2):
         raise ValueError(f"unsupported format {audio_fmt}/{bits}bit/{n_ch}ch")
-    if rate <= 0:
-        raise ValueError("non-positive sample rate")
+    # rate is unsigned on disk: 0 and absurd values (>10 MHz — no real
+    # audio; also anything >= 2^31 would wrap negative through the
+    # int32 feature schema) are malformed, skip-the-row material
+    if rate == 0 or rate > 10_000_000:
+        raise ValueError(f"implausible sample rate {rate}")
     if len(pcm) % (2 * n_ch):
         raise ValueError("data chunk not frame-aligned")
     arr = np.frombuffer(pcm, dtype="<i2").reshape(-1, n_ch)

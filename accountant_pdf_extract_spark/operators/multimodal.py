@@ -102,6 +102,30 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _decoded_rows(decoder, row_fn, columns):
+    """Shared mapInPandas skeleton for the media kernels: iterate the
+    Arrow batch, skip NULL payloads, decode with skip-the-row fault
+    isolation (codec errors normalize to ValueError; struct.error
+    covers header unpacks), emit fixed columns.  The skip semantics
+    live HERE once — a fix applies to every media kernel at once
+    instead of three copy-pasted loops."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    decoded = decoder(bytes(payload))
+                except (ValueError, struct.error):
+                    continue
+                out.append(row_fn(ref, payload, decoded))
+            yield pd.DataFrame(out, columns=columns)
+
+    return fn
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract per Arrow batch: (media_ref, width,
     height, mean_intensity, byte_entropy_milli).  Decodes every row
@@ -109,40 +133,25 @@ def image_features(df: DataFrame) -> DataFrame:
     frames); corrupt or non-image payloads skip the row, never the
     job.  Map-only — no shuffle."""
 
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if payload is None:
-                    continue
-                try:
-                    px = decode_png(bytes(payload))
-                except (ValueError, struct.error):
-                    continue
-                h, w, _c = px.shape
-                body = px.reshape(-1)
-                counts = np.bincount(body, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / len(body)
-                entropy = float(-(p * np.log2(p)).sum())
-                out.append(
-                    {
-                        "media_ref": ref,
-                        "width": int(w),
-                        "height": int(h),
-                        "mean_intensity": float(body.mean()) if len(body) else 0.0,
-                        "byte_entropy_milli": int(round(entropy * 1000)),
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_ref", "width", "height", "mean_intensity",
-                    "byte_entropy_milli",
-                ],
-            )
+    def row(ref, _payload, px):
+        h, w, _c = px.shape
+        body = px.reshape(-1)
+        counts = np.bincount(body, minlength=256).astype(np.float64)
+        p = counts[counts > 0] / len(body)
+        entropy = float(-(p * np.log2(p)).sum())
+        return {
+            "media_ref": ref,
+            "width": int(w),
+            "height": int(h),
+            "mean_intensity": float(body.mean()) if len(body) else 0.0,
+            "byte_entropy_milli": int(round(entropy * 1000)),
+        }
 
     return df.select("media_ref", "payload").mapInPandas(
-        feats,
+        _decoded_rows(decode_png, row, [
+            "media_ref", "width", "height", "mean_intensity",
+            "byte_entropy_milli",
+        ]),
         schema=(
             "media_ref string, width int, height int, "
             "mean_intensity double, byte_entropy_milli long"
@@ -155,39 +164,25 @@ def audio_features(df: DataFrame) -> DataFrame:
     n_samples, pcm_ms, rms_milli, peak).  Non-WAV/corrupt payloads
     skip the row.  Map-only — no shuffle."""
 
-    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if payload is None:
-                    continue
-                try:
-                    rate, samples = decode_wav(bytes(payload))
-                except (ValueError, struct.error):
-                    continue
-                x = samples.astype(np.float64)
-                rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
-                out.append(
-                    {
-                        "media_ref": ref,
-                        "sample_rate": int(rate),
-                        "n_samples": int(samples.shape[0]),
-                        "pcm_ms": int(samples.shape[0] * 1000 // rate),
-                        "rms_milli": int(round(rms * 1000)),
-                        "peak": int(np.abs(samples.astype(np.int32)).max())
-                        if x.size else 0,
-                    }
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_ref", "sample_rate", "n_samples", "pcm_ms",
-                    "rms_milli", "peak",
-                ],
-            )
+    def row(ref, _payload, decoded):
+        rate, samples = decoded
+        x = samples.astype(np.float64)
+        rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+        return {
+            "media_ref": ref,
+            "sample_rate": int(rate),
+            "n_samples": int(samples.shape[0]),
+            "pcm_ms": int(samples.shape[0] * 1000 // rate),
+            "rms_milli": int(round(rms * 1000)),
+            "peak": int(np.abs(samples.astype(np.int32)).max())
+            if x.size else 0,
+        }
 
     return df.select("media_ref", "payload").mapInPandas(
-        feats,
+        _decoded_rows(decode_wav, row, [
+            "media_ref", "sample_rate", "n_samples", "pcm_ms",
+            "rms_milli", "peak",
+        ]),
         schema=(
             "media_ref string, sample_rate int, n_samples long, "
             "pcm_ms long, rms_milli long, peak int"
@@ -224,45 +219,32 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
     preserved; rows already small enough pass through unchanged;
     non-PNG payloads skip."""
 
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                if payload is None:
-                    continue
-                try:
-                    px = decode_png(bytes(payload))
-                except (ValueError, struct.error):
-                    continue
-                h, w, _c = px.shape
-                scale = min(1.0, max_side / max(w, h))
-                # HALF_UP like resize_plan's F.round (Python round() is
-                # banker's: round(4.5)=4 would diverge from the plan)
-                tw = max(1, int(np.floor(w * scale + 0.5)))
-                th = max(1, int(np.floor(h * scale + 0.5)))
-                if (tw, th) == (w, h):
-                    # already in budget: pass the ORIGINAL bytes through
-                    # (no re-encode churn — byte-identical payloads keep
-                    # downstream byte-level dedup/caching effective)
-                    new_payload = bytes(payload)
-                else:
-                    ys = (np.arange(th) * (h / th)).astype(np.int64)
-                    xs = (np.arange(tw) * (w / tw)).astype(np.int64)
-                    new_payload = encode_png(px[ys][:, xs])
-                out.append(
-                    {
-                        "media_ref": ref,
-                        "payload": new_payload,
-                        "width": tw,
-                        "height": th,
-                    }
-                )
-            yield pd.DataFrame(
-                out, columns=["media_ref", "payload", "width", "height"]
-            )
+    def row(ref, payload, px):
+        h, w, _c = px.shape
+        scale = min(1.0, max_side / max(w, h))
+        # HALF_UP like resize_plan's F.round (Python round() is
+        # banker's: round(4.5)=4 would diverge from the plan)
+        tw = max(1, int(np.floor(w * scale + 0.5)))
+        th = max(1, int(np.floor(h * scale + 0.5)))
+        if (tw, th) == (w, h):
+            # already in budget: pass the ORIGINAL bytes through
+            # (no re-encode churn — byte-identical payloads keep
+            # downstream byte-level dedup/caching effective)
+            new_payload = bytes(payload)
+        else:
+            ys = (np.arange(th) * (h / th)).astype(np.int64)
+            xs = (np.arange(tw) * (w / tw)).astype(np.int64)
+            new_payload = encode_png(px[ys][:, xs])
+        return {
+            "media_ref": ref,
+            "payload": new_payload,
+            "width": tw,
+            "height": th,
+        }
 
     return df.select("media_ref", "payload").mapInPandas(
-        work,
+        _decoded_rows(decode_png, row,
+                      ["media_ref", "payload", "width", "height"]),
         schema="media_ref string, payload binary, width int, height int",
     )
 
@@ -271,6 +253,10 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode sample timestamps
     with a sequence HOF (Catalyst-side); real frame decode would demux
     the container — out of scope, the poster frame stands in."""
+    if every_ms <= 0:
+        # sequence(step=0) only fails at ACTION time with a whole-job
+        # SparkRuntimeException — fail fast at plan build instead
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     return (
         df.where(F.col("modality") == "video")
         .select(

@@ -38,7 +38,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions if shuffle_partitions else max(32, cpus * 2)),
+            str(shuffle_partitions if shuffle_partitions is not None else max(32, cpus * 2)),
         )
         # Arrow is the only executor<->Python transport we use.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -19,7 +19,7 @@ PKG = ROOT / "accountant_pdf_extract_spark"
 
 def build(out: pathlib.Path) -> pathlib.Path:
     """Write the --py-files zip to ``out``; returns the path."""
-    out.parent.mkdir(exist_ok=True)
+    out.parent.mkdir(parents=True, exist_ok=True)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(PKG.rglob("*.py")):
             zf.write(py, py.relative_to(ROOT))

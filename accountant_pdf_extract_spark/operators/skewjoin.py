@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 # NO "cross": Spark treats a using-columns join with joinType 'cross'
 # as INNER, silently dropping unmatched keys — not a cartesian product
 _SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi",
-             "leftsemi", "left_anti", "leftanti"}
+             "leftsemi", "semi", "left_anti", "leftanti", "anti"}
 
 _SALT = "_sj_salt"  # internal; refuse inputs that already carry it
 
@@ -26,17 +26,30 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join ``big ⋈ small`` on ``key`` with the big side salted by
-    a deterministic hash of its row CONTENT (identical rows co-locate —
-    spread comes from distinct rows, which is what key skew is) and the
-    small side replicated ``salt_buckets``× (explode of a literal range
-    — no driver-side loop).  Row-identical to the plain join for the
-    supported join types.
+    """Equi-join ``big ⋈ small`` on ``key`` with the big side salted
+    and the small side replicated ``salt_buckets``× (explode of a
+    literal range — no driver-side loop).  Row-identical to the plain
+    join for the supported join types.
+
+    The salt mixes the row content WITH the physical row position
+    (``spark_partition_id`` + ``monotonically_increasing_id``): the
+    canonical skew case is a hot key whose rows are byte-IDENTICAL
+    duplicates, and a content-only hash would send all of them to one
+    reducer — exactly the straggler this operator exists to break.
+    Any salt value is CORRECT for any row (the small side is
+    replicated across every salt), so the position component affects
+    distribution only, never results — task retries may re-salt a row
+    differently and the join output is still row-identical.
 
     Right/full outer joins are refused: an unmatched small-side row
     exists ``salt_buckets`` times after replication, so the outer side
     would emit that many null-extended duplicates — use a plain join
     (small side can't be the skewed one anyway)."""
+    if salt_buckets < 1:
+        # pmod(x, 0) is NULL under ansi=off — every salt NULL, the
+        # equi-join matches nothing, and an inner join silently
+        # returns EMPTY instead of erroring
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     if how.lower().replace("_", "") not in {
         h.replace("_", "") for h in _SAFE_HOW
     }:
@@ -53,9 +66,17 @@ def salted_join(
         )
     salted_big = big.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets)).cast("int"),
+        F.pmod(
+            F.xxhash64(
+                *big.columns,
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salt_buckets),
+        ).cast("int"),
     )
+    # sequence of int literals already yields array<int> — no cast
     replicated_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
-    ).withColumn(_SALT, F.col(_SALT).cast("int"))
+    )
     return salted_big.join(replicated_small, [key, _SALT], how).drop(_SALT)

@@ -39,12 +39,20 @@ def stream_dedup_exact(
     micro-batches; appends (doc_id, content_hash) of the kept docs to
     ``output_dir``.  Returns the StreamingQuery.
 
+    'First' means smallest id WITHIN a micro-batch, first-SEEN across
+    batches: streaming state cannot retract an already-emitted winner,
+    so when duplicates of one hash span trigger boundaries the kept id
+    depends on arrival order — the batch twin's global ``min(id)`` is
+    only guaranteed when all copies share a batch.
+
     Contract: ``id_col`` must be an integral column (the state/output
-    schemas are pinned ``long`` and 'first' = smallest id) — enforced
-    up front, because a string id would only fail deep inside an
-    executor.  NULL ids are dropped (a null would promote the pandas
-    column to float and crash ``int(min)``; the batch twin ignores
-    null ids the same way)."""
+    schemas are pinned ``long``) — enforced up front, because a string
+    id would only fail deep inside an executor.  NULL ids are dropped
+    (a null would promote the pandas column to float and crash
+    ``int(min)``); NULL text is dropped exactly like the batch twin
+    ``exact_dup_groups`` — md5(NULL) would collapse every
+    failed-extraction doc into one phantom duplicate group and
+    suppress all but the first forever."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     id_type = docs_stream.schema[id_col].dataType
@@ -53,7 +61,9 @@ def stream_dedup_exact(
             f"stream_dedup_exact needs an integral {id_col!r} "
             f"(state schema is 'long'); got {id_type.simpleString()}"
         )
-    hashed = docs_stream.where(F.col(id_col).isNotNull()).select(
+    hashed = docs_stream.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm_text(F.col(text_col))).alias("content_hash"),
     )

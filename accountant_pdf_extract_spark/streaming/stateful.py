@@ -12,8 +12,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from accountant_pdf_extract_spark.functions.money import half_up_cents_np
 
 
 def running_user_counts(
@@ -25,7 +28,20 @@ def running_user_counts(
     """Streaming per-user totals: count + value cents, accumulated in
     the state store across micro-batches and emitted (update mode →
     parquet append via foreachBatch is overkill here; we emit to the
-    sink each batch)."""
+    sink each batch).
+
+    Contract: ``user_id`` must be integral (output/state schemas are
+    pinned ``long``) — enforced up front like ``stream_dedup_exact``;
+    a string id would only fail at Arrow serialization deep inside an
+    executor mid-stream."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = events_stream.schema["user_id"].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            "running_user_counts needs an integral 'user_id' (state "
+            f"schema is 'long'); got {id_type.simpleString()}"
+        )
 
     def update(
         key: tuple,
@@ -36,12 +52,6 @@ def running_user_counts(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            import numpy as np
-
-            from accountant_pdf_extract_spark.functions.money import (
-                half_up_cents_np,
-            )
-
             v = pdf["value"].to_numpy()
             cents += int(half_up_cents_np(v[~np.isnan(v)]).sum())
         state.update((n, cents))

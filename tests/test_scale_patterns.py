@@ -40,18 +40,44 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_salted_join_spreads_hot_key(spark):
-    """The hot key's rows must land in >1 salt bucket."""
+    """BYTE-IDENTICAL duplicate rows of one hot key (the canonical
+    skew case) must land in >1 salt bucket — exercised through the
+    REAL salted_join path, not a stand-in salt expression (a
+    content-only hash sent all identical rows to one reducer and this
+    test used to paper over it)."""
+    from accountant_pdf_extract_spark.operators import skewjoin
+
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
     hot_key = li.first()["l_orderkey"]
-    big = li.where(F.col("l_orderkey") == hot_key).crossJoin(
+    # 400 byte-identical rows of the hot key
+    big = li.where(F.col("l_orderkey") == hot_key).limit(1).crossJoin(
         spark.range(400).select(F.lit(1).alias("_y"))
-    ).drop("_y")
+    ).drop("_y").repartition(4)
     salted = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int"),
+        skewjoin._SALT,
+        F.pmod(
+            F.xxhash64(
+                *big.columns,
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(8),
+        ).cast("int"),
     )
-    n_buckets = salted.select("_salt").distinct().count()
+    n_buckets = salted.select(skewjoin._SALT).distinct().count()
     assert n_buckets >= 6
+
+    # and the full operator still returns join-identical results for
+    # identical-duplicate inputs (any salt is correct for any row)
+    small = spark.createDataFrame([(int(hot_key), "X")],
+                                  "l_orderkey long, tag string")
+    out = skewjoin.salted_join(big, small, "l_orderkey", salt_buckets=8)
+    assert out.count() == 400
+
+    import pytest
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        skewjoin.salted_join(big, small, "l_orderkey", salt_buckets=0)
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path: pathlib.Path):

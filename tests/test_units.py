@@ -818,3 +818,50 @@ def test_pdfwriter_numbers_never_use_exponent_notation():
     assert abs(r.x) <= 1e-4 and r.y == 700.0  # was x = -5.0 under %g
     rule = pages[0].rules[0]
     assert abs(rule.x) <= 1e-4 and rule.length == 1500000.0
+
+
+def test_rules_fixes_wrong_value_and_missed_match_corners():
+    """Shared-rule corners where engine AND oracle previously agreed on
+    WRONG financial values (invisible to parity): spaced EUR parens,
+    malformed grouping, 'Invoice Number', sentence-ending account
+    codes, 'Sept.', and padded symbol gaps."""
+    import re
+
+    from accountant_pdf_extract_spark.functions import rules
+    from accountant_pdf_extract_spark.operators.fields import (
+        amounts_in,
+        dates_in,
+        extract_fields,
+    )
+
+    # spaced parenthesized EUR negative keeps its sign
+    got = amounts_in("Refund ( 1.234,56 €)")
+    assert got and got[0][2] == Decimal("-1234.56"), got
+    got = amounts_in("Refund (1.234,56 € )")
+    assert got and got[0][2] == Decimal("-1234.56"), got
+
+    # malformed grouping skips entirely instead of truncating
+    assert amounts_in("Total $12,34,567.00") == []
+    assert amounts_in("$1,2345") == []
+    # ...while legit forms still parse
+    assert amounts_in("$1,234.56")[0][2] == Decimal("1234.56")
+    assert amounts_in("$1234.56")[0][2] == Decimal("1234.56")
+    assert amounts_in("$100 2024")[0][2] == Decimal("100")
+
+    # padded symbol-digit gap (column-aligned invoices)
+    assert amounts_in("Total due: $   1,234.56")[0][2] == Decimal("1234.56")
+
+    # 'Invoice Number:' and 'Rechnungsnummer:' extract the id
+    f = extract_fields(["Invoice Number: INV-2025-0042"])
+    assert f["invoice_id"] == "INV-2025-0042"
+    f = extract_fields(["Rechnungsnummer: RE-88123"])
+    assert f["invoice_id"] == "RE-88123"
+
+    # sentence-ending account code survives; continuations still refused
+    f = extract_fields(["Account 4000.12."])
+    assert f["account_codes"] == ["4000.12"]
+    assert re.search(rules.ACCOUNT_CODE, "x 4000.12.34 y") is None
+
+    # 'Sept.' month abbreviation parses
+    d = dates_in("Sept. 3, 2024")
+    assert d and d[0][1].isoformat() == "2024-09-03"

@@ -384,6 +384,11 @@ def simhash16(
         f"CAST(aggregate(zip_with({votes}, sequence(0, 15), "
         f"(v, p) -> IF(v > 0, shiftleft(1, p), 0)), 0, (a, x) -> a + x) AS BIGINT)"
     )
-    return df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+    # filter on the TOKEN array, not trim(): a doc of non-space
+    # whitespace ('\n', '\t') passes length(trim(text))>0 (SQL trim
+    # strips spaces only) yet folds an empty token array to simhash 0
+    # — the oracle's WHERE tok <> '' drops the sid entirely, and a
+    # 0-fingerprint "duplicate group" of blank docs is meaningless
+    return df.where(F.expr(f"size({toks}) > 0")).select(
         F.col(id_col).alias("sid"), F.expr(pack).alias("simhash")
     )

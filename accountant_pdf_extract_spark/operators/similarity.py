@@ -432,6 +432,10 @@ def cosine_near_dup_pairs_lsh(
     return (
         cand.join(qa, "a")
         .join(qb, "b")
+        # a vector that milli-quantizes to all zeros has nsq=0; under
+        # ANSI the division would THROW (the oracle yields NULL and
+        # drops the pair) — filter degenerate vectors, same outcome
+        .where((nsq("qa") > 0) & (nsq("qb") > 0))
         .select(
             "a",
             "b",
@@ -479,6 +483,8 @@ def cosine_near_dup_pairs(
     return (
         dots.join(na, "a")
         .join(nb, "b")
+        # zero-norm guard: same rationale as the LSH variant above
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
         .select(
             "a",
             "b",

@@ -28,9 +28,11 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(col))
-    )
+    """Count of non-blank tokens via the shared token identity — a
+    trailing newline must not add a phantom '' token (raw split gave
+    'foo bar\n' count 3 while term_stats/repetition/oov counted 2
+    for the same doc)."""
+    return F.size(_tokens_arr(col))
 
 
 def bpe_ish_token_count(col: Column) -> Column:

@@ -77,7 +77,7 @@ def q_linefreq(spark, sf):
     r"""
     SELECT o_orderkey,
            '$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_str,
-           CAST(CAST(regexp_extract('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(TRY_CAST(regexp_extract('$' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
                                '\$([0-9.]+)', 1) AS DECIMAL(18,2)) * 100 AS BIGINT)
              AS parsed_cents
     FROM orders
@@ -90,10 +90,18 @@ def q_amounts(spark, sf):
     amount_str = F.concat(
         F.lit("$"), F.col("o_totalprice").cast("decimal(18,2)").cast("string")
     )
+    # try_cast on both sides: under Spark 4's default ANSI mode a
+    # non-matching extract ('' from a malformed amount) makes a plain
+    # cast THROW and kill the query; NULL mirrors the oracle's
+    # TRY_CAST and the UDF twin's unparseable->NULL contract
     return t(spark, sf, "orders").select(
         "o_orderkey",
         amount_str.alias("amount_str"),
-        (F.regexp_extract(amount_str, r"\$([0-9.]+)", 1).cast("decimal(18,2)") * 100)
+        (
+            F.regexp_extract(amount_str, r"\$([0-9.]+)", 1)
+            .try_cast("decimal(18,2)")
+            * 100
+        )
         .cast("long")
         .alias("parsed_cents"),
     )
@@ -144,8 +152,9 @@ def q_bigrams(spark, sf):
     "q_tokcount",
     """
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           coalesce(len(list_filter(
+             regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')), 0)
+             AS n_tokens,
            n_chars
     FROM documents
     """,
@@ -162,7 +171,8 @@ def q_tokcount(spark, sf):
     "q_quality",
     """
     SELECT doc_id,
-        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+            x -> x <> '')) AS n_tokens,
         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
             w -> list_contains(['the','and','of','to','a','in','is'], w)))
           AS n_stopwords
@@ -176,7 +186,7 @@ def q_quality(spark, sf):
         .where(F.length(F.trim(c)) > 0)
         .select(
             "doc_id",
-            F.size(textstats.tokens(c)).alias("n_tokens"),
+            textstats.token_count(c).alias("n_tokens"),
             textstats.stopword_hits(c, "en").alias("n_stopwords"),
         )
     )
@@ -187,14 +197,14 @@ def q_quality(spark, sf):
     """
     WITH scored AS (
       SELECT doc_id,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            w -> list_contains(['the','and','of','to','a','in','is'], w))) AS s_en,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))) AS s_de,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            w -> list_contains(['le','la','les','et','est','une','des'], w))) AS s_fr,
-        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-            w -> list_contains(['el','la','los','y','es','una','de'], w))) AS s_es
+        coalesce(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['the','and','of','to','a','in','is'], w))), 0) AS s_en,
+        coalesce(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['der','die','das','und','ist','nicht','ein'], w))), 0) AS s_de,
+        coalesce(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['le','la','les','et','est','une','des'], w))), 0) AS s_fr,
+        coalesce(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            w -> list_contains(['el','la','los','y','es','una','de'], w))), 0) AS s_es
       FROM documents)
     SELECT doc_id,
       CASE
@@ -565,14 +575,14 @@ def q_stratified(spark, sf):
     "q_pack",
     """
     WITH packed AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id, coalesce(n_chars, 0) AS n_chars,
              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pack_group,
              CAST(floor(
-               (CAST(sum(n_chars) OVER (
+               (CAST(sum(coalesce(n_chars, 0)) OVER (
                   PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                - n_chars) / 2000) AS BIGINT) AS shard_id
+                - coalesce(n_chars, 0)) / 2000) AS BIGINT) AS shard_id
       FROM documents)
     SELECT pack_group || '-' || CAST(shard_id AS VARCHAR) AS shard_key,
            count(*) AS n_docs,

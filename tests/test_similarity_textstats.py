@@ -629,3 +629,26 @@ def test_repetition_fold_fuzz_300_random_docs(spark):
             "dup_bigram_milli": milli(bd, nb),
         }
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_token_identity_consistent_and_simhash_blank_drop(spark):
+    """token_count uses the shared blank-filtered identity ('foo bar\\n'
+    counts 2, not 3 — raw split added a phantom '' token), and simhash
+    drops whitespace-only docs like its oracle (no meaningless
+    0-fingerprint group of blank docs)."""
+    from accountant_pdf_extract_spark.operators import dedup, textstats
+
+    df = spark.createDataFrame(
+        [("d0", "foo bar\n"), ("d1", "\n"), ("d2", None), ("d3", "x y")],
+        "doc_id string, text string",
+    )
+    counts = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n")).collect()}
+    assert counts == {"d0": 2, "d1": 0, "d2": 0, "d3": 2}
+
+    sids = sorted(r["sid"] for r in dedup.simhash16(df).collect())
+    assert sids == ["d0", "d3"]  # whitespace-only and NULL dropped
+
+    langs = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs["d2"] == "unk"  # NULL text -> unk (oracle coalesces to 0s)

@@ -136,12 +136,24 @@ def brute_force_topk_pandas(
             kk = min(k + 1, sims.shape[1])
             # per-batch selection must cut boundary TIES by the same
             # (score desc, cid asc) order the global window uses —
-            # argpartition keeps an arbitrary tied subset, making the
-            # result depend on partition/batch boundaries when
-            # duplicate embeddings tie at the kk-th score
-            idx = np.stack(
-                [np.lexsort((ids, -sims[qi]))[:kk] for qi in range(sims.shape[0])]
-            )
+            # a bare argpartition keeps an arbitrary tied subset,
+            # making the result depend on partition/batch boundaries.
+            # But a FULL lexsort per query is O(q·n log n); instead:
+            # argpartition the top-kk cut O(n), widen the candidate
+            # set to every row tying the kk-th score, then lexsort
+            # only those few candidates deterministically.
+            rows = []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                if kk >= s.shape[0]:
+                    cand = np.arange(s.shape[0])
+                else:
+                    part = np.argpartition(-s, kk - 1)
+                    thresh = s[part[kk - 1]]
+                    cand = np.nonzero(s >= thresh)[0]
+                order = np.lexsort((ids[cand], -s[cand]))
+                rows.append(cand[order[:kk]])
+            idx = np.stack(rows)
             out = {
                 "qid": np.repeat(qids, kk),
                 "cid": ids[idx].ravel(),

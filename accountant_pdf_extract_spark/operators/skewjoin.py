@@ -8,7 +8,7 @@ the fan-out deterministic/testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # NO "cross": Spark treats a using-columns join with joinType 'cross'
@@ -19,27 +19,58 @@ _SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "left_semi",
 _SALT = "_sj_salt"  # internal; refuse inputs that already carry it
 
 
+def _salt_expr(
+    big: DataFrame,
+    key: str,
+    salt_buckets: int,
+    tiebreak: str | Column | None,
+) -> Column:
+    """Deterministic per-row salt in [0, salt_buckets).
+
+    The salt is a pure function of row CONTENT — never of physical
+    position (``spark_partition_id`` / ``monotonically_increasing_id``
+    are banned here): position-dependent salts are recomputed
+    differently when a map task is retried after a fetch failure, so
+    reducers that already fetched the old salt see rows duplicated or
+    lost (the indeterminate-shuffle-key hazard, SPARK-23207 class).
+
+    With a ``tiebreak`` (any unique-ish id column) the salt is
+    ``pmod(xxhash64(key, tiebreak), buckets)`` — byte-identical hot
+    rows still spread because their tiebreaks differ.  Without one we
+    hash every column; then fully-identical duplicate rows co-locate
+    (documented limitation — pass a tiebreak to break that case).
+    """
+    if tiebreak is not None:
+        tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+        h = F.xxhash64(F.col(key), tb)
+    else:
+        h = F.xxhash64(*big.columns)
+    return F.pmod(h, F.lit(salt_buckets)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    tiebreak: str | Column | None = None,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the big side salted
     and the small side replicated ``salt_buckets``× (explode of a
     literal range — no driver-side loop).  Row-identical to the plain
     join for the supported join types.
 
-    The salt mixes the row content WITH the physical row position
-    (``spark_partition_id`` + ``monotonically_increasing_id``): the
-    canonical skew case is a hot key whose rows are byte-IDENTICAL
-    duplicates, and a content-only hash would send all of them to one
-    reducer — exactly the straggler this operator exists to break.
+    ``tiebreak`` names a unique(-ish) id column on ``big`` (or passes
+    a Column expression); the salt then mixes it with the key so even
+    byte-identical duplicates of a hot key spread across reducers.
     Any salt value is CORRECT for any row (the small side is
-    replicated across every salt), so the position component affects
-    distribution only, never results — task retries may re-salt a row
-    differently and the join output is still row-identical.
+    replicated across every salt), so the choice of tiebreak affects
+    distribution only, never results.  The salt is deterministic per
+    row content — safe under partial stage retries, unlike
+    position-derived salts (see ``_salt_expr``).  Without a tiebreak,
+    all columns are hashed: distinct rows of a hot key still spread,
+    but FULLY-identical duplicate rows share one salt bucket.
 
     Right/full outer joins are refused: an unmatched small-side row
     exists ``salt_buckets`` times after replication, so the outer side
@@ -64,16 +95,13 @@ def salted_join(
             f"inputs must not carry the internal column {_SALT!r} — "
             "it would be clobbered and dropped from the output"
         )
+    if isinstance(tiebreak, str) and tiebreak not in big.columns:
+        raise ValueError(
+            f"tiebreak column {tiebreak!r} not found on the big side "
+            f"(columns: {big.columns})"
+        )
     salted_big = big.withColumn(
-        _SALT,
-        F.pmod(
-            F.xxhash64(
-                *big.columns,
-                F.spark_partition_id(),
-                F.monotonically_increasing_id(),
-            ),
-            F.lit(salt_buckets),
-        ).cast("int"),
+        _SALT, _salt_expr(big, key, salt_buckets, tiebreak)
     )
     # sequence of int literals already yields array<int> — no cast
     replicated_small = small.withColumn(

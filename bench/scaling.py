@@ -21,10 +21,16 @@ import subprocess
 import sys
 import tempfile
 
+# single source for the measured job's kernel-stage task count — the
+# runner both plans with it AND uses it to attribute event-log task
+# stats to the right stage (a bare hardcoded 256 drifted silently)
+KERNEL_PARTITIONS = 256
+
 RUNNER = r"""
 import json, sys, time
 
 cores = int(sys.argv[1]); inp = sys.argv[2]; n_docs = int(sys.argv[3])
+kernel_np = int(sys.argv[4])
 # cluster-proxy session: this process is taskset-pinned to `cores` CPUs,
 # so GC/shuffle threads are sized to the budget like a real executor.
 # Session comes from the ONE measured config in session.get_spark (so
@@ -55,12 +61,20 @@ extract(df.limit(64), salt_buckets=1024, num_partitions=4).write.format(
     "noop").mode("overwrite").save()
 
 t0 = time.monotonic()
-flat = extract(df, salt_buckets=1024, num_partitions=256)  # identical plan at every parallelism level
+t0_epoch_ms = time.time() * 1000.0  # event-log timestamps are epoch ms
+# identical plan at every parallelism level (kernel_np threaded from
+# bench.scaling.KERNEL_PARTITIONS — the ONE source for this number)
+flat = extract(df, salt_buckets=1024, num_partitions=kernel_np)
 flat.write.format("noop").mode("overwrite").save()
 wall = time.monotonic() - t0
 spark.stop()
 
-# skew evidence: per-task durations of the widest (kernel) stage
+# skew evidence: per-task durations of the widest (kernel) stage.
+# Attribution: only tasks launched during the MEASURED job (epoch
+# window) count — warm-up stages are excluded by time, not shape;
+# then pick the stage with exactly kernel_np tasks, breaking any
+# coincidental tie (a scan/shuffle stage that also happens to have
+# kernel_np splits) by total task time — the kernel stage dominates.
 import os, statistics
 stage_tasks = {}
 _ev_files = []
@@ -74,15 +88,15 @@ for fn in _ev_files:
             ev = json.loads(line)
             sid = ev.get("Stage ID")
             info = ev.get("Task Info", {})
+            if info.get("Launch Time", 0) < t0_epoch_ms - 500:
+                continue  # warm-up / session-init task, not measured job
             dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
             stage_tasks.setdefault(sid, []).append(dur)
-# the kernel stage has exactly num_partitions (256) tasks; most-tasks
-# would pick the SCAN stage whenever the input has >256 file splits
-exact = [v for v in stage_tasks.values() if len(v) == 256]
-kernel = (
-    exact[0] if exact
-    else (max(stage_tasks.values(), key=len) if stage_tasks else [0])
-)
+exact = [v for v in stage_tasks.values() if len(v) == kernel_np]
+if exact:
+    kernel = max(exact, key=sum)
+else:
+    kernel = max(stage_tasks.values(), key=len) if stage_tasks else [0]
 print(json.dumps({"cores": cores, "wall_s": wall,
                   "throughput_docs_s": n_docs / wall,
                   "n_tasks": len(kernel),
@@ -101,7 +115,7 @@ def run_level(cores: int, inp: str, n_docs: int) -> dict:
     allowed = sorted(os.sched_getaffinity(0))
     pick = ",".join(str(c) for c in allowed[:cores])
     cmd = ["taskset", "-c", pick, sys.executable, "-c", RUNNER,
-           str(cores), inp, str(n_docs)]
+           str(cores), inp, str(n_docs), str(KERNEL_PARTITIONS)]
     out = subprocess.run(
         cmd,
         capture_output=True,

@@ -41,38 +41,50 @@ def test_salted_join_equals_plain_join(spark):
 
 def test_salted_join_spreads_hot_key(spark):
     """BYTE-IDENTICAL duplicate rows of one hot key (the canonical
-    skew case) must land in >1 salt bucket — exercised through the
-    REAL salted_join path, not a stand-in salt expression (a
-    content-only hash sent all identical rows to one reducer and this
-    test used to paper over it)."""
+    skew case) must land in >1 salt bucket when the caller supplies a
+    tiebreak id — exercised through the REAL ``_salt_expr`` used by
+    salted_join, not a stand-in expression.  The salt must be a pure
+    function of row content (retry-safe): position-derived salts
+    (spark_partition_id/monotonically_increasing_id) are banned
+    because a map-task retry would re-salt rows differently than
+    reducers that already fetched (SPARK-23207 class)."""
     from accountant_pdf_extract_spark.operators import skewjoin
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
     hot_key = li.first()["l_orderkey"]
-    # 400 byte-identical rows of the hot key
+    # 400 payload-identical rows of the hot key, each with a unique id
     big = li.where(F.col("l_orderkey") == hot_key).limit(1).crossJoin(
-        spark.range(400).select(F.lit(1).alias("_y"))
-    ).drop("_y").repartition(4)
+        spark.range(400).select(F.col("id").alias("rid"))
+    ).repartition(4)
     salted = big.withColumn(
-        skewjoin._SALT,
-        F.pmod(
-            F.xxhash64(
-                *big.columns,
-                F.spark_partition_id(),
-                F.monotonically_increasing_id(),
-            ),
-            F.lit(8),
-        ).cast("int"),
+        skewjoin._SALT, skewjoin._salt_expr(big, "l_orderkey", 8, "rid")
     )
     n_buckets = salted.select(skewjoin._SALT).distinct().count()
     assert n_buckets >= 6
 
-    # and the full operator still returns join-identical results for
-    # identical-duplicate inputs (any salt is correct for any row)
+    # determinism: recomputing the same expression on a reshuffled
+    # lineage assigns every rid the SAME salt (retry-safety proxy)
+    a = {r["rid"]: r[skewjoin._SALT] for r in salted.collect()}
+    resalted = big.repartition(11).withColumn(
+        skewjoin._SALT, skewjoin._salt_expr(big, "l_orderkey", 8, "rid")
+    )
+    b = {r["rid"]: r[skewjoin._SALT] for r in resalted.collect()}
+    assert a == b
+
+    # and the full operator still returns join-identical results
     small = spark.createDataFrame([(int(hot_key), "X")],
                                   "l_orderkey long, tag string")
-    out = skewjoin.salted_join(big, small, "l_orderkey", salt_buckets=8)
+    out = skewjoin.salted_join(
+        big, small, "l_orderkey", salt_buckets=8, tiebreak="rid"
+    )
     assert out.count() == 400
+
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        skewjoin.salted_join(
+            big, small, "l_orderkey", salt_buckets=8, tiebreak="nope"
+        )
 
     import pytest
 

@@ -30,6 +30,27 @@ _XOBJ_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
 _XOBJ_ENTRY_RE = re.compile(rb"/(Im\d+)\s+(\d+)\s+0\s+R")
 _NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
 
+# PDF 1.5 structures (object streams + xref streams) and simple fonts
+_INT_KEY_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(\d+)") for k in
+    (b"N", b"First", b"Size")
+}
+_W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_ENTRY_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_DIFF_RE = re.compile(rb"/Differences\s*\[([^\]]*)\]")
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9.]+)")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFCHAR_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>")
+_BFRANGE_TRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>"
+)
+
 # Content-stream token: a (string), a [TJ array], a number, or an op.
 _TOK_RE = re.compile(
     r"""\(((?:[^()\\]|\\.)*)\)      # 1: literal string
@@ -101,6 +122,64 @@ class Page:
     images: list[Image]
 
 
+def _utf16be_hex(h: bytes) -> str:
+    """CMap dst hex → text.  Odd-length hex pads with '0' (mirrors the
+    hex-string rule); decode errors degrade per-char, never raise."""
+    hs = h.decode("latin-1")
+    if len(hs) % 2:
+        hs += "0"
+    try:
+        b = bytes.fromhex(hs)
+    except ValueError:
+        return ""
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _font_map(
+    font_body: bytes, objs: dict[int, bytes], streams: dict[int, bytes]
+) -> dict[int, str]:
+    """code → decoded-string map for a simple (single-byte) font.
+
+    Precedence: /ToUnicode CMap entries override /Encoding
+    /Differences glyph names (ToUnicode IS the text-extraction
+    mapping per the PDF spec); unmapped codes decode as identity
+    latin-1.  Unknown glyph names keep the identity char."""
+    m: dict[int, str] = {}
+    enc_body = font_body
+    em = _ENC_REF_RE.search(font_body)
+    if em:
+        enc_body = font_body + b"\n" + objs.get(int(em.group(1)), b"")
+    dm = _DIFF_RE.search(enc_body)
+    if dm:
+        code = 0
+        for t in _DIFF_TOK_RE.finditer(dm.group(1)):
+            if t.group(1) is not None:
+                code = int(t.group(1))
+            else:
+                name = t.group(2).decode("latin-1")
+                uni = spec.GLYPH_UNICODE.get(name)
+                if uni is not None:
+                    m[code] = uni
+                code += 1
+    tm = _TOUNI_RE.search(font_body)
+    if tm:
+        cmap = streams.get(int(tm.group(1)), b"")
+        for rm in _BFRANGE_RE.finditer(cmap):
+            for trip in _BFRANGE_TRIPLE_RE.finditer(rm.group(1)):
+                lo = int(trip.group(1), 16)
+                hi = int(trip.group(2), 16)
+                dst = _utf16be_hex(trip.group(3))
+                if not dst:
+                    continue
+                for i in range(min(hi - lo + 1, spec.BFRANGE_MAX_SPAN)):
+                    m[lo + i] = dst[:-1] + chr(ord(dst[-1]) + i)
+        for cm in _BFCHAR_RE.finditer(cmap):
+            for pair in _BFCHAR_PAIR_RE.finditer(cm.group(1)):
+                code = int(pair.group(1), 16)
+                m[code] = _utf16be_hex(pair.group(2))
+    return m
+
+
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
     objs: dict[int, bytes] = {}
@@ -124,6 +203,88 @@ def parse_pdf(data: bytes) -> list[Page]:
                     # mirrors this.
                     raw = b""
             streams[num] = raw
+
+    # ---- PDF 1.5: expand object streams (/Type /ObjStm) --------------
+    # Embedded objects carry no "N 0 obj" headers in the raw bytes, so
+    # the regex scan can't see them; the ObjStm's own header (objnum
+    # offset pairs) is the authoritative directory.  First-wins: a
+    # top-level object never gets clobbered by a same-numbered packed
+    # object.  Processed in ascending stream-object number.
+    objstm_entries: dict[int, list[tuple[int, bytes]]] = {}
+    for num in sorted(objs):
+        body = objs[num]
+        sm = _STREAM_RE.search(body)
+        if sm is None or b"/Type /ObjStm" not in body[: sm.start()]:
+            continue
+        payload = streams.get(num, b"")
+        dict_part = body[: sm.start()]
+        nm = _INT_KEY_RE[b"N"].search(dict_part)
+        fm = _INT_KEY_RE[b"First"].search(dict_part)
+        if nm is None or fm is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = _PAIR_RE.findall(payload[:first])[:n]
+        entries: list[tuple[int, bytes]] = []
+        for i, (onum, off) in enumerate(pairs):
+            start = first + int(off)
+            end = (
+                first + int(pairs[i + 1][1]) if i + 1 < len(pairs)
+                else len(payload)
+            )
+            if start > len(payload):
+                continue
+            entries.append((int(onum), payload[start:end].strip()))
+        objstm_entries[num] = entries
+        for onum, ob in entries:
+            objs.setdefault(onum, ob)
+
+    # ---- PDF 1.5: xref streams (/Type /XRef) --------------------------
+    # Type-2 entries map objnum → (objstm, index); they recover any
+    # object the ObjStm header scan did not already establish (e.g. a
+    # corrupted header objnum with intact offsets).  W gives the three
+    # binary field widths; /Index defaults to [0 Size].
+    for num in sorted(objs):
+        body = objs[num]
+        sm = _STREAM_RE.search(body)
+        if sm is None or b"/Type /XRef" not in body[: sm.start()]:
+            continue
+        payload = streams.get(num, b"")
+        dict_part = body[: sm.start()]
+        wm = _W_RE.search(dict_part)
+        szm = _INT_KEY_RE[b"Size"].search(dict_part)
+        if wm is None or szm is None:
+            continue
+        try:
+            w = [int(x) for x in wm.group(1).split()]
+        except ValueError:
+            continue
+        if len(w) != 3 or any(x < 0 or x > 8 for x in w) or sum(w) == 0:
+            continue
+        size = int(szm.group(1))
+        im = _INDEX_RE.search(dict_part)
+        if im:
+            nums_ = [int(x) for x in re.findall(rb"\d+", im.group(1))]
+            ranges = list(zip(nums_[0::2], nums_[1::2]))
+        else:
+            ranges = [(0, size)]
+        entry_len = sum(w)
+        pos = 0
+        for start, count in ranges:
+            for objnum in range(start, start + count):
+                row = payload[pos : pos + entry_len]
+                pos += entry_len
+                if len(row) < entry_len:
+                    break
+                o = 0
+                f1 = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+                o += w[0]
+                f2 = int.from_bytes(row[o : o + w[1]], "big")
+                o += w[1]
+                f3 = int.from_bytes(row[o : o + w[2]], "big")
+                if f1 == 2 and objnum not in objs:
+                    entries = objstm_entries.get(f2)
+                    if entries is not None and f3 < len(entries):
+                        objs[objnum] = entries[f3][1]
 
     # Page order: the /Pages /Kids list if present, else object order.
     page_nums: list[int] = []
@@ -159,11 +320,25 @@ def parse_pdf(data: bytes) -> list[Page]:
                     xobj_refs[em.group(1).decode("latin-1")] = _unescape(
                         nm.group(1).decode("latin-1")
                     )
-        pages.append(_parse_content(content.decode("latin-1"), xobj_refs))
+        font_maps: dict[str, dict[int, str]] = {}
+        frm = _FONT_RES_RE.search(body)
+        if frm:
+            for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):
+                fbody = objs.get(int(fe.group(2)), b"")
+                fmap = _font_map(fbody, objs, streams)
+                if fmap:
+                    font_maps[fe.group(1).decode("latin-1")] = fmap
+        pages.append(
+            _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
+        )
     return pages
 
 
-def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
+def _parse_content(
+    content: str,
+    xobj_refs: dict[str, str],
+    font_maps: dict[str, dict[int, str]] | None = None,
+) -> Page:
     runs: list[Run] = []
     rules: list[Rule] = []
     images: list[Image] = []
@@ -181,8 +356,18 @@ def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
     tj_parts: list[tuple[bool, object]] = []  # (is_string, val) inside [...]
     in_array = False
 
+    font_maps = font_maps or {}
+    cur_map: dict[int, str] | None = None
+
     def emit(txt: str) -> None:
+        # custom-encoded fonts: map raw codes through the current
+        # font's /Differences + /ToUnicode table (identity for
+        # unmapped codes / identity-encoded fonts).  Everything
+        # downstream (advance width, line clustering) sees the
+        # DECODED text — the spec'd rule (FIXTURES.md §1.1).
         nonlocal x
+        if cur_map:
+            txt = "".join(cur_map.get(ord(ch), ch) for ch in txt)
         if txt:
             runs.append(Run(x=x, y=y, size=size, text=txt))
             x += spec.CHAR_W_FACTOR * size * len(txt)
@@ -205,6 +390,8 @@ def _parse_content(content: str, xobj_refs: dict[str, str]) -> Page:
             elif op == "Tf":
                 if nums:
                     size = nums[-1]
+                if names:
+                    cur_map = font_maps.get(names[-1])
             elif op == "BT":
                 line_x = x = y = 0.0
             elif op == "ET":

@@ -7,6 +7,21 @@ FlateDecode (zlib) streams.  Text ops BT/ET Tf Td TD Tm T* Tj TJ ', rect rulings
 image XObjects via ``q ... cm /ImN Do Q`` whose dict carries the
 ``media_ref`` in ``/Name``.
 
+Round-4 additions (FIXTURES.md §1.1, PDF 1.5 features):
+
+- ``objstm=True``: every dict-only object (catalog, pages node, page
+  dicts, image XObjects, font + encoding dicts) is packed into ONE
+  FlateDecode ``/Type /ObjStm`` object stream, and the file carries a
+  binary ``/Type /XRef`` cross-reference STREAM (W-field columns,
+  type-1 entries for top-level stream objects, type-2 entries for
+  compressed objects) + ``startxref`` — the modern layout real-world
+  PDFs use, where ``N 0 obj`` headers for most objects do NOT exist
+  in the raw bytes.
+- ``font=SimpleFont(...)``: a single-byte simple font carrying a
+  custom ``/Encoding /Differences`` array and/or a ``/ToUnicode``
+  CMap stream (bfchar + bfrange), letting non-latin-1 glyphs (€, –,
+  ﬁ …) ride the latin-1 byte plane as custom codes.
+
 This module builds *bytes-as-latin-1 strings* (the span column is
 string-typed per ``BASELINE.json:15``); everything stays in the
 latin-1 plane.
@@ -14,7 +29,10 @@ latin-1 plane.
 
 from __future__ import annotations
 
+import zlib
 from dataclasses import dataclass, field
+
+from accountant_pdf_extract_spark import spec
 
 
 def _esc(s: str) -> str:
@@ -31,6 +49,107 @@ def _n(v: float) -> str:
     every coordinate the synth corpus emits."""
     s = f"{v:.4f}".rstrip("0").rstrip(".")
     return s if s not in ("", "-", "-0") else "0"
+
+
+_GLYPH_BY_CHAR = {v: k for k, v in spec.GLYPH_UNICODE.items()}
+
+
+@dataclass(frozen=True)
+class SimpleFont:
+    """A single-byte simple font (/Type1 shape) for the synth corpus.
+
+    ``differences``: (code, glyph_name) pairs emitted as an
+    ``/Encoding << /Differences [...] >>`` array — the parser maps
+    codes through ``spec.GLYPH_UNICODE``.
+    ``tounicode``: (code, unicode_str) pairs emitted as a /ToUnicode
+    CMap ``bfchar`` entries (dst hex is UTF-16BE).
+    ``bfranges``: (lo, hi, dst_start_str) triplets emitted as CMap
+    ``bfrange`` entries.
+    """
+
+    differences: tuple[tuple[int, str], ...] = ()
+    tounicode: tuple[tuple[int, str], ...] = ()
+    bfranges: tuple[tuple[int, int, str], ...] = ()
+
+    def char_map(self) -> dict[int, str]:
+        """code → decoded string, in parser precedence order
+        (ToUnicode wins over /Differences, matching the spec rule
+        that ToUnicode is the authoritative text mapping)."""
+        m: dict[int, str] = {}
+        for code, name in self.differences:
+            if name in spec.GLYPH_UNICODE:
+                m[code] = spec.GLYPH_UNICODE[name]
+        for lo, hi, dst in self.bfranges:
+            for i in range(min(hi - lo + 1, spec.BFRANGE_MAX_SPAN)):
+                m[lo + i] = dst[:-1] + chr(ord(dst[-1]) + i) if dst else ""
+        for code, s in self.tounicode:
+            m[code] = s
+        return m
+
+    def encode(self, s: str) -> str:
+        """Unicode text → latin-1-safe code string for content
+        streams.  Multi-char mappings (ligatures) are NOT reverse-
+        applied — only single chars that have a code.  Raises on a
+        char that is neither latin-1 nor mapped (same failure mode as
+        the strict latin-1 writer path)."""
+        rev: dict[str, int] = {}
+        for code, dec in sorted(self.char_map().items()):
+            if len(dec) == 1 and dec not in rev:
+                rev[dec] = code
+        out = []
+        for ch in s:
+            if ch in rev:
+                out.append(chr(rev[ch]))
+            elif ord(ch) < 256:
+                out.append(ch)
+            else:
+                raise ValueError(
+                    f"char {ch!r} not encodable by this font/latin-1"
+                )
+        return "".join(out)
+
+    def encoding_dict(self) -> str | None:
+        if not self.differences:
+            return None
+        parts: list[str] = []
+        prev = None
+        for code, name in sorted(self.differences):
+            if prev is None or code != prev + 1:
+                parts.append(str(code))
+            parts.append(f"/{name}")
+            prev = code
+        return (
+            "<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+            f"/Differences [ {' '.join(parts)} ] >>"
+        )
+
+    def cmap_stream(self) -> str | None:
+        if not self.tounicode and not self.bfranges:
+            return None
+        lines = [
+            "/CIDInit /ProcSet findresource begin",
+            "12 dict begin",
+            "begincmap",
+            "/CMapName /Adobe-Identity-UCS def",
+            "/CMapType 2 def",
+            "1 begincodespacerange",
+            "<00> <FF>",
+            "endcodespacerange",
+        ]
+        if self.tounicode:
+            lines.append(f"{len(self.tounicode)} beginbfchar")
+            for code, s in sorted(self.tounicode):
+                dst = s.encode("utf-16-be").hex().upper()
+                lines.append(f"<{code:02X}> <{dst}>")
+            lines.append("endbfchar")
+        if self.bfranges:
+            lines.append(f"{len(self.bfranges)} beginbfrange")
+            for lo, hi, dst in self.bfranges:
+                d = dst.encode("utf-16-be").hex().upper()
+                lines.append(f"<{lo:02X}> <{hi:02X}> <{d}>")
+            lines.append("endbfrange")
+        lines += ["endcmap", "end", "end"]
+        return "\n".join(lines) + "\n"
 
 
 @dataclass
@@ -83,56 +202,85 @@ class PageBuilder:
         return "\n".join(self.ops) + "\n"
 
 
-def build_pdf(pages: list[PageBuilder], compress: bool = False) -> str:
+def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
+    """FlateDecode stream body if a marker-free compression exists."""
+    for lvl in (6, 9, 1):
+        comp = zlib.compress(raw, lvl)
+        if b"endstream" not in comp and b"endobj" not in comp:
+            return (
+                f"<< {extra_dict}/Length {len(comp)} /Filter /FlateDecode >>\n"
+                f"stream\n{comp.decode('latin-1')}endstream"
+            )
+    return None
+
+
+def _stream_obj(content: str, compress: bool) -> str:
+    """A stream object body, plain or Flate, marker-safe.
+
+    A plain stream whose CONTENT embeds a structural marker (caller
+    text containing "endstream"/"endobj") would make the parser's lazy
+    stream regex terminate early and silently drop the rest of the
+    page — force Flate for such pages even when compress=False."""
+    raw = content.encode("latin-1")
+    plain_ok = b"endstream" not in raw and b"endobj" not in raw
+    if compress or not plain_ok:
+        body = _flate_body(raw)
+        if body is not None:
+            return body
+        if not plain_ok:
+            raise ValueError(
+                "page content embeds PDF structural markers in both "
+                "plain and compressed form"
+            )
+    return f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
+
+
+def build_pdf(
+    pages: list[PageBuilder],
+    compress: bool = False,
+    objstm: bool = False,
+    font: SimpleFont | None = None,
+) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
     ``compress=True`` emits FlateDecode content streams (zlib level 6,
     deterministic).  Compressed bytes ride losslessly in the latin-1
-    string plane (all 256 byte values map 1:1).  If the compressed
-    bytes happen to contain a structural marker (``endstream`` /
-    ``endobj`` — would confuse the regex-based subset parsers), that
-    page falls back to an uncompressed stream; the closed world keeps
-    both forms parseable."""
-    import zlib
-
+    string plane (all 256 byte values map 1:1).  ``objstm=True``
+    switches to the PDF-1.5 layout: dict-only objects live in a
+    compressed object stream and the cross reference is a binary XRef
+    stream.  ``font`` attaches a custom-encoded /F1 to every page."""
     objs: list[str] = []  # objs[i] = body of object i+1
+    is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
-    def add(body: str) -> int:
+    def add(body: str, dict_only: bool = True) -> int:
         objs.append(body)
+        is_dict_only.append(dict_only)
         return len(objs)
 
     catalog_num = add("<< /Type /Catalog /Pages 2 0 R >>")
     pages_num = add("PLACEHOLDER")  # patched below
+
+    font_res = ""
+    if font is not None:
+        cmap = font.cmap_stream()
+        tounicode_ref = ""
+        if cmap is not None:
+            cm_num = add(_stream_obj(cmap, compress), dict_only=False)
+            tounicode_ref = f" /ToUnicode {cm_num} 0 R"
+        enc = font.encoding_dict()
+        enc_ref = ""
+        if enc is not None:
+            enc_num = add(enc)
+            enc_ref = f" /Encoding {enc_num} 0 R"
+        font_num = add(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            f"{enc_ref}{tounicode_ref} >>"
+        )
+        font_res = f" /Font << /F1 {font_num} 0 R >>"
+
     page_nums: list[int] = []
     for pg in pages:
-        content = pg.content()
-        raw = content.encode("latin-1")
-        stream_body = None
-        # A plain stream whose CONTENT embeds a structural marker
-        # (caller text containing "endstream"/"endobj") would make the
-        # parser's lazy stream regex terminate early and silently drop
-        # the rest of the page — force Flate for such pages even when
-        # compress=False, trying several levels for marker-free bytes.
-        plain_ok = b"endstream" not in raw and b"endobj" not in raw
-        if compress or not plain_ok:
-            for lvl in (6, 9, 1):
-                comp = zlib.compress(raw, lvl)
-                if b"endstream" not in comp and b"endobj" not in comp:
-                    stream_body = (
-                        f"<< /Length {len(comp)} /Filter /FlateDecode >>\n"
-                        f"stream\n{comp.decode('latin-1')}endstream"
-                    )
-                    break
-        if stream_body is None:
-            if not plain_ok:
-                raise ValueError(
-                    "page content embeds PDF structural markers in both "
-                    "plain and compressed form"
-                )
-            stream_body = (
-                f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
-            )
-        stream_num = add(stream_body)
+        stream_num = add(_stream_obj(pg.content(), compress), dict_only=False)
         xobj_entries = []
         for i, ref in enumerate(pg.images, start=1):
             im_num = add(
@@ -141,8 +289,12 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False) -> str:
             )
             xobj_entries.append(f"/Im{i} {im_num} 0 R")
         res = ""
-        if xobj_entries:
-            res = f" /Resources << /XObject << {' '.join(xobj_entries)} >> >>"
+        if xobj_entries or font_res:
+            xo = (
+                f" /XObject << {' '.join(xobj_entries)} >>"
+                if xobj_entries else ""
+            )
+            res = f" /Resources <<{font_res}{xo} >>"
         page_num = add(
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {stream_num} 0 R{res} >>"
@@ -155,8 +307,83 @@ def build_pdf(pages: list[PageBuilder], compress: bool = False) -> str:
     )
     assert catalog_num == 1
 
-    out = ["%PDF-1.4"]
-    for i, body in enumerate(objs, start=1):
-        out.append(f"{i} 0 obj\n{body}\nendobj")
-    out.append("%%EOF")
-    return "\n".join(out) + "\n"
+    if not objstm:
+        out = ["%PDF-1.4"]
+        for i, body in enumerate(objs, start=1):
+            out.append(f"{i} 0 obj\n{body}\nendobj")
+        out.append("%%EOF")
+        return "\n".join(out) + "\n"
+
+    # ---- PDF 1.5 layout: ObjStm + XRef stream ------------------------
+    packed = [i + 1 for i, d in enumerate(is_dict_only) if d]
+    top = [i + 1 for i, d in enumerate(is_dict_only) if not d]
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+
+    bodies = [objs[n - 1] for n in packed]
+    offsets: list[int] = []
+    pos = 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b.encode("latin-1")) + 1  # "\n" joiner
+    header = " ".join(
+        f"{n} {off}" for n, off in zip(packed, offsets)
+    ) + "\n"
+    objstm_payload = header + "\n".join(bodies)
+    objstm_body = _flate_body(
+        objstm_payload.encode("latin-1"),
+        extra_dict=(
+            f"/Type /ObjStm /N {len(packed)} "
+            f"/First {len(header.encode('latin-1'))} "
+        ),
+    )
+    if objstm_body is None:  # marker collision at every zlib level
+        raise ValueError("object stream not marker-safe at any level")
+
+    # serialize top-level objects, tracking byte offsets for the xref
+    out_parts: list[str] = ["%PDF-1.5\n"]
+    byte_pos = len("%PDF-1.5\n")
+    obj_offset: dict[int, int] = {}
+
+    def emit_obj(num: int, body: str) -> None:
+        nonlocal byte_pos
+        obj_offset[num] = byte_pos
+        s = f"{num} 0 obj\n{body}\nendobj\n"
+        out_parts.append(s)
+        byte_pos += len(s.encode("latin-1"))
+
+    for n in top:
+        emit_obj(n, objs[n - 1])
+    emit_obj(objstm_num, objstm_body)
+
+    # XRef stream: W=[1 4 2]; entries for objects 0..xref_num.
+    size = xref_num + 1
+    rows = bytearray()
+    idx_of = {n: i for i, n in enumerate(packed)}
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535  # the mandatory free-list head
+        elif num in idx_of:
+            t, f2, f3 = 2, objstm_num, idx_of[num]
+        elif num == xref_num:
+            t, f2, f3 = 1, byte_pos, 0
+        else:
+            t, f2, f3 = 1, obj_offset[num], 0
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xref_dict = (
+        f"/Type /XRef /Size {size} /W [ 1 4 2 ] /Index [ 0 {size} ] "
+        "/Root 1 0 R "
+    )
+    xref_body = _flate_body(bytes(rows), extra_dict=xref_dict)
+    if xref_body is None:
+        raw = bytes(rows)
+        if b"endstream" in raw or b"endobj" in raw:
+            raise ValueError("xref stream not marker-safe at any level")
+        xref_body = (
+            f"<< {xref_dict}/Length {len(raw)} >>\n"
+            f"stream\n{raw.decode('latin-1')}endstream"
+        )
+    xref_off = byte_pos
+    emit_obj(xref_num, xref_body)
+    out_parts.append(f"startxref\n{xref_off}\n%%EOF\n")
+    return "".join(out_parts)

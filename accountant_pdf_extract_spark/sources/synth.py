@@ -28,7 +28,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
-from accountant_pdf_extract_spark.sources.pdfwriter import PageBuilder, build_pdf
+from accountant_pdf_extract_spark.sources.pdfwriter import (
+    PageBuilder,
+    SimpleFont,
+    build_pdf,
+)
 
 ARROW_INPUT = pa.schema(
     [
@@ -100,16 +104,28 @@ def make_invoice_pdf(
         else int(rng.integers(min_pages, max_pages + 1))
     )
     company = _COMPANIES[int(rng.integers(0, len(_COMPANIES)))]
-    # € is not latin-1-encodable, and pdf payloads travel as latin-1
-    # strings (FIXTURES.md §1.1) — EUR invoices are exercised through
-    # text/html spans instead.
-    ccy = ["USD", "GBP"][int(rng.integers(0, 2))]
+    # € rides the latin-1 byte plane as custom code 0x80 via a simple
+    # font (/Differences or /ToUnicode — round-4 PDF 1.5 features);
+    # same single rng draw as before, widened to 3 currencies.
+    ccy = ["USD", "GBP", "EUR"][int(rng.integers(0, 3))]
     year = 2024 + int(rng.integers(0, 2))
     inv_no = f"INV-{year}-{int(rng.integers(0, 10000)):04d}"
     base = dt.date(year, 1 + int(rng.integers(0, 12)), 1 + int(rng.integers(0, 28)))
     due = base + dt.timedelta(days=int(rng.integers(10, 60)))
     style = int(rng.integers(0, 4))
     ruled = bool(rng.random() < 0.5)
+    # EUR docs carry a custom-encoded /F1: even styles exercise the
+    # /Encoding /Differences path, odd styles the /ToUnicode CMap path
+    # (both map code 0x80 → €).  Derived from already-drawn values —
+    # no extra rng draw, keeping the rest of the corpus stable.
+    font: SimpleFont | None = None
+    if ccy == "EUR":
+        font = (
+            SimpleFont(differences=((0x80, "Euro"),))
+            if style % 2 == 0
+            else SimpleFont(tounicode=((0x80, "€"),))
+        )
+    enc = font.encode if font is not None else (lambda s: s)
 
     pages: list[PageBuilder] = []
 
@@ -142,12 +158,12 @@ def make_invoice_pdf(
         total += -amt if neg else amt
         pg.text(72, y, _words(rng, vocab, int(rng.integers(1, 4))))
         pg.text(300, y, str(int(rng.integers(1, 20))))
-        pg.text(450, y, _fmt_amount(amt, ccy, neg=neg))
+        pg.text(450, y, enc(_fmt_amount(amt, ccy, neg=neg)))
     if ruled:
         pg.vrule(290, y - 6, top_y - (y - 6))
         pg.vrule(440, y - 6, top_y - (y - 6))
     y -= 24
-    pg.text(72, y, f"Total: {_fmt_amount(abs(total), ccy, neg=total < 0)}")
+    pg.text(72, y, enc(f"Total: {_fmt_amount(abs(total), ccy, neg=total < 0)}"))
     pages.append(pg)
 
     for p in range(2, n_pages + 1):
@@ -174,7 +190,14 @@ def make_invoice_pdf(
 
     # Deterministic compressed subset (~1/3 of docs) without consuming
     # an rng draw (which would shift every downstream synth value).
-    return build_pdf(pages, compress=len(pages) % 3 == 0)
+    return build_pdf(
+        pages,
+        compress=len(pages) % 3 == 0,
+        # PDF-1.5 layout (ObjStm + XRef stream) for a deterministic
+        # ~20% of docs — again keyed on page count, no rng draw
+        objstm=len(pages) % 5 == 1,
+        font=font,
+    )
 
 
 def make_html(rng: np.random.Generator, vocab: list[str]) -> str:

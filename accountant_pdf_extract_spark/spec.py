@@ -75,3 +75,51 @@ HTML_BLOCK_TAGS = (
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6",
     "li", "tr", "table", "ul", "ol", "br", "section", "article",
 )
+
+# --- Simple-font decoding (PDF 1.5 features, round 4) ----------------
+# Glyph-name → Unicode subset (Adobe Glyph List entries the synth
+# writer / real accountant PDFs actually use in /Differences arrays).
+# Codes without a mapping decode as identity latin-1; unknown glyph
+# names keep the identity char (never drop text).
+GLYPH_UNICODE = {
+    "Euro": "€",
+    "endash": "–",
+    "emdash": "—",
+    "bullet": "•",
+    "dagger": "†",
+    "daggerdbl": "‡",
+    "ellipsis": "…",
+    "quotedblleft": "“",
+    "quotedblright": "”",
+    "quoteleft": "‘",
+    "quoteright": "’",
+    "quotesinglbase": "‚",
+    "quotedblbase": "„",
+    "guilsinglleft": "‹",
+    "guilsinglright": "›",
+    "perthousand": "‰",
+    "trademark": "™",
+    "florin": "ƒ",
+    "fi": "ﬁ",
+    "fl": "ﬂ",
+    "OE": "Œ",
+    "oe": "œ",
+    "Scaron": "Š",
+    "scaron": "š",
+    "Ydieresis": "Ÿ",
+    "Zcaron": "Ž",
+    "zcaron": "ž",
+    "circumflex": "ˆ",
+    "tilde": "˜",
+    "sterling": "£",
+    "currency": "¤",
+    "yen": "¥",
+    "cent": "¢",
+    "space": " ",
+    "hyphen": "-",
+}
+
+# bfrange expansion cap: a hostile <00> <FFFF> range would allocate
+# 64k map entries per font; codes are single-byte in this subset so
+# anything beyond 256 consecutive codes is clamped (engine + oracle).
+BFRANGE_MAX_SPAN = 256

@@ -40,6 +40,153 @@ def _pdf_objects(raw: str) -> dict[int, str]:
     return objs
 
 
+def _expand_pdf15(objs: dict[int, str], streams: dict[int, str]) -> None:
+    """PDF 1.5 structures, string domain (latin-1: 1 char == 1 byte).
+
+    Object streams: embedded objects have no 'N 0 obj' headers, so the
+    scan missed them — the ObjStm header's (objnum, offset) pairs are
+    the directory.  First-wins against top-level objects.  Then xref
+    streams: type-2 binary entries recover any objnum the ObjStm
+    headers did not establish.  Mirrors engine semantics exactly
+    (processing order: ascending stream-object number)."""
+    tables: dict[int, list[tuple[int, str]]] = {}
+    for num in sorted(objs):
+        body = objs[num]
+        sm = re.search(r"stream\r?\n", body)
+        if not sm or "/Type /ObjStm" not in body[: sm.start()]:
+            continue
+        head = body[: sm.start()]
+        nm = re.search(r"/N\s+(\d+)", head)
+        fm = re.search(r"/First\s+(\d+)", head)
+        payload = streams.get(num, "")
+        if not (nm and fm):
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        pairs = re.findall(r"(\d+)\s+(\d+)", payload[:first])[:n]
+        entries: list[tuple[int, str]] = []
+        for i, (onum, off) in enumerate(pairs):
+            start = first + int(off)
+            end = first + int(pairs[i + 1][1]) if i + 1 < len(pairs) else len(payload)
+            if start > len(payload):
+                continue
+            entries.append((int(onum), payload[start:end].strip()))
+        tables[num] = entries
+        for onum, ob in entries:
+            if onum not in objs:
+                objs[onum] = ob
+
+    for num in sorted(objs):
+        body = objs[num]
+        sm = re.search(r"stream\r?\n", body)
+        if not sm or "/Type /XRef" not in body[: sm.start()]:
+            continue
+        head = body[: sm.start()]
+        wm = re.search(r"/W\s*\[([^\]]*)\]", head)
+        szm = re.search(r"/Size\s+(\d+)", head)
+        if not (wm and szm):
+            continue
+        try:
+            w = [int(x) for x in wm.group(1).split()]
+        except ValueError:
+            continue
+        if len(w) != 3 or any(x < 0 or x > 8 for x in w) or sum(w) == 0:
+            continue
+        size = int(szm.group(1))
+        im = re.search(r"/Index\s*\[([^\]]*)\]", head)
+        if im:
+            ns = [int(x) for x in re.findall(r"\d+", im.group(1))]
+            ranges = list(zip(ns[0::2], ns[1::2]))
+        else:
+            ranges = [(0, size)]
+        payload = streams.get(num, "")
+        entry_len = sum(w)
+        pos = 0
+        for start, count in ranges:
+            for objnum in range(start, start + count):
+                row = payload[pos : pos + entry_len]
+                pos += entry_len
+                if len(row) < entry_len:
+                    break
+                vals = []
+                o = 0
+                for width in w:
+                    v = 0
+                    for ch in row[o : o + width]:
+                        v = v * 256 + ord(ch)
+                    vals.append(v)
+                    o += width
+                t = vals[0] if w[0] else 1
+                if t == 2 and objnum not in objs:
+                    ents = tables.get(vals[1])
+                    if ents is not None and vals[2] < len(ents):
+                        objs[objnum] = ents[vals[2]][1]
+
+
+def _hex_utf16(h: str) -> str:
+    """CMap dst hex → text (odd length pads '0'; per-char degrade)."""
+    if len(h) % 2:
+        h += "0"
+    try:
+        b = bytes.fromhex(h)
+    except ValueError:
+        return ""
+    return b.decode("utf-16-be", errors="replace")
+
+
+def _font_tables(
+    page_body: str, objs: dict[int, str], streams: dict[int, str]
+) -> dict[str, dict[int, str]]:
+    """Per-page font-resource decode tables: code → decoded string.
+    /ToUnicode bfchar wins over bfrange wins over /Differences glyph
+    names (same precedence as the engine); unmapped codes = identity."""
+    maps: dict[str, dict[int, str]] = {}
+    fm = re.search(r"/Font\s*<<(.*?)>>", page_body, re.S)
+    if not fm:
+        return maps
+    for name, ref in re.findall(r"/(F\d+)\s+(\d+)\s+0\s+R", fm.group(1)):
+        fbody = objs.get(int(ref), "")
+        table: dict[int, str] = {}
+        enc_src = fbody
+        em = re.search(r"/Encoding\s+(\d+)\s+0\s+R", fbody)
+        if em:
+            enc_src = fbody + "\n" + objs.get(int(em.group(1)), "")
+        dm = re.search(r"/Differences\s*\[([^\]]*)\]", enc_src)
+        if dm:
+            code = 0
+            for tok in re.finditer(r"(\d+)|/([A-Za-z0-9.]+)", dm.group(1)):
+                if tok.group(1):
+                    code = int(tok.group(1))
+                else:
+                    g = spec.GLYPH_UNICODE.get(tok.group(2))
+                    if g is not None:
+                        table[code] = g
+                    code += 1
+        tm = re.search(r"/ToUnicode\s+(\d+)\s+0\s+R", fbody)
+        if tm:
+            cmap = streams.get(int(tm.group(1)), "")
+            for rm in re.finditer(r"beginbfrange(.*?)endbfrange", cmap, re.S):
+                for lo, hi, dst in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>",
+                    rm.group(1),
+                ):
+                    lo_i, hi_i = int(lo, 16), int(hi, 16)
+                    d = _hex_utf16(dst)
+                    if not d:
+                        continue
+                    for i in range(
+                        min(hi_i - lo_i + 1, spec.BFRANGE_MAX_SPAN)
+                    ):
+                        table[lo_i + i] = d[:-1] + chr(ord(d[-1]) + i)
+            for cm_ in re.finditer(r"beginbfchar(.*?)endbfchar", cmap, re.S):
+                for src, dst in re.findall(
+                    r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", cm_.group(1)
+                ):
+                    table[int(src, 16)] = _hex_utf16(dst)
+        if table:
+            maps[name] = table
+    return maps
+
+
 def _page_object_numbers(objs: dict[int, str]) -> list[int]:
     # mirror engine: stop at the FIRST /Type /Pages object whether or
     # not it carries /Kids, and fall back to the object-order scan
@@ -106,9 +253,11 @@ class _TextState:
         self.y = 0.0
 
 
-def _interpret(content: str, xobjs: dict[str, str]):
+def _interpret(content: str, xobjs: dict[str, str], fonts=None):
     """Returns (runs, vrules, hrules, images); runs = (x, y, size, txt)."""
     runs, vrules, hrules, images = [], [], [], []
+    fonts = fonts or {}
+    cur_font: dict[int, str] | None = None
     st = _TextState()
     ctm = [1.0, 1.0, 0.0, 0.0]
     saved = []
@@ -130,6 +279,10 @@ def _interpret(content: str, xobjs: dict[str, str]):
     )
 
     def advance(txt: str) -> None:
+        # decode through the current font's code table (identity for
+        # unmapped codes); advance width uses the DECODED length
+        if cur_font:
+            txt = "".join(cur_font.get(ord(c), c) for c in txt)
         if txt:
             runs.append((st.x, st.y, st.size, txt))
             st.x = st.x + spec.CHAR_W_FACTOR * st.size * len(txt)
@@ -167,8 +320,11 @@ def _interpret(content: str, xobjs: dict[str, str]):
                 nums.append(v)
             continue
 
-        if op == "Tf" and nums:
-            st.size = nums[-1]
+        if op == "Tf":
+            if nums:
+                st.size = nums[-1]
+            if names_l:
+                cur_font = fonts.get(names_l[-1])
         elif op == "TL" and nums:
             st.leading = nums[-1]
         elif op == "Td" and len(nums) >= 2:
@@ -316,6 +472,8 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                     s = ""  # corrupt stream → empty page (engine mirrors)
             streams[n] = s
 
+    _expand_pdf15(objs, streams)
+
     per_page = []
     for pn in _page_object_numbers(objs):
         body = objs.get(pn, "")
@@ -335,7 +493,8 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                 )
                 if nm:
                     xobjs[em.group(1)] = _unesc(nm.group(1))
-        runs, vrules, _hrules, images = _interpret(content, xobjs)
+        fonts = _font_tables(body, objs, streams)
+        runs, vrules, _hrules, images = _interpret(content, xobjs, fonts)
         per_page.append(_order_page(_lines_of(runs, vrules), images))
 
     n_pages = len(per_page)

@@ -865,3 +865,146 @@ def test_rules_fixes_wrong_value_and_missed_match_corners():
     # 'Sept.' month abbreviation parses
     d = dates_in("Sept. 3, 2024")
     assert d and d[0][1].isoformat() == "2024-09-03"
+
+
+# --------------------------------------------------------------------------
+# PDF 1.5 structures: object streams, xref streams, simple fonts (round 4)
+# --------------------------------------------------------------------------
+
+
+def _font_pages():
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+
+    font = SimpleFont(
+        differences=((0x80, "Euro"), (0x96, "endash")),
+        tounicode=((0x8C, "fi"),),
+        bfranges=((0xA0, 0xA2, "A"),),
+    )
+    pg = PageBuilder()
+    pg.text(72, 700, font.encode("Total: 1.234,56 €"))
+    pg.text(72, 680, "plain ascii")
+    pg.text(72, 660, "\x8c\xa0\xa1\xa2")  # ligature + bfrange A,B,C
+    pg.image(100, 200, 50, 40, "media://sha/0123456789abcdef")
+    pg2 = PageBuilder()
+    pg2.text(72, 700, font.encode("page2 – dash"))
+    return [pg, pg2], font
+
+
+def test_objstm_xref_font_all_layouts_match_oracle():
+    """Every (objstm, compress) layout of the same logical doc parses
+    to identical spans, engine ≡ oracle — covers ObjStm expansion,
+    XRef-stream decode, /Differences, /ToUnicode bfchar + bfrange."""
+    from tests.oracle import pdf_spans
+
+    pages, font = _font_pages()
+    expected = None
+    for objstm in (False, True):
+        for compress in (False, True):
+            pdf = build_pdf(pages, compress=compress, objstm=objstm, font=font)
+            if objstm:
+                assert "/Type /ObjStm" in pdf and "/Type /XRef" in pdf
+                assert "startxref" in pdf
+                # page dicts live ONLY inside the compressed ObjStm —
+                # the raw bytes must not contain their obj headers
+                assert "/Type /Page /Parent" not in pdf
+            eng, _ = extract_doc([("pdf", pdf, "", 0)])
+            ora = pdf_spans(pdf)
+            assert [(k, t, m) for k, t, m, _ in eng] == ora
+            texts = [t for k, t, _m, _ in eng if k == "text"]
+            assert any("€" in t for t in texts)
+            assert any("fiABC" in t for t in texts)
+            assert any("–" in t for t in texts)
+            assert ("media", "", "media://sha/0123456789abcdef", 3) == eng[3][:4]
+            if expected is None:
+                expected = eng
+            else:
+                assert eng == expected
+
+
+def test_xref_type2_recovers_corrupt_objstm_header_objnums():
+    """The ObjStm header's objnum fields are garbage (all 900+) but the
+    xref stream's type-2 entries map the true objnums by index — the
+    parser must recover every object through the xref, engine ≡
+    oracle.  Streams stay UNCOMPRESSED so the corruption is surgical."""
+    from tests.oracle import pdf_spans
+
+    content = "BT /F1 10 Tf 72 700 Td (recovered) Tj ET\n"
+    packed = {
+        1: "<< /Type /Catalog /Pages 2 0 R >>",
+        2: "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 3 0 R >>"),
+    }
+    nums = sorted(packed)
+    bodies = [packed[n] for n in nums]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    # corrupt header: objnums shifted into the 900s
+    header = " ".join(f"{900 + i} {o}" for i, o in enumerate(offs)) + "\n"
+    payload = header + "\n".join(bodies)
+    objstm = (f"<< /Type /ObjStm /N 3 /First {len(header)} "
+              f"/Length {len(payload)} >>\nstream\n{payload}endstream")
+    rows = bytearray()
+    entries = {0: (0, 0, 65535), 3: (1, 0, 0), 5: (1, 0, 0), 6: (1, 0, 0)}
+    for num in range(7):
+        if num in entries:
+            t, f2, f3 = entries[num]
+        else:
+            t, f2, f3 = 2, 5, nums.index(num)  # type-2: (objstm=5, idx)
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    raw = bytes(rows)
+    assert b"endstream" not in raw and b"endobj" not in raw
+    xref = (f"<< /Type /XRef /Size 7 /W [ 1 4 2 ] /Index [ 0 7 ] "
+            f"/Root 1 0 R /Length {len(raw)} >>\nstream\n"
+            f"{raw.decode('latin-1')}endstream")
+    pdf = (
+        "%PDF-1.5\n"
+        f"3 0 obj\n<< /Length {len(content)} >>\nstream\n{content}endstream\nendobj\n"
+        f"5 0 obj\n{objstm}\nendobj\n"
+        f"6 0 obj\n{xref}\nendobj\n"
+        "startxref\n0\n%%EOF\n"
+    )
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == [("text", "recovered", "")]
+    assert pdf_spans(pdf) == [("text", "recovered", "")]
+
+
+def test_corrupt_objstm_degrades_not_raises():
+    """A /Type /ObjStm whose Flate payload is corrupt yields an empty
+    object set from that stream (doc parses to nothing) — engine and
+    oracle both degrade instead of raising."""
+    from tests.oracle import pdf_spans
+
+    pages, font = _font_pages()
+    pdf = build_pdf(pages, objstm=True, font=font)
+    # surgically corrupt the ObjStm zlib payload (flip bytes after its
+    # stream marker) while leaving everything else intact
+    k = pdf.index("/Type /ObjStm")
+    s = pdf.index("stream\n", k) + len("stream\n")
+    pdf_bad = pdf[:s] + "\x00\x01\x02\x03" + pdf[s + 4:]
+    eng, _ = extract_doc([("pdf", pdf_bad, "", 0)])
+    ora = pdf_spans(pdf_bad)
+    assert [(k_, t, m) for k_, t, m, _ in eng] == ora == []
+
+
+def test_simplefont_encode_rejects_unmappable():
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+
+    font = SimpleFont(differences=((0x80, "Euro"),))
+    assert font.encode("€") == "\x80"
+    import pytest
+
+    with pytest.raises(ValueError, match="not encodable"):
+        font.encode("☃")  # U+2603, no code and not latin-1
+
+
+def test_font_identity_without_resource():
+    """No /Font resource → codes decode identity latin-1 (the pre-r4
+    closed subset is bit-stable)."""
+    pg = PageBuilder()
+    pg.text(72, 700, "caf\xe9 \x96 x")  # é latin-1, 0x96 raw
+    pdf = build_pdf([pg])
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert eng == [("text", "caf\xe9 \x96 x", "", 0)]

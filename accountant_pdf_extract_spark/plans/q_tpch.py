@@ -645,3 +645,390 @@ def tpch_q15(spark, sf):
         s.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_cents")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: the remaining TPC-H shapes (Q2, Q9, Q11, Q14, Q16, Q20, Q21),
+# adapted to this testdata's columns: there is NO partsupp table, so the
+# part-supplier link (and its "cost") derives from lineitem — the
+# min-line-price relation stands in for ps_supplycost; lineitem has no
+# commit/receipt dates, so "late" means l_shipdate > o_orderdate + 60
+# days (same adaptation family as tpch_q4's +30).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_cents
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+         eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+                FROM supplier s
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'),
+         cand AS (SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name,
+                         eu.s_acctbal, eu.n_name, ps.cost_cents,
+                         min(ps.cost_cents) OVER (PARTITION BY p.p_partkey) AS min_cost
+                  FROM ps
+                  JOIN part p ON p.p_partkey = ps.l_partkey
+                  JOIN eu ON eu.s_suppkey = ps.l_suppkey
+                  WHERE p.p_size <= 15 AND p.p_type = 'STANDARD')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_cents
+    FROM cand WHERE cost_cents = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf):
+    """Q2 min-cost-supplier shape (correlated MIN subquery).  The
+    part-supplier 'cost' relation derives from lineitem (min line
+    price cents per (part, supplier) — no partsupp in this testdata).
+    Engine plan: one hash-agg builds ps, region-filtered suppliers
+    broadcast into it, the per-part minimum is a PARTITIONED window
+    over p_partkey (never a self-join re-scan), and the final top-100
+    is TakeOrderedAndProject.  All money stays integer cents."""
+    from pyspark.sql.window import Window
+
+    ps = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents(F.col("l_extendedprice"))).alias("cost_cents"))
+    )
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, sf, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("min_cost", F.min("cost_cents").over(w))
+        .where(F.col("cost_cents") == F.col("min_cost"))
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "cost_cents",
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT nation,
+           o_year,
+           CAST(sum(v) AS BIGINT) AS profit_cents
+    FROM (SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS v
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%blue%')
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf):
+    """Q9 product-type-profit shape: pattern-LIKE part filter + 5-way
+    join, grouped by supplier nation x order year.  (ps_supplycost
+    does not exist in this testdata; profit = discounted revenue.)
+    Engine plan: the LIKE-filtered part dim broadcasts, supplier and
+    nation broadcast, so the only shuffle is lineitem⋈orders plus the
+    final two-key hash aggregate."""
+    p = t(spark, sf, "part").where(F.col("p_name").like("%blue%")).select(
+        "p_partkey"
+    )
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf, "nation")
+    v = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(v).alias("profit_cents"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH val AS (SELECT l.l_partkey,
+                        CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+                 FROM lineitem l
+                 JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 WHERE n.n_name = 'NATION_9'
+                 GROUP BY l.l_partkey)
+    SELECT l_partkey, value_cents
+    FROM val
+    WHERE value_cents * (SELECT count(*) FROM val)
+          > 4 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM val)
+    ORDER BY value_cents DESC, l_partkey
+    """,
+)
+def tpch_q11(spark, sf):
+    """Q11 important-stock shape: per-part value for one nation's
+    suppliers, kept iff above a fraction of the TOTAL (scalar
+    subquery + HAVING).  The fraction test is exact integer
+    arithmetic (value*n_parts > 4*total  <=>  value > 4x the mean part
+    value — a SCALE-STABLE threshold, unlike TPC-H's fixed fraction
+    which empties as the part count grows).  Engine
+    plan: one hash-agg builds val, its one-row total broadcasts back
+    as a filter — the relation is never window-scanned or re-built."""
+    n = t(spark, sf, "nation").where(F.col("n_name") == "NATION_9")
+    s = t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        t(spark, sf, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").cast("long").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_cents") * F.col("n_parts") > 4 * F.col("total_cents"))
+        .orderBy(F.desc("value_cents"), F.asc("l_partkey"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT CAST(floor(1000.0
+             * sum(CASE WHEN p.p_type = 'PROMO' THEN v ELSE 0 END)
+             / sum(v)) AS BIGINT) AS promo_share_milli
+    FROM (SELECT l_partkey,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS v
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00') l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+)
+def tpch_q14(spark, sf):
+    """Q14 promo-revenue shape: conditional-sum / total-sum over one
+    ship month, in integer milli (the q8/q_promo_share convention —
+    floor(1000*x/y) on BIGINT sums is engine-exact).  Part dim
+    broadcasts; the month filter prunes the fact scan."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = t(spark, sf, "part").select("p_partkey", "p_type")
+    v = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.select("l_partkey", v.alias("v"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.floor(
+                1000.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("v")).otherwise(0))
+                / F.sum("v")
+            )
+            .cast("long")
+            .alias("promo_share_milli")
+        )
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT link.l_suppkey) AS supplier_cnt
+    FROM link
+    JOIN part p ON p.p_partkey = link.l_partkey
+    WHERE p.p_brand <> 'Brand#4'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND link.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16(spark, sf):
+    """Q16 supplier-count shape: distinct part-supplier link (the
+    partsupp stand-in), excluded-supplier NOT IN as a broadcast LEFT
+    ANTI join (suppkey is non-null so NOT IN == anti), then a
+    count-distinct per (brand, type, size)."""
+    link = t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf, "part").where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = t(spark, sf, "supplier").where(F.col("s_name").like("%7")).select(
+        "s_suppkey"
+    )
+    return (
+        link.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH gp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+         big AS (SELECT l_suppkey
+                 FROM lineitem
+                 JOIN gp ON gp.p_partkey = lineitem.l_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 GROUP BY l_suppkey, l_partkey
+                 HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) > 3000)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_9'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM big)
+    ORDER BY s.s_name
+    """,
+)
+def tpch_q20(spark, sf):
+    """Q20 excess-stock shape: nested IN-subquery over a HAVING
+    aggregate (suppliers who moved > 30 units of any red-prefix part
+    in 1996), run as a LEFT SEMI join.  The part filter broadcasts
+    into the fact scan; the HAVING aggregate is the only shuffle."""
+    gp = t(spark, sf, "part").where(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    big = (
+        t(spark, sf, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(gp), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("q_cents"))
+        .where(F.col("q_cents") > 3000)
+        .select("l_suppkey")
+    )
+    n = t(spark, sf, "nation").where(F.col("n_name") == "NATION_9")
+    return (
+        t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .orderBy(F.asc("s_name"))
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH late AS (SELECT l.l_orderkey, l.l_suppkey
+                  FROM lineitem l
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  WHERE o.o_orderstatus = 'F'
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+         pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_9'
+      AND EXISTS (SELECT 1 FROM pairs l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21(spark, sf):
+    """Q21 waiting-supplier shape: the double EXISTS / NOT EXISTS
+    composition — supplier was the ONLY late one on a multi-supplier
+    finalized order.  'Late' adapts to this testdata as l_shipdate >
+    o_orderdate + 60 days (no receipt/commit dates; same family as
+    tpch_q4's +30).  Engine plan: late pairs built once and reused
+    for both the base relation and the NOT-EXISTS side (self anti-
+    join on orderkey with supplier inequality); the EXISTS side is a
+    semi join against the distinct order-supplier pairs."""
+    o = t(spark, sf, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        t(spark, sf, "lineitem")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    l1 = late
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    n = t(spark, sf, "nation").where(F.col("n_name") == "NATION_9")
+    s = t(spark, sf, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

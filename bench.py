@@ -14,7 +14,14 @@ carried ±30% swing, wider than real round-over-round deltas):
     JVM cannot borrow idle cores (same pinning as bench/scaling.py);
   * every query runs THREE times in a fixed order; the reported number
     is the MEDIAN, and all runs are recorded per query under "runs"
-    so a re-timing can be checked against the observed spread.
+    so a re-timing can be checked against the observed spread;
+  * automated noise rejection (r4, was a manual protocol note): each
+    pass snapshots /proc/stat — a pass whose hypervisor STEAL share
+    exceeds 1% is marked polluted and its runs are EXCLUDED from the
+    medians (when >= 2 clean runs remain); after the passes, any query
+    whose clean-run max/min spread exceeds 2x gets up to two repair
+    re-runs, and queries still bimodal after repair are listed under
+    "noisy" so a round-over-round delta is never silently trusted.
 
 Scaling-efficiency evidence (local[2] vs local[8] pinned) is produced
 separately by ``python -m bench.scaling`` → BENCH/BASELINE.md.
@@ -77,6 +84,31 @@ def _repin(cpus: int) -> None:
     )
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat line —
+    the one external-interference signal visible from inside a pinned
+    container (loadavg is dominated by our own JVM threads)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_frac(before, after) -> float | None:
+    if before is None or after is None:
+        return None
+    dt = after[1] - before[1]
+    return (after[0] - before[0]) / dt if dt > 0 else None
+
+
+STEAL_LIMIT = 0.01   # >1% stolen CPU during a pass → pass is polluted
+SPREAD_LIMIT = 2.0   # max/min > 2x within a query's clean runs → repair
+MAX_REPAIRS = 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -96,20 +128,59 @@ def main() -> None:
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
     qs = driver_queries.queries()
+
+    def run_one(name: str) -> float:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.monotonic() - t0, 3)
+
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_steal: list[float | None] = []
     for i in range(N_RUNS):
+        ticks0 = _cpu_ticks()
         for name in HEADLINE:
-            t0 = time.monotonic()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            runs[name].append(round(time.monotonic() - t0, 3))
+            runs[name].append(run_one(name))
+        sf_ = _steal_frac(ticks0, _cpu_ticks())
+        pass_steal.append(sf_)
         print(f"  pass {i + 1}/{N_RUNS}: " + ", ".join(
             f"{n}={runs[n][-1]}s" for n in ("tpch_q1", "q_extract_spans")
-        ), file=sys.stderr)
+        ) + (f" steal={sf_:.4f}" if sf_ is not None else ""), file=sys.stderr)
+
+    # noise rejection: drop whole passes that ran under hypervisor
+    # steal (keep them in "runs" for the record), as long as >= 2
+    # clean passes remain to take a median over
+    polluted = [
+        i for i, s in enumerate(pass_steal)
+        if s is not None and s > STEAL_LIMIT
+    ]
+    keep = [i for i in range(N_RUNS) if i not in polluted]
+    if len(keep) < 2:
+        keep = list(range(N_RUNS))  # everything noisy — flag, don't drop
+    clean: dict[str, list[float]] = {
+        name: [rs[i] for i in keep] for name, rs in runs.items()
+    }
+
+    # per-query bimodality repair: a >2x max/min spread within one
+    # process on an identical plan is host noise — re-run up to
+    # MAX_REPAIRS times; queries still spread after repair are
+    # reported under "noisy" rather than silently averaged over
+    noisy: list[str] = []
+    for name in HEADLINE:
+        for _ in range(MAX_REPAIRS):
+            rs = clean[name]
+            if min(rs) <= 0 or max(rs) / min(rs) <= SPREAD_LIMIT:
+                break
+            extra = run_one(name)
+            clean[name].append(extra)
+            runs[name].append(extra)
+        rs = clean[name]
+        if min(rs) > 0 and max(rs) / min(rs) > SPREAD_LIMIT:
+            noisy.append(name)
 
     timings = {
-        name: round(statistics.median(rs), 3) for name, rs in runs.items()
+        name: round(statistics.median(rs), 3) for name, rs in clean.items()
     }
     out = {
         "metric": "end-to-end interleaved-doc extraction wall time (flagship) + headline query seconds",
@@ -120,8 +191,17 @@ def main() -> None:
         "cpus": cpus,
         # measurement protocol: every query = median of N_RUNS pinned
         # warm-JVM runs, raw runs recorded for spread checks
-        "policy": f"median_of_{N_RUNS}_pinned",
+        "policy": f"median_of_{N_RUNS}_pinned_steal_checked",
         "runs": runs,
+        # noise-rejection evidence: per-pass hypervisor-steal share,
+        # passes excluded from medians, and queries whose spread
+        # stayed > 2x after repair re-runs (trust those with care)
+        "pass_steal": pass_steal,
+        "polluted_passes": polluted,
+        "noisy": noisy,
+        # the exact run subset the medians were taken over (raw runs
+        # minus polluted passes, plus repair re-runs)
+        "clean_runs": clean,
         "affinity_cores": len(os.sched_getaffinity(0))
         if hasattr(os, "sched_getaffinity")
         else None,

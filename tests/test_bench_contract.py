@@ -40,7 +40,16 @@ def test_bench_one_json_line():
     assert payload["policy"].startswith("median_of_")
     for name, med in payload["queries"].items():
         rs = payload["runs"][name]
-        assert len(rs) >= 3 and abs(statistics.median(rs) - med) < 1e-9
+        assert len(rs) >= 3
+        # medians are taken over the CLEAN subset (steal-polluted
+        # passes excluded, repair re-runs included), which the payload
+        # must expose verbatim; every clean run is a recorded raw run
+        clean = payload["clean_runs"][name]
+        assert len(clean) >= 2
+        assert all(v in rs for v in clean)
+        assert abs(statistics.median(clean) - med) < 1e-9
+    assert isinstance(payload["polluted_passes"], list)
+    assert isinstance(payload["noisy"], list)
 
 
 def test_package_zip_matches_source(tmp_path):

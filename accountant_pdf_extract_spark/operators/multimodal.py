@@ -26,7 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from accountant_pdf_extract_spark.functions.png import decode_png, encode_png
+from accountant_pdf_extract_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from accountant_pdf_extract_spark.functions.png import PNG_SIG, decode_png, encode_png
 from accountant_pdf_extract_spark.functions.wav import decode_wav, encode_wav
 
 # media table schema: (media_ref string, modality string, payload binary,
@@ -81,12 +82,22 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                         _synth_samples(n_samp, int(i)), sample_rate=rate
                     )
                 else:
-                    # alternate scanline filters so both the vectorized
-                    # (0/2) decode paths run in every corpus
-                    payload = encode_png(
-                        _synth_pixels(w, h, int(i)),
-                        filter_type=[0, 2][int(i) % 2],
-                    )
+                    # rotate formats so every decode path runs in every
+                    # corpus: PNG filter 0, PNG filter 2 (the two
+                    # vectorized paths), baseline 4:2:0 JPEG
+                    fmt = int(i) % 3
+                    if fmt == 2:
+                        payload = encode_jpeg(
+                            _synth_pixels(w, h, int(i)),
+                            subsampling="420",
+                            # some JPEGs carry restart markers
+                            restart_interval=4 if int(i) % 6 == 5 else 0,
+                        )
+                    else:
+                        payload = encode_png(
+                            _synth_pixels(w, h, int(i)),
+                            filter_type=[0, 2][fmt],
+                        )
                 rows.append(
                     {
                         "media_ref": f"media://sha/{int(rng.integers(0, 2**62)):016x}",
@@ -100,6 +111,17 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-sniffing image decode: PNG or baseline JPEG (DCTDecode)
+    → (h, w, c) uint8.  Anything else raises ValueError (the kernels
+    skip the row)."""
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    raise ValueError("unsupported image format")
 
 
 def _decoded_rows(decoder, row_fn, columns):
@@ -148,7 +170,7 @@ def image_features(df: DataFrame) -> DataFrame:
         }
 
     return df.select("media_ref", "payload").mapInPandas(
-        _decoded_rows(decode_png, row, [
+        _decoded_rows(decode_image, row, [
             "media_ref", "width", "height", "mean_intensity",
             "byte_entropy_milli",
         ]),
@@ -214,10 +236,10 @@ def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
 
 
 def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
-    """Nearest-neighbour resize of PNG payloads to fit ``max_side``,
-    re-encoded as PNG: (media_ref, payload, width, height).  Aspect
-    preserved; rows already small enough pass through unchanged;
-    non-PNG payloads skip."""
+    """Nearest-neighbour resize of PNG/JPEG payloads to fit
+    ``max_side``, re-encoded in the source format: (media_ref,
+    payload, width, height).  Aspect preserved; rows already small
+    enough pass through unchanged; unsupported payloads skip."""
 
     def row(ref, payload, px):
         h, w, _c = px.shape
@@ -234,7 +256,13 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
         else:
             ys = (np.arange(th) * (h / th)).astype(np.int64)
             xs = (np.arange(tw) * (w / tw)).astype(np.int64)
-            new_payload = encode_png(px[ys][:, xs])
+            small = px[ys][:, xs]
+            # re-encode in the SOURCE container so a mixed PNG/JPEG
+            # table keeps its formats through the thumbnail pass
+            if bytes(payload[:2]) == b"\xff\xd8":
+                new_payload = encode_jpeg(small, subsampling="420")
+            else:
+                new_payload = encode_png(small)
         return {
             "media_ref": ref,
             "payload": new_payload,
@@ -243,7 +271,7 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
         }
 
     return df.select("media_ref", "payload").mapInPandas(
-        _decoded_rows(decode_png, row,
+        _decoded_rows(decode_image, row,
                       ["media_ref", "payload", "width", "height"]),
         schema="media_ref string, payload binary, width int, height int",
     )

@@ -75,20 +75,24 @@ def test_audio_features_real_wav(spark):
 
 def test_resize_images_real_pixels(spark):
     """Nearest-neighbour resize: payload decodes to exactly the
-    planned target dims and stays a valid PNG."""
-    from accountant_pdf_extract_spark.functions.png import decode_png
-
+    planned target dims and stays valid in its SOURCE container (the
+    r4 corpus mixes PNG and baseline-JPEG rows; resize re-encodes in
+    kind, so both formats must appear in the output)."""
     media = multimodal.synth_media(spark, 20, seed=9)
     visual = media.where(F.col("modality") != "audio")
     plan = {
         r["media_ref"]: (r["target_w"], r["target_h"])
         for r in multimodal.resize_plan(visual, max_side=64).collect()
     }
+    formats = set()
     for r in multimodal.resize_images(visual, max_side=64).collect():
         assert (r["width"], r["height"]) == plan[r["media_ref"]]
-        px = decode_png(bytes(r["payload"]))
+        payload = bytes(r["payload"])
+        formats.add("jpeg" if payload[:2] == b"\xff\xd8" else "png")
+        px = multimodal.decode_image(payload)
         assert px.shape[:2] == (r["height"], r["width"])
         assert max(r["width"], r["height"]) <= 64
+    assert formats == {"png", "jpeg"}
 
 
 def test_media_decode_garbage_raises():

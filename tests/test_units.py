@@ -1008,3 +1008,96 @@ def test_font_identity_without_resource():
     pdf = build_pdf([pg])
     eng, _ = extract_doc([("pdf", pdf, "", 0)])
     assert eng == [("text", "caf\xe9 \x96 x", "", 0)]
+
+
+# --------------------------------------------------------------------------
+# JPEG (DCTDecode) codec — round 4
+# --------------------------------------------------------------------------
+
+
+def _grad_rgb(h, w, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    img = np.stack([gx + 0 * gy, 0 * gx + gy, (gx + gy) / 2], 2)
+    return np.clip(img + rng.integers(-8, 9, (h, w, 3)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_roundtrip_444_420_restarts_grey():
+    """Lossy round-trip within tight error bounds across every encoder
+    layout: 4:4:4, 4:2:0 (subsampled chroma), restart intervals, and
+    single-component grey — odd (non-multiple-of-8/16) dims included."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _grad_rgb(117, 203)
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            enc = encode_jpeg(img, quality=90, subsampling=sub,
+                              restart_interval=ri)
+            assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+            dec = decode_jpeg(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.mean() < 6 and err.max() < 40
+
+    grey = np.clip(
+        np.linspace(0, 255, 117)[:, None] + np.zeros((1, 203)), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(grey, quality=85))
+    assert dec.shape == (117, 203, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - grey.astype(int)).mean() < 4
+
+
+def test_jpeg_rejects_corrupt_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    enc = encode_jpeg(_grad_rgb(32, 32))
+    for bad in (b"", b"\x89PNG1234", b"\xff\xd8\xff\xd9", enc[:40],
+                enc[:200]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # progressive marker (SOF2) must be refused, not mis-decoded
+    prog = bytearray(enc)
+    sof = prog.index(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    # huge-dims bomb guard: patch SOF dims to 60000x60000
+    bomb = bytearray(enc)
+    bomb[sof + 5 : sof + 9] = (60000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bomb))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(_grad_rgb(8, 8), subsampling="422")
+
+
+def test_jpeg_flat_image_is_near_exact():
+    """A flat color block has only DC energy — the lossy pipeline must
+    reproduce it (almost) exactly through quant/dequant."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.full((64, 48, 3), (200, 64, 120), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 2

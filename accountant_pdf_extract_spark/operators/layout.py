@@ -13,6 +13,7 @@ code-disjoint oracle.
 from __future__ import annotations
 
 import math
+import functools
 import re
 from dataclasses import dataclass
 
@@ -64,10 +65,12 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
         members = sorted((runs[i] for i in group), key=lambda r: r.x)
         y = max(r.y for r in members)
         parts = [members[0].text]
-        for prev, cur in zip(members, members[1:]):
-            gap = cur.x - prev.end_x
+        exs = [r.end_x for r in members]  # end_x is computed; cache it
+        for j, (prev, cur) in enumerate(zip(members, members[1:])):
+            pex = exs[j]
+            gap = cur.x - pex
             crossed = any(
-                prev.end_x <= v.x <= cur.x
+                pex <= v.x <= cur.x
                 and v.y <= y <= v.y + v.length + spec.LINE_Y_TOL
                 for v in vrules
             )
@@ -83,7 +86,7 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
                     page=page_idx,
                     y=y,
                     x=members[0].x,
-                    end_x=members[-1].end_x,
+                    end_x=exs[-1],
                     text=text,
                 )
             )
@@ -139,9 +142,11 @@ _NORM_WS = re.compile(r"\s+")
 _NORM_DIGIT = re.compile(r"\d+")
 
 
+@functools.lru_cache(maxsize=8192)
 def normalize_line(text: str) -> str:
     """Boilerplate-frequency normalization: lowercase, digits → '#',
-    collapse whitespace."""
+    collapse whitespace.  Memoized — repeated headers/footers make
+    most calls cache hits (pure function of the text)."""
     return _NORM_WS.sub(" ", _NORM_DIGIT.sub("#", text.lower())).strip()
 
 

@@ -86,7 +86,7 @@ def _hex_to_str(h: str) -> str:
     return bytes.fromhex(h).decode("latin-1")
 
 
-@dataclass
+@dataclass(slots=True)
 class Run:
     x: float
     y: float
@@ -98,7 +98,7 @@ class Run:
         return self.x + spec.CHAR_W_FACTOR * self.size * len(self.text)
 
 
-@dataclass
+@dataclass(slots=True)
 class Rule:
     horiz: bool
     x: float
@@ -106,7 +106,7 @@ class Rule:
     length: float
 
 
-@dataclass
+@dataclass(slots=True)
 class Image:
     x: float
     y: float
@@ -115,7 +115,7 @@ class Image:
     media_ref: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Page:
     runs: list[Run]
     rules: list[Rule]
@@ -301,6 +301,7 @@ def parse_pdf(data: bytes) -> list[Page]:
         ]
 
     pages: list[Page] = []
+    font_cache: dict[int, dict[int, str]] = {}
     for pn in page_nums:
         body = objs.get(pn, b"")
         am = _CONTENTS_ARR_RE.search(body)
@@ -324,8 +325,14 @@ def parse_pdf(data: bytes) -> list[Page]:
         frm = _FONT_RES_RE.search(body)
         if frm:
             for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):
-                fbody = objs.get(int(fe.group(2)), b"")
-                fmap = _font_map(fbody, objs, streams)
+                fnum = int(fe.group(2))
+                # every page of a doc references the same font objects
+                # — resolve each CMap/Differences table once per doc
+                if fnum not in font_cache:
+                    font_cache[fnum] = _font_map(
+                        objs.get(fnum, b""), objs, streams
+                    )
+                fmap = font_cache[fnum]
                 if fmap:
                     font_maps[fe.group(1).decode("latin-1")] = fmap
         pages.append(
@@ -365,9 +372,11 @@ def _parse_content(
         # unmapped codes / identity-encoded fonts).  Everything
         # downstream (advance width, line clustering) sees the
         # DECODED text — the spec'd rule (FIXTURES.md §1.1).
+        # str.translate takes exactly our {ordinal: str} map and runs
+        # at C speed (the per-char genexpr was 12% of kernel time).
         nonlocal x
         if cur_map:
-            txt = "".join(cur_map.get(ord(ch), ch) for ch in txt)
+            txt = txt.translate(cur_map)
         if txt:
             runs.append(Run(x=x, y=y, size=size, text=txt))
             x += spec.CHAR_W_FACTOR * size * len(txt)
@@ -454,11 +463,13 @@ def _parse_content(
                         )
             # S, f, W, n etc. need no action beyond operand reset.
             # Operand stacks reset after every operator (q/Q preserve
-            # the pending numbers; Do consumes its name).
-            if op not in ("q", "Q"):
+            # the pending numbers; Do consumes its name).  The `if`
+            # guards skip the list re-allocation when already empty.
+            if nums and op not in ("q", "Q"):
                 nums = []
-            strings = []
-            if op == "Do":
+            if strings:
+                strings = []
+            if op == "Do" and names:
                 names = []
         elif gi == 5:  # number
             v = float(m.group(5))

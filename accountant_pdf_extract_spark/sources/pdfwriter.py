@@ -330,15 +330,22 @@ def build_pdf(
         f"{n} {off}" for n, off in zip(packed, offsets)
     ) + "\n"
     objstm_payload = header + "\n".join(bodies)
-    objstm_body = _flate_body(
-        objstm_payload.encode("latin-1"),
-        extra_dict=(
-            f"/Type /ObjStm /N {len(packed)} "
-            f"/First {len(header.encode('latin-1'))} "
-        ),
+    objstm_raw = objstm_payload.encode("latin-1")
+    objstm_dict = (
+        f"/Type /ObjStm /N {len(packed)} "
+        f"/First {len(header.encode('latin-1'))} "
     )
-    if objstm_body is None:  # marker collision at every zlib level
-        raise ValueError("object stream not marker-safe at any level")
+    objstm_body = _flate_body(objstm_raw, extra_dict=objstm_dict)
+    if objstm_body is None:
+        # marker collision at every zlib level: a PLAIN object stream
+        # is legal PDF, and dict-body payloads never contain the
+        # structural markers — fall back instead of failing the doc
+        if b"endstream" in objstm_raw or b"endobj" in objstm_raw:
+            raise ValueError("object stream not marker-safe at any level")
+        objstm_body = (
+            f"<< {objstm_dict}/Length {len(objstm_raw)} >>\n"
+            f"stream\n{objstm_payload}endstream"
+        )
 
     # serialize top-level objects, tracking byte offsets for the xref
     out_parts: list[str] = ["%PDF-1.5\n"]

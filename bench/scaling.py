@@ -73,8 +73,10 @@ spark.stop()
 # Attribution: only tasks launched during the MEASURED job (epoch
 # window) count — warm-up stages are excluded by time, not shape;
 # then pick the stage with exactly kernel_np tasks, breaking any
-# coincidental tie (a scan/shuffle stage that also happens to have
-# kernel_np splits) by total task time — the kernel stage dominates.
+# coincidental tie (the SCAN stage has kernel_np tasks too whenever
+# the input was written with kernel_np files) by HIGHEST stage id —
+# the MapInArrow kernel is the job's result stage, downstream of the
+# exchange, so it always carries the largest id.
 import os, statistics
 stage_tasks = {}
 _ev_files = []
@@ -92,9 +94,9 @@ for fn in _ev_files:
                 continue  # warm-up / session-init task, not measured job
             dur = info.get("Finish Time", 0) - info.get("Launch Time", 0)
             stage_tasks.setdefault(sid, []).append(dur)
-exact = [v for v in stage_tasks.values() if len(v) == kernel_np]
+exact = {k: v for k, v in stage_tasks.items() if len(v) == kernel_np}
 if exact:
-    kernel = max(exact, key=sum)
+    kernel = exact[max(exact)]
 else:
     kernel = max(stage_tasks.values(), key=len) if stage_tasks else [0]
 print(json.dumps({"cores": cores, "wall_s": wall,

@@ -136,6 +136,12 @@ def main() -> None:
         ).save()
         return round(time.monotonic() - t0, 3)
 
+    # one UNRECORDED warm-up pass: the first execution of each query
+    # pays codegen/broadcast/page-cache costs 2-4x the warm runs, which
+    # the spread check would otherwise flag as noise on every query
+    for name in HEADLINE:
+        run_one(name)
+
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     pass_steal: list[float | None] = []
     for i in range(N_RUNS):

@@ -116,6 +116,24 @@ COMMENT = {
         "a single Exchange on l_partkey feeds sum/count window + the "
         "integer quantity test — no self-join, no second fact scan."
     ),
+    "tpch_q2": (
+        "min-cost-supplier: the part-supplier cost relation is ONE "
+        "hash aggregate over lineitem; part + region-filtered "
+        "supplier dims broadcast into it; the per-part minimum is a "
+        "partitioned window over p_partkey (no self-join, no "
+        "re-scan); final top-100 is TakeOrderedAndProject."
+    ),
+    "tpch_q21": (
+        "waiting-supplier EXISTS/NOT-EXISTS: the late-pair relation "
+        "is built once and reused for the anti side; semi + anti "
+        "joins on l_orderkey with a supplier inequality residual; "
+        "the tiny nation-filtered supplier dim broadcasts."
+    ),
+    "tpch_q9": (
+        "LIKE-filtered part dim + supplier + nation broadcast; the "
+        "only shuffles are lineitem-orders and the final two-key "
+        "hash aggregate."
+    ),
     "tpch_q19": (
         "the cross-side OR cannot push down by itself, so the derived "
         "single-side filters (brand IN, size/quantity ranges) appear "
@@ -155,7 +173,8 @@ def main() -> None:
     for name in ("q_filter", "q_agg", "q_join_bcast", "q_dedup_minhash",
                  "q_dedup_simhash", "q_embed_topk", "q_asof", "tpch_q5",
                  "q_ntile", "q_range_join", "q_global_rank", "tpch_q10",
-                 "q_repetition", "q_oov", "tpch_q17", "tpch_q19"):
+                 "q_repetition", "q_oov", "tpch_q17", "tpch_q19",
+                 "tpch_q2", "tpch_q21", "tpch_q9"):
         sections.append((name, qs[name](spark, sf)))
 
     # resume pruning over a bucket-partitioned input

@@ -142,13 +142,17 @@ def _font_map(
 
     Precedence: /ToUnicode CMap entries override /Encoding
     /Differences glyph names (ToUnicode IS the text-extraction
-    mapping per the PDF spec); unmapped codes decode as identity
-    latin-1.  Unknown glyph names keep the identity char."""
+    mapping per the PDF spec), which override the /WinAnsiEncoding
+    base table (named directly or as /BaseEncoding); unmapped codes
+    decode as identity latin-1.  Unknown glyph names keep the
+    identity char."""
     m: dict[int, str] = {}
     enc_body = font_body
     em = _ENC_REF_RE.search(font_body)
     if em:
         enc_body = font_body + b"\n" + objs.get(int(em.group(1)), b"")
+    if b"/WinAnsiEncoding" in enc_body:
+        m.update(spec.WINANSI_HIGH)
     dm = _DIFF_RE.search(enc_body)
     if dm:
         code = 0
@@ -180,6 +184,57 @@ def _font_map(
     return m
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (T.81-era TIFF variant, EarlyChange=1): 9→12-bit
+    MSB-first codes, width bumps ONE CODE EARLY (at table size 511 /
+    1023 / 2047), code 256 = clear table, 257 = end of data.  Raises
+    ``ValueError`` on malformed streams (caller degrades to empty)."""
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    entries = fresh()
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = ((bitbuf << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                entries = fresh()
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(entries):
+                    raise ValueError("lzw: bad first code")
+                seq = entries[code]
+            elif code < len(entries):
+                seq = entries[code]
+                entries.append(prev + seq[:1])
+            elif code == len(entries):  # the KwKwK case
+                seq = prev + prev[:1]
+                entries.append(seq)
+            else:
+                raise ValueError("lzw: code beyond table")
+            # EarlyChange=1 width bump — one entry EARLIER than the
+            # encoder's (1<<w)-1 rule, because the decoder's table
+            # lags the encoder's by exactly one emission (it can't
+            # append until it has seen the NEXT code)
+            if len(entries) == (1 << width) - 2 and width < 12:
+                width += 1
+            out += seq
+            prev = seq
+    raise ValueError("lzw: missing EOD marker")
+
+
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
     objs: dict[int, bytes] = {}
@@ -202,6 +257,11 @@ def parse_pdf(data: bytes) -> list[Page]:
                     # raising and losing the whole document; oracle
                     # mirrors this.
                     raw = b""
+            elif b"/LZWDecode" in body[: sm.start()]:
+                try:
+                    raw = _lzw_decode(raw)
+                except ValueError:
+                    raw = b""  # same degrade contract as Flate
             streams[num] = raw
 
     # ---- PDF 1.5: expand object streams (/Type /ObjStm) --------------
@@ -351,6 +411,7 @@ def _parse_content(
     images: list[Image] = []
 
     size = 10.0
+    tm_scale = 1.0  # |a| of the last Tm — horizontal text scale
     leading = 12.0
     line_x = 0.0  # text line origin
     x = 0.0
@@ -378,8 +439,12 @@ def _parse_content(
         if cur_map:
             txt = txt.translate(cur_map)
         if txt:
-            runs.append(Run(x=x, y=y, size=size, text=txt))
-            x += spec.CHAR_W_FACTOR * size * len(txt)
+            # effective glyph size = Tf size x |Tm a| (real PDFs often
+            # set Tf 1 and scale via the text matrix); rotated/skewed
+            # matrices keep position-only semantics (FIXTURES.md §1.1)
+            eff = size * tm_scale
+            runs.append(Run(x=x, y=y, size=eff, text=txt))
+            x += spec.CHAR_W_FACTOR * eff * len(txt)
 
     # Dispatch on m.lastindex (the single alternation group that
     # matched) instead of unpacking all 7 groups per token; branch
@@ -403,6 +468,7 @@ def _parse_content(
                     cur_map = font_maps.get(names[-1])
             elif op == "BT":
                 line_x = x = y = 0.0
+                tm_scale = 1.0
             elif op == "ET":
                 pass
             elif op == "'":
@@ -421,6 +487,7 @@ def _parse_content(
                     leading = nums[-1]
             elif op == "Tm":
                 if len(nums) >= 6:
+                    tm_scale = abs(nums[-6])
                     line_x = nums[-2]
                     y = nums[-1]
                     x = line_x

@@ -70,12 +70,19 @@ class SimpleFont:
     differences: tuple[tuple[int, str], ...] = ()
     tounicode: tuple[tuple[int, str], ...] = ()
     bfranges: tuple[tuple[int, int, str], ...] = ()
+    # named /WinAnsiEncoding without a Differences array (the most
+    # common real-world simple-font encoding); Differences fonts get
+    # WinAnsi as /BaseEncoding automatically
+    winansi: bool = False
 
     def char_map(self) -> dict[int, str]:
         """code → decoded string, in parser precedence order
-        (ToUnicode wins over /Differences, matching the spec rule
-        that ToUnicode is the authoritative text mapping)."""
+        (ToUnicode wins over /Differences wins over the WinAnsi base
+        table, matching the spec rule that ToUnicode is the
+        authoritative text mapping)."""
         m: dict[int, str] = {}
+        if self.winansi or self.differences:
+            m.update(spec.WINANSI_HIGH)
         for code, name in self.differences:
             if name in spec.GLYPH_UNICODE:
                 m[code] = spec.GLYPH_UNICODE[name]
@@ -110,7 +117,8 @@ class SimpleFont:
 
     def encoding_dict(self) -> str | None:
         if not self.differences:
-            return None
+            # name form: /Encoding /WinAnsiEncoding directly on the font
+            return "/WinAnsiEncoding" if self.winansi else None
         parts: list[str] = []
         prev = None
         for code, name in sorted(self.differences):
@@ -202,6 +210,56 @@ class PageBuilder:
         return "\n".join(self.ops) + "\n"
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """PDF LZWDecode-compatible encoder (EarlyChange=1): 9→12-bit
+    MSB-first codes, clear(256) first and near table-full, EOD(257)."""
+    out = bytearray()
+    acc = 0
+    nb = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nb
+        acc = (acc << width) | code
+        nb += width
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    width = 9
+    put(256, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # EarlyChange=1: bump the code width one code early
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code >= 4093:
+            put(256, width)
+            table = fresh()
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        put(table[w], width)
+    put(257, width)
+    if nb:
+        put(0, 8 - nb)  # zero-pad to a byte boundary
+    return bytes(out)
+
+
 def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
     """FlateDecode stream body if a marker-free compression exists."""
     for lvl in (6, 9, 1):
@@ -214,8 +272,8 @@ def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
     return None
 
 
-def _stream_obj(content: str, compress: bool) -> str:
-    """A stream object body, plain or Flate, marker-safe.
+def _stream_obj(content: str, compress: bool, lzw: bool = False) -> str:
+    """A stream object body, plain / Flate / LZW, marker-safe.
 
     A plain stream whose CONTENT embeds a structural marker (caller
     text containing "endstream"/"endobj") would make the parser's lazy
@@ -223,7 +281,15 @@ def _stream_obj(content: str, compress: bool) -> str:
     page — force Flate for such pages even when compress=False."""
     raw = content.encode("latin-1")
     plain_ok = b"endstream" not in raw and b"endobj" not in raw
-    if compress or not plain_ok:
+    if lzw:
+        comp = _lzw_encode(raw)
+        if b"endstream" not in comp and b"endobj" not in comp:
+            return (
+                f"<< /Length {len(comp)} /Filter /LZWDecode >>\n"
+                f"stream\n{comp.decode('latin-1')}endstream"
+            )
+        # marker collision in LZW output: fall through to Flate/plain
+    if compress or lzw or not plain_ok:
         body = _flate_body(raw)
         if body is not None:
             return body
@@ -240,6 +306,7 @@ def build_pdf(
     compress: bool = False,
     objstm: bool = False,
     font: SimpleFont | None = None,
+    lzw: bool = False,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -248,7 +315,9 @@ def build_pdf(
     string plane (all 256 byte values map 1:1).  ``objstm=True``
     switches to the PDF-1.5 layout: dict-only objects live in a
     compressed object stream and the cross reference is a binary XRef
-    stream.  ``font`` attaches a custom-encoded /F1 to every page."""
+    stream.  ``font`` attaches a custom-encoded /F1 to every page;
+    ``lzw=True`` compresses content streams with LZWDecode instead of
+    Flate (marker-collisions fall back to Flate, then plain)."""
     objs: list[str] = []  # objs[i] = body of object i+1
     is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
@@ -270,8 +339,13 @@ def build_pdf(
         enc = font.encoding_dict()
         enc_ref = ""
         if enc is not None:
-            enc_num = add(enc)
-            enc_ref = f" /Encoding {enc_num} 0 R"
+            if enc.startswith("/"):
+                # name form stays inline on the font dict (the common
+                # real-world shape for /WinAnsiEncoding)
+                enc_ref = f" /Encoding {enc}"
+            else:
+                enc_num = add(enc)
+                enc_ref = f" /Encoding {enc_num} 0 R"
         font_num = add(
             "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             f"{enc_ref}{tounicode_ref} >>"
@@ -280,7 +354,9 @@ def build_pdf(
 
     page_nums: list[int] = []
     for pg in pages:
-        stream_num = add(_stream_obj(pg.content(), compress), dict_only=False)
+        stream_num = add(
+            _stream_obj(pg.content(), compress, lzw), dict_only=False
+        )
         xobj_entries = []
         for i, ref in enumerate(pg.images, start=1):
             im_num = add(

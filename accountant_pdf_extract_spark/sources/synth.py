@@ -114,17 +114,19 @@ def make_invoice_pdf(
     due = base + dt.timedelta(days=int(rng.integers(10, 60)))
     style = int(rng.integers(0, 4))
     ruled = bool(rng.random() < 0.5)
-    # EUR docs carry a custom-encoded /F1: even styles exercise the
-    # /Encoding /Differences path, odd styles the /ToUnicode CMap path
-    # (both map code 0x80 → €).  Derived from already-drawn values —
-    # no extra rng draw, keeping the rest of the corpus stable.
+    # EUR docs carry a custom-encoded /F1 exercising all three
+    # real-world encoding paths (each maps code 0x80 → €): style 0 =
+    # /Encoding /Differences, style 2 = bare named /WinAnsiEncoding
+    # (cp1252 base table), styles 1/3 = /ToUnicode CMap.  Derived from
+    # already-drawn values — no extra rng draw, corpus stays stable.
     font: SimpleFont | None = None
     if ccy == "EUR":
-        font = (
-            SimpleFont(differences=((0x80, "Euro"),))
-            if style % 2 == 0
-            else SimpleFont(tounicode=((0x80, "€"),))
-        )
+        if style == 0:
+            font = SimpleFont(differences=((0x80, "Euro"),))
+        elif style == 2:
+            font = SimpleFont(winansi=True)
+        else:
+            font = SimpleFont(tounicode=((0x80, "€"),))
     enc = font.encode if font is not None else (lambda s: s)
 
     pages: list[PageBuilder] = []
@@ -197,6 +199,8 @@ def make_invoice_pdf(
         # ~20% of docs — again keyed on page count, no rng draw
         objstm=len(pages) % 5 == 1,
         font=font,
+        # half the compressed docs use LZWDecode instead of Flate
+        lzw=len(pages) % 6 == 0,
     )
 
 

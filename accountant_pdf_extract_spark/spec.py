@@ -123,3 +123,16 @@ GLYPH_UNICODE = {
 # 64k map entries per font; codes are single-byte in this subset so
 # anything beyond 256 consecutive codes is clamped (engine + oracle).
 BFRANGE_MAX_SPAN = 256
+
+# WinAnsiEncoding (cp1252) high block: the 27 codes in 0x80-0x9F that
+# differ from latin-1 (the rest of WinAnsi IS latin-1).  Applied as
+# the base table when a font names /WinAnsiEncoding (directly or via
+# /BaseEncoding); /Differences then /ToUnicode override per code.
+WINANSI_HIGH = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…",
+    0x86: "†", 0x87: "‡", 0x88: "ˆ", 0x89: "‰", 0x8A: "Š",
+    0x8B: "‹", 0x8C: "Œ", 0x8E: "Ž", 0x91: "‘", 0x92: "’",
+    0x93: "“", 0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›", 0x9C: "œ",
+    0x9E: "ž", 0x9F: "Ÿ",
+}

@@ -40,6 +40,59 @@ def _pdf_objects(raw: str) -> dict[int, str]:
     return objs
 
 
+def _lzw(data: str) -> str:
+    """Independent PDF LZWDecode (EarlyChange=1) in the latin-1 string
+    domain: dict-based table, bit cursor over the byte string.  Raises
+    ValueError on malformed input (pdf_spans degrades to '')."""
+    nbytes = len(data)
+    bitpos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbytes * 8:
+            raise ValueError("lzw truncated")
+        v = 0
+        for _ in range(width):
+            byte = ord(data[bitpos // 8])
+            v = (v << 1) | ((byte >> (7 - bitpos % 8)) & 1)
+            bitpos += 1
+        return v
+
+    table: dict[int, str] = {i: chr(i) for i in range(256)}
+    nxt = 258
+    width = 9
+    prev: str | None = None
+    out: list[str] = []
+    while True:
+        code = read(width)
+        if code == 256:
+            table = {i: chr(i) for i in range(256)}
+            nxt = 258
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            return "".join(out)
+        if prev is None:
+            if code not in table:
+                raise ValueError("lzw bad first code")
+            seq = table[code]
+        elif code in table or code < 256:
+            seq = table[code]
+            table[nxt] = prev + seq[0]
+            nxt += 1
+        elif code == nxt:
+            seq = prev + prev[0]
+            table[nxt] = seq
+            nxt += 1
+        else:
+            raise ValueError("lzw code beyond table")
+        if nxt == (1 << width) - 2 and width < 12:
+            width += 1
+        out.append(seq)
+        prev = seq
+
+
 def _expand_pdf15(objs: dict[int, str], streams: dict[int, str]) -> None:
     """PDF 1.5 structures, string domain (latin-1: 1 char == 1 byte).
 
@@ -150,6 +203,8 @@ def _font_tables(
         em = re.search(r"/Encoding\s+(\d+)\s+0\s+R", fbody)
         if em:
             enc_src = fbody + "\n" + objs.get(int(em.group(1)), "")
+        if "/WinAnsiEncoding" in enc_src:
+            table.update(spec.WINANSI_HIGH)
         dm = re.search(r"/Differences\s*\[([^\]]*)\]", enc_src)
         if dm:
             code = 0
@@ -247,6 +302,7 @@ def _hexdec(h: str) -> str:
 class _TextState:
     def __init__(self) -> None:
         self.size = 10.0
+        self.scale = 1.0  # |a| of the last Tm
         self.leading = 12.0
         self.lx = 0.0
         self.x = 0.0
@@ -284,8 +340,9 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
         if cur_font:
             txt = "".join(cur_font.get(ord(c), c) for c in txt)
         if txt:
-            runs.append((st.x, st.y, st.size, txt))
-            st.x = st.x + spec.CHAR_W_FACTOR * st.size * len(txt)
+            eff = st.size * st.scale
+            runs.append((st.x, st.y, eff, txt))
+            st.x = st.x + spec.CHAR_W_FACTOR * eff * len(txt)
 
     for tok in token_pat.finditer(content):
         string, open_b, close_b, name, number, op, hexs = tok.groups()
@@ -337,6 +394,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             st.y += nums[-1]
             st.x = st.lx
         elif op == "Tm" and len(nums) >= 6:
+            st.scale = abs(nums[-6])
             st.lx = nums[-2]
             st.y = nums[-1]
             st.x = st.lx
@@ -345,6 +403,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             st.x = st.lx
         elif op == "BT":
             st.lx = st.x = st.y = 0.0
+            st.scale = 1.0
         elif op == "Tj":
             if strs:
                 advance(strs[-1])
@@ -470,6 +529,11 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                     s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
                 except zlib.error:
                     s = ""  # corrupt stream → empty page (engine mirrors)
+            elif "/LZWDecode" in body[: sm.start()]:
+                try:
+                    s = _lzw(s)
+                except ValueError:
+                    s = ""  # same degrade contract
             streams[n] = s
 
     _expand_pdf15(objs, streams)

@@ -1101,3 +1101,78 @@ def test_jpeg_flat_image_is_near_exact():
     flat = np.full((64, 48, 3), (200, 64, 120), dtype=np.uint8)
     dec = decode_jpeg(encode_jpeg(flat, quality=90))
     assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 2
+
+
+# --------------------------------------------------------------------------
+# LZWDecode, WinAnsiEncoding, Tm scale — round 4 realism batch
+# --------------------------------------------------------------------------
+
+
+def test_lzw_roundtrip_and_corrupt():
+    from accountant_pdf_extract_spark.operators.pdfparse import _lzw_decode
+    from accountant_pdf_extract_spark.sources.pdfwriter import _lzw_encode
+
+    import random
+
+    rng = random.Random(7)
+    for case in (b"", b"A", b"-----A---B", b"abc" * 2000,
+                 bytes(rng.randrange(256) for _ in range(30_000)),
+                 bytes(rng.randrange(4) for _ in range(150_000))):
+        assert _lzw_decode(_lzw_encode(case)) == case
+
+    import pytest
+
+    for bad in (b"", b"\x00\x00", _lzw_encode(b"hello")[:-2]):
+        with pytest.raises(ValueError):
+            _lzw_decode(bad)
+
+
+def test_lzw_winansi_objstm_pdf_matches_oracle():
+    """LZW content streams + bare /WinAnsiEncoding font through every
+    layout combination — engine ≡ oracle, € and cp1252 punctuation
+    decoded."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from tests.oracle import pdf_spans
+
+    font = SimpleFont(winansi=True)
+    pg = PageBuilder()
+    pg.text(72, 700, font.encode("Total: 1.234,56 € – “quoted”"))
+    expected = None
+    for objstm in (False, True):
+        pdf = build_pdf([pg], lzw=True, objstm=objstm, font=font)
+        assert "/LZWDecode" in pdf
+        if not objstm:
+            assert "/WinAnsiEncoding" in pdf
+        else:
+            # the font dict lives inside the compressed ObjStm — its
+            # name must NOT appear in the raw bytes
+            assert "/WinAnsiEncoding" not in pdf
+        eng, _ = extract_doc([("pdf", pdf, "", 0)])
+        assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+        assert eng[0][1] == "Total: 1.234,56 € – “quoted”"
+        expected = expected or eng
+        assert eng == expected
+
+
+def test_tm_scale_drives_width_and_gaps():
+    """Tf 1 + Tm scale 10 must behave exactly like size-10 text for
+    advance width and gap heuristics (the real-world convention of
+    scaling via the text matrix)."""
+    from tests.oracle import pdf_spans
+
+    content = (
+        "BT /F1 1 Tf 10 0 0 10 72 700 Tm (Invoice No:) Tj ET\n"
+        "BT /F1 1 Tf 10 0 0 10 140 700 Tm (INV-2024-0001) Tj ET\n"
+        "BT /F1 10 Tf 72 680 Td (plain baseline) Tj ET\n"
+    )
+    pdf = (
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        f"3 0 obj\n<< /Length {len(content)} >>\nstream\n{content}endstream\nendobj\n"
+        "4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 3 0 R >>\nendobj\n%%EOF\n"
+    )
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+    # the two scaled runs join into one line with a gap-ruled space
+    assert eng[0][1] == "Invoice No: INV-2024-0001"

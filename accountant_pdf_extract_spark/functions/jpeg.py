@@ -182,7 +182,19 @@ def _read_u16(d: bytes, i: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, c) uint8 (c = 1 grey, 3 RGB)."""
+    """Baseline JPEG bytes → (h, w, c) uint8 (c = 1 grey, 3 RGB).
+
+    Every malformation raises ``ValueError`` (the media kernels'
+    skip-the-row contract): segment-interior truncations surface as
+    IndexError from bytes indexing, so the structural walk is wrapped
+    here rather than guarding every field read."""
+    try:
+        return _decode_structure(data)
+    except IndexError as e:
+        raise ValueError("jpeg: truncated structure") from e
+
+
+def _decode_structure(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("jpeg: bad SOI")
     qt: dict[int, np.ndarray] = {}

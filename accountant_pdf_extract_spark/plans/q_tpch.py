@@ -670,7 +670,7 @@ def tpch_q15(spark, sf):
                 WHERE r.r_name = 'EUROPE'),
          cand AS (SELECT p.p_partkey, p.p_name, eu.s_suppkey, eu.s_name,
                          eu.s_acctbal, eu.n_name, ps.cost_cents,
-                         min(ps.cost_cents) OVER (PARTITION BY p.p_partkey) AS min_cost
+                         CAST(min(ps.cost_cents) OVER (PARTITION BY p.p_partkey) AS BIGINT) AS min_cost
                   FROM ps
                   JOIN part p ON p.p_partkey = ps.l_partkey
                   JOIN eu ON eu.s_suppkey = ps.l_suppkey

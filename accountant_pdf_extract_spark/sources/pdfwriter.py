@@ -87,8 +87,10 @@ class SimpleFont:
             if name in spec.GLYPH_UNICODE:
                 m[code] = spec.GLYPH_UNICODE[name]
         for lo, hi, dst in self.bfranges:
+            if not dst:
+                continue  # engine/oracle skip empty dst (identity)
             for i in range(min(hi - lo + 1, spec.BFRANGE_MAX_SPAN)):
-                m[lo + i] = dst[:-1] + chr(ord(dst[-1]) + i) if dst else ""
+                m[lo + i] = dst[:-1] + chr(ord(dst[-1]) + i)
         for code, s in self.tounicode:
             m[code] = s
         return m

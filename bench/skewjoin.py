@@ -29,26 +29,18 @@ import sys
 import tempfile
 import time
 
+# bootstrap BEFORE the package import: after the taskset re-exec the
+# process runs as `python bench/x.py`, whose script-dir sys.path
+# entry is bench/, so `bench._util` would not resolve
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+from bench._util import repin, splice_section  # noqa: E402
+
 _BEGIN = "<!-- skewjoin-section -->"
 _END = "<!-- /skewjoin-section -->"
 
 
-def _repin(cores: int) -> None:
-    if os.environ.get("_BENCH_PINNED") == "1":
-        return
-    try:
-        allowed = sorted(os.sched_getaffinity(0))
-    except AttributeError:
-        return
-    os.environ["_BENCH_PINNED"] = "1"
-    if len(allowed) <= cores:
-        return
-    import shutil
-
-    if shutil.which("taskset") is None:
-        return
-    pick = ",".join(str(c) for c in allowed[:cores])
-    os.execvp("taskset", ["taskset", "-c", pick, sys.executable, *sys.argv])
 
 
 def _task_stats(evdir: str, t0_ms: float, t1_ms: float) -> dict:
@@ -87,13 +79,7 @@ def main() -> None:
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--n-keys", type=int, default=1024)
     args = p.parse_args()
-    _repin(args.cores)
-
-    # after the taskset re-exec, argv is the script path (not -m), so
-    # sys.path carries bench/ instead of the repo root — restore it
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if root not in sys.path:
-        sys.path.insert(0, root)
+    repin(args.cores)
 
     from pyspark.sql import functions as F
 
@@ -204,16 +190,7 @@ The salt is deterministic per row content (key + tiebreak id) — safe
 under partial stage retries, unlike position-derived salts.
 
 {_END}"""
-    with open(path) as f:
-        txt = f.read()
-    if _BEGIN in txt and _END in txt:
-        pre = txt[: txt.index(_BEGIN)]
-        post = txt[txt.index(_END) + len(_END):]
-        txt = pre + section + post
-    else:
-        txt = txt.rstrip() + "\n\n" + section + "\n"
-    with open(path, "w") as f:
-        f.write(txt)
+    splice_section(_BEGIN, _END, section, path)
 
 
 if __name__ == "__main__":

@@ -19,24 +19,18 @@ import sys
 import tempfile
 import time
 
+# bootstrap BEFORE the package import: after the taskset re-exec the
+# process runs as `python bench/x.py`, whose script-dir sys.path
+# entry is bench/, so `bench._util` would not resolve
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+from bench._util import repin, splice_section  # noqa: E402
+
 _BEGIN = "<!-- streamrate-section -->"
 _END = "<!-- /streamrate-section -->"
 
 
-def _repin(cores: int) -> None:
-    if os.environ.get("_BENCH_PINNED") == "1":
-        return
-    try:
-        allowed = sorted(os.sched_getaffinity(0))
-    except AttributeError:
-        return
-    os.environ["_BENCH_PINNED"] = "1"
-    if len(allowed) <= cores:
-        return
-    if shutil.which("taskset") is None:
-        return
-    pick = ",".join(str(c) for c in allowed[:cores])
-    os.execvp("taskset", ["taskset", "-c", pick, sys.executable, *sys.argv])
 
 
 def main() -> None:
@@ -45,10 +39,7 @@ def main() -> None:
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--max-files", type=int, default=64)
     args = p.parse_args()
-    _repin(args.cores)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if root not in sys.path:
-        sys.path.insert(0, root)
+    repin(args.cores)
 
     from accountant_pdf_extract_spark.plans.pipeline import extract
     from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
@@ -118,7 +109,6 @@ def main() -> None:
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 
-    path = os.path.join(root, "BENCH", "BASELINE.md")
     section = f"""{_BEGIN}
 
 ## Streaming drain vs batch on the same corpus (python -m bench.streamrate)
@@ -139,16 +129,7 @@ scheduling + checkpoint commits + per-batch sink overwrites; recorded
 cost, no target).
 
 {_END}"""
-    with open(path) as f:
-        txt = f.read()
-    if _BEGIN in txt and _END in txt:
-        pre = txt[: txt.index(_BEGIN)]
-        post = txt[txt.index(_END) + len(_END):]
-        txt = pre + section + post
-    else:
-        txt = txt.rstrip() + "\n\n" + section + "\n"
-    with open(path, "w") as f:
-        f.write(txt)
+    splice_section(_BEGIN, _END, section)
 
 
 if __name__ == "__main__":

@@ -86,8 +86,6 @@ def test_salted_join_spreads_hot_key(spark):
             big, small, "l_orderkey", salt_buckets=8, tiebreak="nope"
         )
 
-    import pytest
-
     with pytest.raises(ValueError, match="salt_buckets"):
         skewjoin.salted_join(big, small, "l_orderkey", salt_buckets=0)
 

@@ -66,6 +66,12 @@ _TOK_RE = re.compile(
 
 _ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\n])")
 
+# inline images: BI <dict> ID <binary> EI — the binary payload would
+# garble the token grammar, so whole segments are stripped before
+# lexing; EI is recognized at a whitespace boundary (the standard
+# heuristic — binary containing " EI " is pathological and rare)
+_INLINE_IMG_RE = re.compile(r"\bBI\b.*?\bID\b.*?[\s>]EI(?=\s|$)", re.S)
+
 
 def _unescape(s: str) -> str:
     def repl(m: re.Match) -> str:
@@ -137,21 +143,28 @@ def _utf16be_hex(h: bytes) -> str:
 
 def _font_map(
     font_body: bytes, objs: dict[int, bytes], streams: dict[int, bytes]
-) -> dict[int, str]:
-    """code → decoded-string map for a simple (single-byte) font.
+) -> tuple[bool, dict[int, str]]:
+    """(is_cid, code → decoded-string map) for one font.
 
-    Precedence: /ToUnicode CMap entries override /Encoding
-    /Differences glyph names (ToUnicode IS the text-extraction
-    mapping per the PDF spec), which override the /WinAnsiEncoding
-    base table (named directly or as /BaseEncoding); unmapped codes
-    decode as identity latin-1.  Unknown glyph names keep the
-    identity char."""
+    Simple fonts: single-byte codes; precedence /ToUnicode CMap >
+    /Encoding /Differences glyph names (ToUnicode IS the
+    text-extraction mapping per the PDF spec) > the /WinAnsiEncoding
+    base table (named directly or as /BaseEncoding) > identity
+    latin-1.  Unknown glyph names keep the identity char.
+
+    Composite fonts (/Subtype /Type0 with /Identity-H): is_cid=True —
+    string bytes pair into 2-byte codes mapped through ToUnicode;
+    unmapped codes degrade to chr(code) (deterministic, ASCII-safe
+    when code==charcode)."""
+    is_cid = (
+        b"/Identity-H" in font_body or b"/Subtype /Type0" in font_body
+    )
     m: dict[int, str] = {}
     enc_body = font_body
     em = _ENC_REF_RE.search(font_body)
     if em:
         enc_body = font_body + b"\n" + objs.get(int(em.group(1)), b"")
-    if b"/WinAnsiEncoding" in enc_body:
+    if not is_cid and b"/WinAnsiEncoding" in enc_body:
         m.update(spec.WINANSI_HIGH)
     dm = _DIFF_RE.search(enc_body)
     if dm:
@@ -181,7 +194,7 @@ def _font_map(
             for pair in _BFCHAR_PAIR_RE.finditer(cm.group(1)):
                 code = int(pair.group(1), 16)
                 m[code] = _utf16be_hex(pair.group(2))
-    return m
+    return is_cid, m
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -361,7 +374,7 @@ def parse_pdf(data: bytes) -> list[Page]:
         ]
 
     pages: list[Page] = []
-    font_cache: dict[int, dict[int, str]] = {}
+    font_cache: dict[int, tuple[bool, dict[int, str]]] = {}
     for pn in page_nums:
         body = objs.get(pn, b"")
         am = _CONTENTS_ARR_RE.search(body)
@@ -392,9 +405,11 @@ def parse_pdf(data: bytes) -> list[Page]:
                     font_cache[fnum] = _font_map(
                         objs.get(fnum, b""), objs, streams
                     )
-                fmap = font_cache[fnum]
-                if fmap:
-                    font_maps[fe.group(1).decode("latin-1")] = fmap
+                is_cid, fmap = font_cache[fnum]
+                if fmap or is_cid:
+                    font_maps[fe.group(1).decode("latin-1")] = (
+                        is_cid, fmap
+                    )
         pages.append(
             _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
         )
@@ -404,7 +419,7 @@ def parse_pdf(data: bytes) -> list[Page]:
 def _parse_content(
     content: str,
     xobj_refs: dict[str, str],
-    font_maps: dict[str, dict[int, str]] | None = None,
+    font_maps: dict[str, tuple[bool, dict[int, str]]] | None = None,
 ) -> Page:
     runs: list[Run] = []
     rules: list[Rule] = []
@@ -424,8 +439,10 @@ def _parse_content(
     tj_parts: list[tuple[bool, object]] = []  # (is_string, val) inside [...]
     in_array = False
 
+    content = _INLINE_IMG_RE.sub(" ", content)
     font_maps = font_maps or {}
     cur_map: dict[int, str] | None = None
+    cur_cid = False
 
     def emit(txt: str) -> None:
         # custom-encoded fonts: map raw codes through the current
@@ -436,7 +453,18 @@ def _parse_content(
         # str.translate takes exactly our {ordinal: str} map and runs
         # at C speed (the per-char genexpr was 12% of kernel time).
         nonlocal x
-        if cur_map:
+        if cur_cid:
+            # composite font: bytes pair into 2-byte codes (a dangling
+            # odd byte is malformed and dropped), text comes from the
+            # ToUnicode map with chr(code) as the deterministic default
+            txt = "".join(
+                cur_map.get(c, chr(c)) if cur_map else chr(c)
+                for c in (
+                    (ord(txt[i]) << 8) | ord(txt[i + 1])
+                    for i in range(0, len(txt) - 1, 2)
+                )
+            )
+        elif cur_map:
             txt = txt.translate(cur_map)
         if txt:
             # effective glyph size = Tf size x |Tm a| (real PDFs often
@@ -465,7 +493,9 @@ def _parse_content(
                 if nums:
                     size = nums[-1]
                 if names:
-                    cur_map = font_maps.get(names[-1])
+                    cur_cid, cur_map = font_maps.get(
+                        names[-1], (False, None)
+                    )
             elif op == "BT":
                 line_x = x = y = 0.0
                 tm_scale = 1.0

@@ -74,6 +74,10 @@ class SimpleFont:
     # common real-world simple-font encoding); Differences fonts get
     # WinAnsi as /BaseEncoding automatically
     winansi: bool = False
+    # composite /Type0 /Identity-H font: 2-byte codes, text via
+    # ToUnicode only (differences/winansi ignored); content strings
+    # must be written as hex via PageBuilder.text_hex
+    cid: bool = False
 
     def char_map(self) -> dict[int, str]:
         """code → decoded string, in parser precedence order
@@ -81,7 +85,7 @@ class SimpleFont:
         table, matching the spec rule that ToUnicode is the
         authoritative text mapping)."""
         m: dict[int, str] = {}
-        if self.winansi or self.differences:
+        if not self.cid and (self.winansi or self.differences):
             m.update(spec.WINANSI_HIGH)
         for code, name in self.differences:
             if name in spec.GLYPH_UNICODE:
@@ -100,7 +104,31 @@ class SimpleFont:
         streams.  Multi-char mappings (ligatures) are NOT reverse-
         applied — only single chars that have a code.  Raises on a
         char that is neither latin-1 nor mapped (same failure mode as
-        the strict latin-1 writer path)."""
+        the strict latin-1 writer path).
+
+        CID fonts: each char becomes a 2-byte code (reverse-ToUnicode
+        when mapped, else the codepoint itself for BMP chars) — pass
+        the result to ``PageBuilder.text_hex``."""
+        if self.cid:
+            cmap = self.char_map()
+            rev2 = {v: k for k, v in sorted(cmap.items()) if len(v) == 1}
+            out2 = []
+            for ch in s:
+                code = rev2.get(ch)
+                if code is None:
+                    code = ord(ch)
+                    if code > 0xFFFF:
+                        raise ValueError(f"char {ch!r} outside the BMP")
+                    if cmap.get(code, ch) != ch:
+                        # identity fallback would collide with a
+                        # ToUnicode entry meaning something else —
+                        # the glyph can't be represented by this font
+                        raise ValueError(
+                            f"char {ch!r} shadowed by ToUnicode "
+                            f"entry for code {code:#06x}"
+                        )
+                out2.append(chr(code >> 8) + chr(code & 0xFF))
+            return "".join(out2)
         rev: dict[str, int] = {}
         for code, dec in sorted(self.char_map().items()):
             if len(dec) == 1 and dec not in rev:
@@ -172,6 +200,16 @@ class PageBuilder:
     def text(self, x: float, y: float, s: str, size: float = 10.0) -> None:
         self.ops.append(
             f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td ({_esc(s)}) Tj ET"
+        )
+
+    def text_hex(self, x: float, y: float, codes: str,
+                 size: float = 10.0) -> None:
+        """Show a CID-font code string (from SimpleFont.encode with
+        cid=True) as a hex string: codes are latin-1 chars carrying
+        raw bytes."""
+        hexs = "".join(f"{ord(c):02X}" for c in codes)
+        self.ops.append(
+            f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td <{hexs}> Tj ET"
         )
 
     def text_tj(
@@ -338,20 +376,26 @@ def build_pdf(
         if cmap is not None:
             cm_num = add(_stream_obj(cmap, compress), dict_only=False)
             tounicode_ref = f" /ToUnicode {cm_num} 0 R"
-        enc = font.encoding_dict()
-        enc_ref = ""
-        if enc is not None:
-            if enc.startswith("/"):
-                # name form stays inline on the font dict (the common
-                # real-world shape for /WinAnsiEncoding)
-                enc_ref = f" /Encoding {enc}"
-            else:
-                enc_num = add(enc)
-                enc_ref = f" /Encoding {enc_num} 0 R"
-        font_num = add(
-            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-            f"{enc_ref}{tounicode_ref} >>"
-        )
+        if font.cid:
+            font_num = add(
+                "<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+                f"/Encoding /Identity-H{tounicode_ref} >>"
+            )
+        else:
+            enc = font.encoding_dict()
+            enc_ref = ""
+            if enc is not None:
+                if enc.startswith("/"):
+                    # name form stays inline on the font dict (the
+                    # common real-world shape for /WinAnsiEncoding)
+                    enc_ref = f" /Encoding {enc}"
+                else:
+                    enc_num = add(enc)
+                    enc_ref = f" /Encoding {enc_num} 0 R"
+            font_num = add(
+                "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                f"{enc_ref}{tounicode_ref} >>"
+            )
         font_res = f" /Font << /F1 {font_num} 0 R >>"
 
     page_nums: list[int] = []

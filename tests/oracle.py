@@ -199,11 +199,12 @@ def _font_tables(
     for name, ref in re.findall(r"/(F\d+)\s+(\d+)\s+0\s+R", fm.group(1)):
         fbody = objs.get(int(ref), "")
         table: dict[int, str] = {}
+        is_cid = "/Identity-H" in fbody or "/Subtype /Type0" in fbody
         enc_src = fbody
         em = re.search(r"/Encoding\s+(\d+)\s+0\s+R", fbody)
         if em:
             enc_src = fbody + "\n" + objs.get(int(em.group(1)), "")
-        if "/WinAnsiEncoding" in enc_src:
+        if not is_cid and "/WinAnsiEncoding" in enc_src:
             table.update(spec.WINANSI_HIGH)
         dm = re.search(r"/Differences\s*\[([^\]]*)\]", enc_src)
         if dm:
@@ -237,8 +238,8 @@ def _font_tables(
                     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", cm_.group(1)
                 ):
                     table[int(src, 16)] = _hex_utf16(dst)
-        if table:
-            maps[name] = table
+        if table or is_cid:
+            maps[name] = (is_cid, table)
     return maps
 
 
@@ -311,9 +312,13 @@ class _TextState:
 
 def _interpret(content: str, xobjs: dict[str, str], fonts=None):
     """Returns (runs, vrules, hrules, images); runs = (x, y, size, txt)."""
+    # inline images (BI..ID..EI) stripped before lexing, same
+    # whitespace-boundary EI heuristic as the engine
+    content = re.sub(r"\bBI\b.*?\bID\b.*?[\s>]EI(?=\s|$)", " ", content, flags=re.S)
     runs, vrules, hrules, images = [], [], [], []
     fonts = fonts or {}
     cur_font: dict[int, str] | None = None
+    cur_cid = False
     st = _TextState()
     ctm = [1.0, 1.0, 0.0, 0.0]
     saved = []
@@ -337,7 +342,18 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
     def advance(txt: str) -> None:
         # decode through the current font's code table (identity for
         # unmapped codes); advance width uses the DECODED length
-        if cur_font:
+        if cur_cid:
+            pairs = []
+            i = 0
+            while i + 1 < len(txt):
+                code = (ord(txt[i]) << 8) | ord(txt[i + 1])
+                if cur_font and code in cur_font:
+                    pairs.append(cur_font[code])
+                else:
+                    pairs.append(chr(code))
+                i += 2
+            txt = "".join(pairs)
+        elif cur_font:
             txt = "".join(cur_font.get(ord(c), c) for c in txt)
         if txt:
             eff = st.size * st.scale
@@ -381,7 +397,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             if nums:
                 st.size = nums[-1]
             if names_l:
-                cur_font = fonts.get(names_l[-1])
+                cur_cid, cur_font = fonts.get(names_l[-1], (False, None))
         elif op == "TL" and nums:
             st.leading = nums[-1]
         elif op == "Td" and len(nums) >= 2:

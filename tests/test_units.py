@@ -1176,3 +1176,54 @@ def test_tm_scale_drives_width_and_gaps():
     assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
     # the two scaled runs join into one line with a gap-ruled space
     assert eng[0][1] == "Invoice No: INV-2024-0001"
+
+
+def test_cid_identity_h_font_via_tounicode():
+    """Composite /Type0 /Identity-H font: 2-byte hex-string codes
+    decode through ToUnicode (unmapped codes → chr(code)); engine ≡
+    oracle across both file layouts; encode refuses glyphs shadowed
+    by a conflicting ToUnicode entry."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from tests.oracle import pdf_spans
+
+    font = SimpleFont(cid=True, tounicode=((0x0045, "€"), (0x0100, "X")))
+    pg = PageBuilder()
+    pg.text_hex(72, 700, font.encode("Total: 12,50 €"))
+    pg.text_hex(72, 680, font.encode("XBC"))  # X rides its mapped 0x0100
+    for objstm in (False, True):
+        pdf = build_pdf([pg], objstm=objstm, font=font)
+        eng, _ = extract_doc([("pdf", pdf, "", 0)])
+        assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+        assert [t for _, t, _, _ in eng] == ["Total: 12,50 €", "XBC"]
+
+    import pytest
+
+    # identity fallback must refuse glyphs whose codepoint is claimed
+    # by a ToUnicode entry meaning something else
+    for shadowed in ("Euro: E", "Ā"):  # 'E'=0x45→€, U+0100→X
+        with pytest.raises(ValueError, match="shadowed"):
+            font.encode(shadowed)
+
+
+def test_inline_image_segment_skipped():
+    """BI..ID..EI inline-image segments (binary payload) are stripped
+    before lexing — text before/after survives, garbage never parses,
+    engine ≡ oracle."""
+    from tests.oracle import pdf_spans
+
+    content = (
+        "BT /F1 10 Tf 72 700 Td (before) Tj ET\n"
+        "BI /W 4 /H 4 /BPC 8 /CS /G ID \x00\xff(garbage)Tj 99 0 obj\nEI\n"
+        "BT /F1 10 Tf 72 680 Td (after) Tj ET\n"
+    )
+    pdf = (
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        f"3 0 obj\n<< /Length {len(content)} >>\nstream\n{content}endstream\nendobj\n"
+        "4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 3 0 R >>\nendobj\n%%EOF\n"
+    )
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
+        ("text", "before", ""), ("text", "after", ""),
+    ]

@@ -53,7 +53,8 @@ _BFRANGE_TRIPLE_RE = re.compile(
 
 # Content-stream token: a (string), a [TJ array], a number, or an op.
 _TOK_RE = re.compile(
-    r"""\(((?:[^()\\]|\\.)*)\)      # 1: literal string
+    r"""\(((?:[^()\\]|\\[\s\S])*)\)  # 1: literal string (escape may
+                                    #    be a line-continuation EOL)
       | (\[)                        # 2: TJ array opens
       | (\])                        # 3: TJ array closes
       | (/[A-Za-z0-9]+)             # 4: name
@@ -64,7 +65,10 @@ _TOK_RE = re.compile(
     re.X,
 )
 
-_ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\n])")
+# the full T.81 literal-string escape set: octal, the named
+# escapes n r t b f ( ) \\, and backslash-EOL line continuation
+# (which yields NOTHING); any other backslash pair stays literal
+_ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\nrtbf]|\r\n|\r|\n)")
 
 # inline images: BI <dict> ID <binary> EI — the binary payload would
 # garble the token grammar, so whole segments are stripped before
@@ -73,13 +77,18 @@ _ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\n])")
 _INLINE_IMG_RE = re.compile(r"\bBI\b.*?\bID\b.*?[\s>]EI(?=\s|$)", re.S)
 
 
+_ESC_NAMED = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
+
+
 def _unescape(s: str) -> str:
     def repl(m: re.Match) -> str:
         g = m.group(1)
-        if g == "n":
-            return "\n"
+        if g in _ESC_NAMED:
+            return _ESC_NAMED[g]
         if g[0] in "01234567":
             return chr(int(g, 8) & 0xFF)
+        if g in ("\r\n", "\r", "\n"):
+            return ""  # line continuation
         return g
 
     return _ESC_RE.sub(repl, s)

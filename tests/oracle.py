@@ -278,12 +278,19 @@ def _unesc(s: str) -> str:
                     j += 1
                 out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
                 i = j
-            elif nxt in "()\\n":
-                # only the escapes the engine's _ESC_RE recognizes;
-                # anything else stays a LITERAL backslash pair
-                out.append("\n" if nxt == "n" else nxt)
+            elif nxt in "()\\":
+                out.append(nxt)
                 i += 2
+            elif nxt in "nrtbf":
+                out.append({"n": "\n", "r": "\r", "t": "\t",
+                            "b": "\b", "f": "\f"}[nxt])
+                i += 2
+            elif nxt in "\r\n":
+                # backslash-EOL line continuation yields NOTHING
+                # (\r\n counts as one EOL)
+                i += 3 if s[i + 1 : i + 3] == "\r\n" else 2
             else:
+                # anything else stays a LITERAL backslash pair
                 out.append("\\")
                 out.append(nxt)
                 i += 2
@@ -335,7 +342,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
     in_array = False
 
     token_pat = re.compile(
-        r"\(((?:[^()\\]|\\.)*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
+        r"\(((?:[^()\\]|\\[\s\S])*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
         r"|([-+]?\d*\.?\d+)|([A-Za-z'\"*]+)|<([0-9A-Fa-f\s]*)>"
     )
 

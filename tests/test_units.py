@@ -682,7 +682,11 @@ def test_operand_lifetimes_engine_equals_oracle():
     assert _engine_content("BT (A) q Tj ET")[0] == []
     assert _engine_content("BT [(A)] 0 0 Td TJ ET")[0] == ["A"]
     assert _engine_content("BT [(A)] [(B)] TJ ET")[0] == ["B"]
-    assert _engine_content(r"BT (a\tb) Tj ET")[0] == ["a\\tb"]
+    # \t became a REAL tab in r4 (full T.81 escape set: n r t b f +
+    # line continuation); unrecognized pairs still stay literal
+    assert _engine_content(r"BT (a\tb) Tj ET")[0] == ["a\tb"]
+    assert _engine_content(r"BT (a\qb) Tj ET")[0] == ["a\\qb"]
+    assert _engine_content("BT (a\\\nb) Tj ET")[0] == ["ab"]
 
 
 def test_empty_kids_falls_back_to_page_scan():

@@ -102,6 +102,24 @@ def run_job(
     resume pruning silently skip partially-committed documents."""
     log = CommitLog(commit_log_path)
     done = log.committed_buckets()
+    if done:
+        # resume guard: prior commits under a DIFFERENT bucket modulus
+        # would make the NOT-IN filter below skip uncommitted docs
+        # whose new bucket id collides with an old committed id —
+        # exactly the hazard read_bucketed_input guards on the input
+        # side.  Every snapshot records its modulus in lineage.
+        prior = {
+            s_.get("lineage", {}).get("salt_buckets")
+            for s_ in log.snapshots()
+        } - {None}
+        if prior and prior != {str(salt_buckets)}:
+            raise ValueError(
+                f"commit log at {commit_log_path!r} was written with "
+                f"salt_buckets={sorted(prior)} but this run uses "
+                f"{salt_buckets}; resuming across a modulus change "
+                "would silently skip documents — use the original "
+                "value or a fresh commit log + output path"
+            )
 
     if SALT_COL in input_df.columns and not trust_input_bucketing:
         input_df = input_df.drop(SALT_COL)
@@ -138,8 +156,16 @@ def run_job(
     # is partitioned by SALT_COL, so the NOT-IN on committed buckets is a
     # PartitionFilter — previously committed bucket directories are never
     # read here, only the freshly written ones.
-    out = spark.read.parquet(output_path)
-    stats = (
+    from pyspark.errors import AnalysisException
+
+    try:
+        out = spark.read.parquet(output_path)
+    except AnalysisException:
+        # zero-row first run: only _SUCCESS on disk, no parquet
+        # footers to infer a schema from — an empty result, not an
+        # error; commit nothing and report zero processed buckets
+        out = None
+    stats = [] if out is None else (
         out.where(~F.col(SALT_COL).isin(sorted(done)) if done else F.lit(True))
         .groupBy(SALT_COL)
         .agg(
@@ -258,17 +284,27 @@ def run_incremental_job(
     # a compaction closes the open segment and becomes the next
     # segment's from-anchor (it adds no rows itself, so it is skipped)
     segments: list[list] = []  # [from_id_or_None, to_snap]
-    seg_from: str | None = cursor
-    open_seg: list | None = None
-    for s in window:
-        if "compaction_of" in s:
-            open_seg = None
-            seg_from = s["snapshot_id"]
-        elif open_seg is None:
-            open_seg = [seg_from, s]
-            segments.append(open_seg)
-        else:
-            open_seg[1] = s
+    if cursor is None:
+        # no cursor = first consumption: ONE full merge-on-read scan
+        # of the current snapshot is the correct (and minimal) plan.
+        # Walking the window segment-wise here was a silent-data-loss
+        # trap: a LEADING compaction (the shape expire+compact leaves)
+        # became the from-anchor, so the rewritten pre-compaction rows
+        # were never extracted — and a compaction-only window produced
+        # zero segments while still advancing the cursor.
+        segments = [[None, cur]]
+    else:
+        seg_from: str | None = cursor
+        open_seg: list | None = None
+        for s in window:
+            if "compaction_of" in s:
+                open_seg = None
+                seg_from = s["snapshot_id"]
+            elif open_seg is None:
+                open_seg = [seg_from, s]
+                segments.append(open_seg)
+            else:
+                open_seg[1] = s
 
     sink = batch_keyed_parquet_sink(output_path, SALT_COL)
     done_segments = []
@@ -277,8 +313,7 @@ def run_incremental_job(
         # snapshots adds no data files — nothing to extract (its
         # retraction is the tombstone pass below), skip the Spark job
         seg_from_seq = by_id[frm]["sequence"] if frm is not None else 0
-        seg_data, _ = table._entries(to)
-        if not any(e["seq"] > seg_from_seq for e in seg_data):
+        if not table.has_data_after(to, seg_from_seq):
             continue
         delta = (
             table.read_incremental(spark, frm, to["snapshot_id"])

@@ -106,6 +106,15 @@ class DocTable:
             os.remove(tmp)
             return False
         os.rename(tmp, final)  # atomic publish
+        # same-inode corner: if a contender already rolled this claim
+        # forward (os.link(claim, final)), rename() over two hard
+        # links to ONE inode is a successful no-op and tmp survives —
+        # drop the stale directory entry so metadata/ stays clean
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         return True
 
     def _reclaim_orphan_claim(self, sequence: int, claim: str) -> None:
@@ -209,6 +218,14 @@ class DocTable:
             ]
         return data, snap.get("delete_entries", [])
 
+    def has_data_after(self, snap: dict, seq: int) -> bool:
+        """True iff ``snap``'s manifest carries any DATA file entry
+        with sequence > ``seq`` — the metadata-only emptiness probe
+        incremental consumers use to skip no-op segments (public API;
+        callers must not reach into ``_entries``)."""
+        data, _dels = self._entries(snap)
+        return any(e["seq"] > seq for e in data)
+
     def _seal_manifest(
         self,
         parent: dict | None,
@@ -216,9 +233,20 @@ class DocTable:
         delete_entries: list[dict],
         extra: dict | None = None,
     ) -> dict:
+        seq = (parent["sequence"] + 1) if parent else 1
+        # the build closures stamp NEW entries with this same derived
+        # sequence; a drift between the two derivations would corrupt
+        # merge-on-read delete scoping (d['seq'] > e['seq']) silently —
+        # assert the invariant instead of trusting the duplication
+        for e in file_entries + delete_entries:
+            if e["seq"] > seq:
+                raise AssertionError(
+                    f"entry seq {e['seq']} ahead of manifest sequence "
+                    f"{seq} — caller derived a different sequence"
+                )
         snap = {
             "snapshot_id": f"snap-{uuid.uuid4().hex[:12]}",
-            "sequence": (parent["sequence"] + 1) if parent else 1,
+            "sequence": seq,
             "parent": parent["snapshot_id"] if parent else None,
             # `files` stays the flat path list (expiry/orphan logic and
             # legacy readers key off it); entries carry the sequences

@@ -320,3 +320,94 @@ def test_incremental_job_retracts_deletes_as_tombstones(spark, tmp_path):
     # current -> skipped, tombstones untouched
     assert run_incremental_job(spark, tbl, out, cursor, salt_buckets=8,
                                num_partitions=2)["skipped"]
+
+
+def test_incremental_first_consumption_after_compaction(spark, tmp_path):
+    """Silent-data-loss regression (r4 review): a FRESH consumer (no
+    cursor) whose window STARTS with a compaction — the post-
+    maintenance shape expire+compact leaves — must extract the full
+    table, not anchor on the compaction and drop everything it
+    rewrote.  Also the compaction-only-window case."""
+    from accountant_pdf_extract_spark.plans.job import run_incremental_job
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+    from accountant_pdf_extract_spark.sources.catalog import DocTable
+
+    def docs(*ids):
+        return spark.createDataFrame(
+            [(d, [{"kind": "text", "text": f"ledger {d}", "media_ref": "",
+                   "offset": 0}]) for d in ids],
+            INPUT_SCHEMA,
+        )
+
+    tbl = DocTable(str(tmp_path / "tbl"))
+    tbl.append(docs("d1", "d2"))
+    tbl.compact(spark, target_files=1)
+    tbl.expire_snapshots(keep_last=1)   # history = [compaction] only
+    out = str(tmp_path / "out")
+    r = run_incremental_job(
+        spark, tbl, out, str(tmp_path / "c.json"),
+        salt_buckets=8, num_partitions=2,
+    )
+    assert len(r["segments"]) == 1
+    got = {row["doc_id"] for row in spark.read.parquet(out).collect()}
+    assert got == {"d1", "d2"}
+
+    # compaction FIRST then an append: fresh consumer still gets all
+    tbl2 = DocTable(str(tmp_path / "tbl2"))
+    tbl2.append(docs("a1"))
+    tbl2.compact(spark, target_files=1)
+    tbl2.expire_snapshots(keep_last=1)
+    tbl2.append(docs("a2"))
+    out2 = str(tmp_path / "out2")
+    r2 = run_incremental_job(
+        spark, tbl2, out2, str(tmp_path / "c2.json"),
+        salt_buckets=8, num_partitions=2,
+    )
+    assert len(r2["segments"]) == 1
+    got2 = {row["doc_id"] for row in spark.read.parquet(out2).collect()}
+    assert got2 == {"a1", "a2"}
+
+
+def test_run_job_refuses_salt_bucket_modulus_change(spark, tmp_path):
+    """Resuming a commit log written under a different salt_buckets
+    must raise, not silently skip colliding bucket ids."""
+    import pytest
+
+    from accountant_pdf_extract_spark.plans.job import run_job
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+
+    inp = spark.createDataFrame(
+        [(f"d{i}", [{"kind": "text", "text": f"ledger {i}",
+                     "media_ref": "", "offset": 0}]) for i in range(20)],
+        INPUT_SCHEMA,
+    )
+    out = str(tmp_path / "out")
+    log = str(tmp_path / "log")
+    r1 = run_job(spark, inp, out, log, salt_buckets=16, num_partitions=2)
+    assert r1["snapshot_id"] is not None
+    with pytest.raises(ValueError, match="salt_buckets"):
+        run_job(spark, inp, out, log, salt_buckets=8, num_partitions=2)
+    # same modulus resumes fine (no-op: everything committed)
+    r2 = run_job(spark, inp, out, log, salt_buckets=16, num_partitions=2)
+    assert r2["processed_buckets"] == []
+
+
+def test_run_job_zero_row_output_returns_empty(spark, tmp_path):
+    """A first run whose extraction yields ZERO rows (every span
+    invalid) must return an empty result, not crash on the
+    unreadable empty output dir."""
+    from accountant_pdf_extract_spark.plans.job import run_job
+    from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
+
+    inp = spark.createDataFrame(
+        [("d1", [{"kind": "bogus", "text": "x", "media_ref": "",
+                  "offset": 0}]),
+         ("d2", [{"kind": "text", "text": "   ", "media_ref": "",
+                  "offset": 0}])],
+        INPUT_SCHEMA,
+    )
+    r = run_job(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "log"),
+        salt_buckets=8, num_partitions=2,
+    )
+    assert r["processed_buckets"] == [] and r["snapshot_id"] is None

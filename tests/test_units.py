@@ -1231,3 +1231,30 @@ def test_inline_image_segment_skipped():
     assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
         ("text", "before", ""), ("text", "after", ""),
     ]
+
+
+def test_incremental_update_last_object_wins():
+    """Real-world incremental updates append a NEW generation of an
+    object after the first %%EOF; the later definition must win (both
+    scanners take the last occurrence), so edited PDFs read with their
+    edits applied."""
+    from tests.oracle import pdf_spans
+
+    content_v1 = "BT /F1 10 Tf 72 700 Td (original) Tj ET\n"
+    content_v2 = "BT /F1 10 Tf 72 700 Td (edited) Tj ET\n"
+    base = (
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        f"3 0 obj\n<< /Length {len(content_v1)} >>\nstream\n{content_v1}endstream\nendobj\n"
+        "4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 3 0 R >>\nendobj\n%%EOF\n"
+    )
+    update = (
+        f"3 0 obj\n<< /Length {len(content_v2)} >>\nstream\n{content_v2}endstream\nendobj\n"
+        "%%EOF\n"
+    )
+    for pdf, want in ((base, "original"), (base + update, "edited")):
+        eng, _ = extract_doc([("pdf", pdf, "", 0)])
+        assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
+            ("text", want, "")
+        ]

@@ -25,8 +25,11 @@ def ntz_epoch_seconds(c):
     wall time in the session zone — wrong under a non-UTC driver, and
     DST transitions would corrupt gap arithmetic).  Matches DuckDB's
     floor(epoch(ts)) on naive timestamps."""
+    # unix_date returns INT32 — the *86400 must happen in 64-bit or
+    # any ts on/after 2038-01-19 overflows (ARITHMETIC_OVERFLOW crash
+    # under Spark 4's default ansi=true; silent wrap under ansi=false)
     return (
-        F.unix_date(F.to_date(c)) * 86400
+        F.unix_date(F.to_date(c)).cast("long") * 86400
         + F.hour(c) * 3600
         + F.minute(c) * 60
         + F.second(c)
@@ -94,11 +97,11 @@ def grouped_stats(events: DataFrame) -> DataFrame:
         )
 
         # NULL values: count(*) counts the row, the quantiles skip it
-        # (DuckDB quantile_cont semantics).  The NaN must be dropped
-        # BEFORE the int cast — np.floor(NaN).astype('int64') silently
-        # emits INT64_MIN and drags the quantiles to garbage.
+        # (DuckDB quantile_cont semantics).  NaN AND ±inf must be
+        # dropped BEFORE the int cast — floor(NaN/±inf).astype('int64')
+        # silently emits INT64_MIN and drags the quantiles to garbage.
         v = pdf["value"].to_numpy()
-        v = v[~np.isnan(v)]
+        v = v[np.isfinite(v)]
         cents = pd.Series(half_up_cents_np(v).astype("int64"))
 
         def q(p):

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from accountant_pdf_extract_spark.plans.driver_queries import cents
+
 
 def streaming_sessionize(
     events_stream: DataFrame,
@@ -36,9 +38,16 @@ def streaming_sessionize(
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
-                "value_cents"
-            ),
+            # cents() is THE single-sourced money conversion; non-finite
+            # values become NULL first (sum skips them) — round(inf/NaN)
+            # .cast(long) would throw under ansi=true and kill the query
+            F.sum(cents(
+                F.when(
+                    F.isnan(F.col(value_col))
+                    | (F.abs(F.col(value_col)) == float("inf")),
+                    F.lit(None),
+                ).otherwise(F.col(value_col))
+            )).alias("value_cents"),
         )
         .select(
             user_col,

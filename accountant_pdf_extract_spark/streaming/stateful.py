@@ -53,7 +53,10 @@ def running_user_counts(
         for pdf in pdfs:
             n += len(pdf)
             v = pdf["value"].to_numpy()
-            cents += int(half_up_cents_np(v[~np.isnan(v)]).sum())
+            # finite-only: one ±inf would make int(inf) raise inside
+            # the state callback and permanently wedge the stream
+            # (every checkpoint replay hits the same row)
+            cents += int(half_up_cents_np(v[np.isfinite(v)]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "total_cents": [cents]}

@@ -47,7 +47,10 @@ def test_bench_one_json_line():
         clean = payload["clean_runs"][name]
         assert len(clean) >= 2
         assert all(v in rs for v in clean)
-        assert abs(statistics.median(clean) - med) < 1e-9
+        # bench.py rounds medians to 3dp; with an EVEN clean-run
+        # count (a pass was steal-excluded) the median averages two
+        # runs, so allow the rounding half-step
+        assert abs(statistics.median(clean) - med) <= 5.01e-4
     assert isinstance(payload["polluted_passes"], list)
     assert isinstance(payload["noisy"], list)
 

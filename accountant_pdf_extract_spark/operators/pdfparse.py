@@ -436,6 +436,8 @@ def _parse_content(
 
     size = 10.0
     tm_scale = 1.0  # |a| of the last Tm — horizontal text scale
+    tz = 1.0  # Tz horizontal scaling (percent/100); TEXT STATE — it
+    # persists across BT/ET like Tf size, unlike the per-object Tm
     leading = 12.0
     line_x = 0.0  # text line origin
     x = 0.0
@@ -479,7 +481,7 @@ def _parse_content(
             # effective glyph size = Tf size x |Tm a| (real PDFs often
             # set Tf 1 and scale via the text matrix); rotated/skewed
             # matrices keep position-only semantics (FIXTURES.md §1.1)
-            eff = size * tm_scale
+            eff = size * tm_scale * tz
             runs.append(Run(x=x, y=y, size=eff, text=txt))
             x += spec.CHAR_W_FACTOR * eff * len(txt)
 
@@ -524,6 +526,9 @@ def _parse_content(
             elif op == "TL":
                 if nums:
                     leading = nums[-1]
+            elif op == "Tz":
+                if nums:
+                    tz = abs(nums[-1]) / 100.0
             elif op == "Tm":
                 if len(nums) >= 6:
                     tm_scale = abs(nums[-6])

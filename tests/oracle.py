@@ -311,6 +311,7 @@ class _TextState:
     def __init__(self) -> None:
         self.size = 10.0
         self.scale = 1.0  # |a| of the last Tm
+        self.tz = 1.0     # Tz percent/100 — persists across BT
         self.leading = 12.0
         self.lx = 0.0
         self.x = 0.0
@@ -363,7 +364,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
         elif cur_font:
             txt = "".join(cur_font.get(ord(c), c) for c in txt)
         if txt:
-            eff = st.size * st.scale
+            eff = st.size * st.scale * st.tz
             runs.append((st.x, st.y, eff, txt))
             st.x = st.x + spec.CHAR_W_FACTOR * eff * len(txt)
 
@@ -407,6 +408,8 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
                 cur_cid, cur_font = fonts.get(names_l[-1], (False, None))
         elif op == "TL" and nums:
             st.leading = nums[-1]
+        elif op == "Tz" and nums:
+            st.tz = abs(nums[-1]) / 100.0
         elif op == "Td" and len(nums) >= 2:
             st.lx += nums[-2]
             st.y += nums[-1]

@@ -1258,3 +1258,28 @@ def test_incremental_update_last_object_wins():
         assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
             ("text", want, "")
         ]
+
+
+def test_tz_horizontal_scaling_persists_across_bt():
+    """Tz (horizontal scaling percent) scales the effective glyph
+    size for widths/gaps and — being TEXT STATE — persists across
+    BT/ET until changed, unlike the per-object Tm scale."""
+    from tests.oracle import pdf_spans
+
+    content = (
+        "BT /F1 10 Tf 50 Tz 72 700 Td (cond) Tj ET\n"   # eff 5: ends x=82
+        "BT /F1 10 Tf 82 700 Td (next) Tj ET\n"         # Tz persists
+        "BT /F1 10 Tf 100 Tz 72 680 Td (ab) Tj ET\n"    # reset: eff 10
+        "BT /F1 10 Tf 90 680 Td (cd) Tj ET\n"           # gap 8 -> space
+    )
+    pdf = (
+        "%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\nendobj\n"
+        f"3 0 obj\n<< /Length {len(content)} >>\nstream\n{content}endstream\nendobj\n"
+        "4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 3 0 R >>\nendobj\n%%EOF\n"
+    )
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
+        ("text", "condnext", ""), ("text", "ab cd", ""),
+    ]

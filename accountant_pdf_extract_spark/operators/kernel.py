@@ -80,18 +80,36 @@ def _yield_with_doc_isolation(cols, types, schema, bounds, on_drop):
             last_exc = exc
             _report_drop(on_drop, doc_id, exc)
             continue
-        survived += 1
+        if hi > lo:
+            # zero-span docs must not count as survivors: an EMPTY
+            # segment always builds regardless of value-level drift,
+            # so it carries no evidence against a systemic failure
+            survived += 1
         yield batch
     # threshold 8: an all-fail across >=8 independent docs is
     # vanishingly unlikely to be coincident bad payloads; below it a
     # tail batch of genuinely-bad docs keeps plain per-doc drop
     # semantics (other, larger batches would still raise)
-    if len(bounds) >= 8 and survived == 0:
+    nonempty = sum(1 for _d, lo, hi in bounds if hi > lo)
+    if nonempty >= 8 and survived == 0:
         raise RuntimeError(
-            f"Arrow build failed for ALL {len(bounds)} docs in the "
-            "batch — systemic failure (schema/pyarrow drift?), not a "
-            "bad document; refusing to silently drop the batch"
+            f"Arrow build failed for ALL {nonempty} non-empty docs in "
+            "the batch — systemic failure (schema/pyarrow drift?), not "
+            "a bad document; refusing to silently drop the batch"
         ) from last_exc
+
+
+def _refuse_all_fail_batch(failures: list[Exception], n_docs: int) -> None:
+    """Same systemic fail-fast as the Arrow-build guard, one stage
+    earlier: if extract_doc itself raised for EVERY doc of a >=8-doc
+    batch, that is a deploy-level regression (doccore/fields drift),
+    not coincident bad payloads — a 10^12-doc job must not complete
+    green with zero output on the strength of per-doc isolation."""
+    if n_docs >= 8 and len(failures) == n_docs:
+        raise RuntimeError(
+            f"extract_doc raised for ALL {n_docs} docs in the batch — "
+            "systemic failure, refusing to silently drop the batch"
+        ) from failures[-1]
 
 
 def _report_drop(on_drop, doc_id, exc) -> None:
@@ -121,6 +139,7 @@ def extract_batches(
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
         col_total, col_amounts, col_codes = [], [], []
         bounds: list[tuple[str, int, int]] = []  # per-doc row spans
+        doc_failures: list[Exception] = []
 
         for i, doc_id in enumerate(doc_ids):
             lo, hi = list_offsets[i], list_offsets[i + 1]
@@ -135,6 +154,7 @@ def extract_batches(
                 # doc yields zero spans and the skew shows up in the
                 # commit-log n_docs-vs-output delta.
                 _report_drop(on_drop, doc_id, exc)
+                doc_failures.append(exc)
                 continue
             bounds.append((doc_id, len(col_doc), len(col_doc) + len(out)))
             for kind, text, ref, order in out:
@@ -163,6 +183,7 @@ def extract_batches(
                     col_amounts.append(None)
                     col_codes.append(None)
 
+        _refuse_all_fail_batch(doc_failures, len(doc_ids))
         yield from _yield_with_doc_isolation(
             [
                 col_doc, col_kind, col_text, col_ref, col_order,
@@ -196,6 +217,7 @@ def extract_fields_batches(
         col_inv, col_idate, col_ddate, col_ccy = [], [], [], []
         col_total, col_amounts, col_codes = [], [], []
         bounds: list[tuple[str, int, int]] = []
+        doc_failures: list[Exception] = []
         for i, doc_id in enumerate(doc_ids):
             lo, hi = list_offsets[i], list_offsets[i + 1]
             try:
@@ -206,6 +228,7 @@ def extract_fields_batches(
                 )
             except Exception as exc:  # noqa: BLE001 — per-doc fault isolation
                 _report_drop(on_drop, doc_id, exc)
+                doc_failures.append(exc)
                 continue
             bounds.append((doc_id, len(col_doc), len(col_doc) + 1))
             col_doc.append(doc_id)
@@ -217,6 +240,7 @@ def extract_fields_batches(
             col_amounts.append(fields["amounts"])
             col_codes.append(fields["account_codes"])
 
+        _refuse_all_fail_batch(doc_failures, len(doc_ids))
         yield from _yield_with_doc_isolation(
             [
                 col_doc, col_inv, col_idate, col_ddate, col_ccy,

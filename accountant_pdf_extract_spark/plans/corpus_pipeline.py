@@ -44,9 +44,18 @@ def curate(
     salt_buckets: int = 1024,
     num_partitions: int | None = None,
     min_quality: float = 0.3,
+    drop_acc=None,
 ) -> DataFrame:
-    """Interleaved docs → deduped, quality-filtered corpus table."""
-    flat = extract(docs, salt_buckets=salt_buckets, num_partitions=num_partitions)
+    """Interleaved docs → deduped, quality-filtered corpus table.
+
+    ``drop_acc`` threads the dropped-doc accumulator through extract()
+    (derived DataFrames do not inherit the attribute); the returned
+    frame re-exposes it as ``dropped_docs_acc`` so curate() callers
+    keep a driver-readable drop metric."""
+    flat = extract(
+        docs, salt_buckets=salt_buckets, num_partitions=num_partitions,
+        drop_acc=drop_acc,
+    )
     texts = doc_text(flat)
 
     # keep-min-doc_id per content hash as a map-side-combinable AGG —
@@ -66,6 +75,8 @@ def curate(
     )
 
     scored = textstats.quality_features(deduped)
-    return scored.where(F.col("quality_score") >= min_quality).select(
+    out = scored.where(F.col("quality_score") >= min_quality).select(
         "doc_id", "text", "n_tokens", "quality_score"
     )
+    out.dropped_docs_acc = flat.dropped_docs_acc
+    return out

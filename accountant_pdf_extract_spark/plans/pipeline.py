@@ -67,6 +67,20 @@ def _with_drop_metric(spark, kernel_fn, acc=None):
     return run, dropped
 
 
+def _run_kernel(df, kernel_fn, out_schema, salt_buckets, num_partitions,
+                drop_acc):
+    """The shared assert → salt → repartition → Arrow-kernel pipeline
+    (single-sourced so the clamp/accumulator wiring can never fork
+    between the span and fields paths)."""
+    assert_input_schema(df.select("doc_id", "spans"))
+    spark = df.sparkSession
+    np = _effective_partitions(spark, num_partitions, salt_buckets)
+    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
+    run, dropped = _with_drop_metric(spark, kernel_fn, acc=drop_acc)
+    out = salted.select("doc_id", "spans").mapInArrow(run, schema=out_schema)
+    return out, dropped
+
+
 def extract(
     df: DataFrame,
     salt_buckets: int = 1024,
@@ -80,14 +94,15 @@ def extract(
     invoice_id, invoice_date, due_date, currency, total, amounts,
     account_codes).  ``drop_acc``: optional shared accumulator for the
     dropped-doc metric (streaming callers pass one per stream).
+
+    The returned DataFrame carries ``dropped_docs_acc`` as a plain
+    attribute — DERIVED DataFrames do not inherit it, so callers that
+    transform the result must keep their own reference (or pass
+    ``drop_acc``) to read the metric.
     """
-    assert_input_schema(df.select("doc_id", "spans"))
-    spark = df.sparkSession
-    np = _effective_partitions(spark, num_partitions, salt_buckets)
-    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-    run, dropped = _with_drop_metric(spark, extract_batches, acc=drop_acc)
-    out = salted.select("doc_id", "spans").mapInArrow(
-        run, schema=FLAT_FIELDS_SCHEMA
+    out, dropped = _run_kernel(
+        df, extract_batches, FLAT_FIELDS_SCHEMA, salt_buckets,
+        num_partitions, drop_acc,
     )
     if keep_salt:
         # same formula via salt() — the bucketing expression must never
@@ -142,13 +157,11 @@ def extract_fields_table(
     )
     from accountant_pdf_extract_spark.schema import DOC_FIELDS_SCHEMA
 
-    assert_input_schema(df.select("doc_id", "spans"))
-    spark = df.sparkSession
-    np = _effective_partitions(spark, num_partitions, salt_buckets)
-    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
-    run, dropped = _with_drop_metric(spark, extract_fields_batches, acc=drop_acc)
-    out = salted.select("doc_id", "spans").mapInArrow(
-        run, schema=DOC_FIELDS_SCHEMA
+    # no keep_salt: this is a per-document side table, not the
+    # bucket-partitioned sink path — nothing downstream keys on it
+    out, dropped = _run_kernel(
+        df, extract_fields_batches, DOC_FIELDS_SCHEMA, salt_buckets,
+        num_partitions, drop_acc,
     )
     out.dropped_docs_acc = dropped
     return out

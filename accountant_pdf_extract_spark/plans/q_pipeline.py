@@ -40,7 +40,9 @@ def q_extract_fields(spark, sf):
         "invoice_date",
         "due_date",
         "currency",
-        "total",
+        # CLAUDE.md: never emit DECIMAL output columns — integer cents
+        # (decimal*100 is exact, no rounding mode in play)
+        (F.col("total") * 100).cast("long").alias("total_cents"),
         F.array_join(
             F.transform("amounts", lambda a: a.cast("string")), ","
         ).alias("amounts_csv"),

@@ -127,8 +127,14 @@ COMMIT_LOG_SCHEMA = StructType(
 
 
 def assert_input_schema(df: DataFrame) -> DataFrame:
-    """Fail fast (before any shuffle) if the input shape is wrong."""
-    if df.schema != INPUT_SCHEMA:
+    """Fail fast (before any shuffle) if the input shape is wrong.
+
+    Compared by ``simpleString`` — names and types at every nesting
+    level, IGNORING nullability/metadata: a source with non-nullable
+    columns (Iceberg required fields, post-fillna plans) is strictly
+    safer than the pinned contract and must not be rejected
+    (StructType equality compares nullable flags too)."""
+    if df.schema.simpleString() != INPUT_SCHEMA.simpleString():
         raise ValueError(
             f"input schema mismatch:\n got      {df.schema.simpleString()}\n"
             f" expected {INPUT_SCHEMA.simpleString()}"

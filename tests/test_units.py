@@ -1283,3 +1283,74 @@ def test_tz_horizontal_scaling_persists_across_bt():
     assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf) == [
         ("text", "condnext", ""), ("text", "ab cd", ""),
     ]
+
+
+def test_kernel_systemic_all_fail_guards():
+    """Two systemic fail-fast guards (r4 review): (a) extract_doc
+    raising for EVERY doc of a >=8-doc batch must raise, not
+    'succeed' with zero output; (b) a zero-span doc in the batch must
+    NOT defeat the all-Arrow-build-fail guard (empty segments always
+    build, so they carry no evidence)."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pytest
+
+    from accountant_pdf_extract_spark.operators import kernel
+    from accountant_pdf_extract_spark.sources.synth import ARROW_INPUT
+
+    def mk_batch(texts):
+        return pa.RecordBatch.from_pydict(
+            {
+                "doc_id": [f"d{i}" for i in range(len(texts))],
+                "spans": [
+                    [{"kind": "text", "text": t, "media_ref": "",
+                      "offset": 0}]
+                    for t in texts
+                ],
+            },
+            schema=ARROW_INPUT,
+        )
+
+    # (a) all-extract_doc-fail on a >=8-doc batch raises
+    def always_raise(spans):
+        raise RuntimeError("deploy-level drift")
+
+    orig = kernel.extract_doc
+    kernel.extract_doc = always_raise
+    try:
+        with pytest.raises(RuntimeError, match="ALL 8"):
+            list(kernel.extract_batches(
+                iter([mk_batch([f"t{i}" for i in range(8)])]),
+                on_drop=lambda d, e: None,
+            ))
+        # below the threshold: per-doc drop semantics, empty output
+        out = list(kernel.extract_batches(
+            iter([mk_batch(["a", "b"])]), on_drop=lambda d, e: None,
+        ))
+        assert sum(b.num_rows for b in out) == 0
+    finally:
+        kernel.extract_doc = orig
+
+    # (b) 8 bad-build docs + 1 zero-span doc: the build guard must
+    # still fire (the empty segment is not a survivor)
+    def bad_fields(spans):
+        txt = spans[0][1]
+        fields = {
+            "invoice_id": None, "invoice_date": None, "due_date": None,
+            "currency": None,
+            "total": Decimal(10) ** 20,  # overflows decimal128(18,2)
+            "amounts": None, "account_codes": None,
+        }
+        out = [] if txt == "empty" else [("text", txt, "", 0)]
+        return out, fields
+
+    kernel.extract_doc = bad_fields
+    try:
+        with pytest.raises(RuntimeError, match="non-empty docs"):
+            list(kernel.extract_batches(
+                iter([mk_batch([f"t{i}" for i in range(8)] + ["empty"])]),
+                on_drop=lambda d, e: None,
+            ))
+    finally:
+        kernel.extract_doc = orig

@@ -27,8 +27,9 @@ _DATE_ISO = re.compile(rules.DATE_ISO)
 _DATE_DOTTED = re.compile(rules.DATE_DOTTED)
 _DATE_SLASH = re.compile(rules.DATE_SLASH)
 _DATE_MONTH = re.compile(rules.DATE_MONTHNAME)
-_MONTH_NUM = {m: i + 1 for i, m in enumerate(rules.MONTHS)}
-_MONTH_NUM.update({m[:3]: i + 1 for i, m in enumerate(rules.MONTHS)})
+# lookups truncate to 3 chars, so 3-letter prefixes are the only
+# operative keys (full-name entries were dead weight)
+_MONTH_NUM = {m[:3]: i + 1 for i, m in enumerate(rules.MONTHS)}
 
 _CENT = Decimal("0.01")
 _HAS_DIGIT = re.compile(r"\d")
@@ -140,9 +141,18 @@ def extract_fields(lines: list[str]) -> dict:
                 due_date = after[0] if after else line_dates[0][1]
         line_amounts = amounts_in(line)
         all_amounts.extend((c, v) for _, c, v in line_amounts)
-        if line_amounts and _TOTAL.search(line):
-            total = line_amounts[0][2]  # last anchored line wins
-            total_ccy = line_amounts[0][1]
+        tm_ = _TOTAL.search(line)
+        if line_amounts and tm_:
+            # last anchored LINE wins; within the line, the first
+            # amount AFTER the anchor (a side-by-side totals box
+            # tab-joined as 'Subtotal: $90\tTotal: $100' must yield
+            # 100, not the positionally-first 90), falling back to
+            # the line's first amount when none follows the anchor
+            after = [(c, v) for p_, c, v in line_amounts
+                     if p_ > tm_.start()]
+            _ccy, _val = after[0] if after else (
+                line_amounts[0][1], line_amounts[0][2])
+            total, total_ccy = _val, _ccy
         if _ACCOUNT.search(line):
             for cm in _ACCOUNT_CODE.finditer(line):
                 if cm.group(1) not in seen_codes:

@@ -71,7 +71,11 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
             gap = cur.x - pex
             crossed = any(
                 pex <= v.x <= cur.x
-                and v.y <= y <= v.y + v.length + spec.LINE_Y_TOL
+                # LINE_Y_TOL slack at BOTH rule ends — a cell ruling
+                # starting fractionally above the baseline must still
+                # split the cells (bare v.y <= y was asymmetric:
+                # slack at the top end only)
+                and v.y - spec.LINE_Y_TOL <= y <= v.y + v.length + spec.LINE_Y_TOL
                 for v in vrules
             )
             if crossed or gap > spec.TAB_GAP_PTS:

@@ -496,7 +496,10 @@ def _lines_of(runs, vrules):
             gap = cur[0] - _end_x(prev)
             has_vrule = False
             for vx, vy, vlen in vrules:
-                if _end_x(prev) <= vx <= cur[0] and vy <= line_y <= vy + vlen + spec.LINE_Y_TOL:
+                if (
+                    _end_x(prev) <= vx <= cur[0]
+                    and vy - spec.LINE_Y_TOL <= line_y <= vy + vlen + spec.LINE_Y_TOL
+                ):
                     has_vrule = True
                     break
             if has_vrule or gap > spec.TAB_GAP_PTS:
@@ -797,9 +800,13 @@ def doc_fields(text_lines: list[str]) -> dict:
                 due = later[0] if later else ds[0][1]
         ams = _line_amounts(line)
         amounts += [(c, v) for _p, c, v in ams]
-        if ams and re.search(rules.TOTAL_ANCHOR, line):
-            total = ams[0][2]
-            total_ccy = ams[0][1]
+        tmm = re.search(rules.TOTAL_ANCHOR, line)
+        if ams and tmm:
+            later_a = [(c, v) for p, c, v in ams if p > tmm.start()]
+            if later_a:
+                total_ccy, total = later_a[0]
+            else:
+                total, total_ccy = ams[0][2], ams[0][1]
         if re.search(rules.ACCOUNT_ANCHOR, line):
             for cm in re.finditer(rules.ACCOUNT_CODE, line):
                 if cm.group(1) not in codes:

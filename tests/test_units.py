@@ -1354,3 +1354,26 @@ def test_kernel_systemic_all_fail_guards():
             ))
     finally:
         kernel.extract_doc = orig
+
+
+def test_total_prefers_amount_after_anchor():
+    """A side-by-side totals box tab-joined into one line must yield
+    the amount AFTER the Total anchor, not the positionally-first
+    Subtotal (r4 both-wrong fix; oracle mirrors)."""
+    f = extract_fields(["Subtotal: $90.00\tTotal: $100.00"])
+    assert f["total"] == Decimal("100.00")
+    # no amount after the anchor: fall back to the line's first
+    f2 = extract_fields(["$55.00 due in total"])
+    assert f2["total"] == Decimal("55.00")
+
+
+def test_vrule_tolerance_symmetric():
+    """A cell ruling whose BOTTOM sits within LINE_Y_TOL above the
+    baseline must still split the cells (the old test only had slack
+    at the rule's top end)."""
+    pg = PageBuilder()
+    pg.text(72, 100, "A")
+    pg.text(90, 100, "B")   # gap 13 -> space unless a vrule crosses
+    pg.vrule(85, 101, 9)    # rule spans y=101..110, baseline y=100
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [t for _, t, _, _ in out] == ["A\tB"]

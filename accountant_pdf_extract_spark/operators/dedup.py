@@ -19,8 +19,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# THE content-normalization identity, in both Column and SQL-string
+# form (generated from one template so the shingle/simhash SQL paths
+# can never fork from the Column path)
+_NORM_SQL_TMPL = "regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
+
+
 def norm_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def norm_text_sql(text_col: str) -> str:
+    """The SQL-string twin of ``norm_text`` for expr-built pipelines
+    (shingles, simhash token split)."""
+    return _NORM_SQL_TMPL.format(col=text_col)
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -93,7 +105,7 @@ def _shingles_sql(text_col: str, k: int) -> str:
     """SQL expr: array of all full k-char shingles of the normalized
     text (empty array when the text is shorter than k — same contract
     as ShingleUDTF and the DuckDB oracle's range(1, len-k+2))."""
-    n = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    n = norm_text_sql(text_col)
     return (
         f"CASE WHEN length({n}) >= {k} THEN "
         f"transform(sequence(1, length({n}) - {k - 1}), i -> substring({n}, i, {k})) "

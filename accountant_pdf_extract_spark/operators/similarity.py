@@ -89,6 +89,39 @@ def brute_force_topk_df(
     )
 
 
+def _finite_matrix(pdf, vec_col: str, dim: int | None):
+    """(keep_mask, stacked float32 matrix) for one Arrow batch:
+    NULL embeddings and ragged lengths are DROPPED (the documented
+    semantics of the Catalyst twins, which explode NULL to zero rows)
+    instead of crashing np.stack in the executor."""
+    vals = pdf[vec_col].to_list()
+    keep = [
+        v is not None and (dim is None or len(v) == dim) for v in vals
+    ]
+    if dim is None:
+        lens = {len(v) for v, k in zip(vals, keep) if k}
+        if len(lens) > 1:
+            # deterministic tie-break: larger count wins, then larger
+            # dim (a pure max-by-count over a set is iteration-order
+            # dependent on ties).  Per-batch majority — ragged rows
+            # are rare corruption; pass explicit planes/dim for
+            # strict cross-partition control.
+            majority = max(
+                lens,
+                key=lambda L: (
+                    sum(1 for v, k in zip(vals, keep) if k and len(v) == L),
+                    L,
+                ),
+            )
+            keep = [k and len(v) == majority for v, k in zip(vals, keep)]
+    if not any(keep):
+        return keep, None
+    mat = np.stack(
+        [v for v, k in zip(vals, keep) if k]
+    ).astype(np.float32)
+    return keep, mat
+
+
 def brute_force_topk_pandas(
     df: DataFrame,
     queries: np.ndarray,
@@ -123,8 +156,10 @@ def brute_force_topk_pandas(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            keep, mat = _finite_matrix(pdf, vec_col, qm.shape[1])
+            if mat is None:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep]
             if metric == "cosine":
                 mat = mat / np.maximum(
                     np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
@@ -225,12 +260,16 @@ def hyperplane_signature(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            keep, mat = _finite_matrix(
+                pdf, vec_col, None if pl is None else pl.shape[1]
+            )
+            if mat is None:
+                continue
             if pl is None:
                 s, nb = bc.value
                 pl = _derived_planes(s, nb, mat.shape[1])
             bits = (mat @ pl.T) > 0  # |batch| x (n_tables*bits_per)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[keep]
             frames = []
             for t in range(n_tables):
                 chunk = bits[:, t * bits_per : (t + 1) * bits_per]
@@ -341,7 +380,21 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
+    # NULL or ragged embeddings would crash KMeans.fit (MLlib
+    # requires one consistent dimension) — drop them like the Catalyst
+    # twins.  The dominant dim comes from one tiny global count-agg
+    # (deterministic: majority count, ties to the larger dim), cheap
+    # next to the KMeans job itself.
+    nn = df.where(F.col(vec_col).isNotNull())
+    dim_row = (
+        nn.groupBy(F.size(F.col(vec_col)).alias("_d"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("_d"))
+        .first()
+    )
+    if dim_row is None:
+        raise ValueError("ivf_topk: no non-null embeddings to index")
+    feats = nn.where(F.size(F.col(vec_col)) == dim_row["_d"]).select(
         F.col(id_col).alias("cid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("arr"),
     ).withColumn("features", array_to_vector("arr"))

@@ -37,17 +37,27 @@ def token_count(col: Column) -> Column:
 
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish proxy: count word pieces + digit runs + punctuation
-    marks via regex — a deterministic stand-in for a real tokenizer."""
+    marks via regex — a deterministic stand-in for a real tokenizer.
+    NULL text counts 0 (the module's shared NULL contract — bare
+    size(NULL) is NULL under ANSI / -1 legacy)."""
     return F.size(
-        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+        F.regexp_extract_all(
+            F.coalesce(col, F.lit("")),
+            F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0),
+        )
     )
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
+    """Stopword occurrences via the SHARED token identity
+    (``_tokens_arr``): blanks can't be stopwords and lowering matches,
+    so this is hit-identical to the old separate tokenizer — but a
+    future normalization tweak now moves every consumer together, and
+    NULL text counts 0 instead of propagating NULL."""
     words = STOPWORDS[lang]
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(
-        F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t))
+        F.filter(_tokens_arr(col), lambda t: F.array_contains(arr, t))
     )
 
 
@@ -72,12 +82,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = stopword_hits(c, "en")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    avg_tok_len = F.when(n_tok > 0, (n_chars - (n_tok - 1)) / n_tok).otherwise(
-        F.lit(0.0)
-    )
+    # average over the tokens' OWN characters — the old
+    # (n_chars - (n_tok-1))/n_tok assumed exactly one separator char
+    # and no padding ('  hi  ' scored 6.0 instead of 2.0)
+    tok_chars = F.length(F.concat_ws("", _tokens_arr(c)))
+    avg_tok_len = F.when(n_tok > 0, tok_chars / n_tok).otherwise(F.lit(0.0))
     score = (
         F.when((n_tok >= 5) & (n_tok <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        # the low-punctuation reward needs CONTENT to reward — a blank
+        # or NULL doc (punct_ratio defaulted 0.0) must score 0, not 0.3
+        + F.when((n_tok > 0) & (punct_ratio < 0.2), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
     )
     return df.select(
@@ -340,9 +354,17 @@ def bm25_rank(
     )
     scored = (
         stats.crossJoin(F.broadcast(avgdl))
-        .select("doc", (idf * tf_part).alias("s"))
+        # quantize each TERM's score to integer milli BEFORE the sum:
+        # summing doubles across shuffle partitions is merge-order
+        # dependent, so round(sum)*1000 could flip a 0.0005-boundary
+        # tie and reorder the top-k cut between runs (CLAUDE.md:
+        # never aggregate doubles)
+        .select(
+            "doc",
+            F.round((idf * tf_part) * 1000).cast("long").alias("s_milli"),
+        )
         .groupBy("doc")
-        .agg(F.round(F.sum("s") * 1000).cast("long").alias("score_milli"))
+        .agg(F.sum("s_milli").cast("long").alias("score_milli"))
     )
     topk = scored.orderBy(F.desc("score_milli"), F.asc("doc")).limit(k)
     w = Window.orderBy(F.desc("score_milli"), F.asc("doc"))

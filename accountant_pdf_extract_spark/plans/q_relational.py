@@ -453,10 +453,15 @@ def q_hof(spark, sf):
     # Mirror DuckDB list_sum's NULL semantics exactly: NULL elements
     # are SKIPPED (Spark's aggregate would poison the fold to NULL),
     # and a list with no non-NULL elements sums to NULL, not 0.
+    from accountant_pdf_extract_spark.operators.similarity import (
+        quantized_array,
+    )
+
+    # THE single-sourced quantizer (similarity.quantized_array) — an
+    # inline copy here could silently fork from the operators on a
+    # rounding-mode change
     vals = F.filter(
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
-        ),
+        quantized_array(F.col("embedding")),
         lambda v: v.isNotNull(),
     )
     summed = F.aggregate(

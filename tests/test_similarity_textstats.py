@@ -309,16 +309,20 @@ def test_bm25_matches_python_oracle(spark):
     scores = {}
     for doc, v in toks.items():
         tfc = Counter(v)
-        s = 0.0
+        # per-TERM integer-milli quantization before the sum — the
+        # engine's deterministic definition (summing doubles across
+        # shuffle partitions is merge-order dependent)
+        s_milli = 0
         for t in terms:
             if tfc[t] == 0:
                 continue
             idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
-            s += idf * (tfc[t] * (k1 + 1)) / (
+            term = idf * (tfc[t] * (k1 + 1)) / (
                 tfc[t] + k1 * (1 - b + b * len(v) / avgdl)
             )
-        if s > 0:
-            scores[doc] = round(s * 1000)
+            s_milli += round(term * 1000)
+        if s_milli > 0:
+            scores[doc] = s_milli
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     for (gd, gs, _rk), (wd, ws) in zip(got, want):
         assert gd == wd, (got, want)
@@ -652,3 +656,51 @@ def test_token_identity_consistent_and_simhash_blank_drop(spark):
     langs = {r["doc_id"]: r["lang"] for r in df.select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
     assert langs["d2"] == "unk"  # NULL text -> unk (oracle coalesces to 0s)
+
+
+def test_pandas_paths_drop_null_and_ragged_embeddings(spark):
+    """NULL / wrong-length embedding rows must be DROPPED by the
+    mapInPandas paths (matching the Catalyst twins' explode-NULL
+    semantics), not crash np.stack in the executor (r4 review)."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, None),
+            (3, [0.5, 0.5]), (4, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = np.array([[1.0, 0.0, 0.0]])
+    got = similarity.brute_force_topk_pandas(
+        df, q, np.array([0]), k=2
+    ).collect()
+    cids = {r["cid"] for r in got}
+    assert cids <= {1, 4} and 1 in cids  # 2 (null) and 3 (ragged) dropped
+
+    # one partition so the derived-plane dim comes from the full
+    # row set's majority (3-dim); null and the ragged 2-dim row drop
+    sigs = similarity.hyperplane_signature(
+        df.coalesce(1), n_tables=2, seed=7, n_bits=8
+    ).collect()
+    assert {r["vid"] for r in sigs} == {0, 1, 4}
+
+    ivf = similarity.ivf_topk(df, query_max_id=1, k=2, n_cells=2)
+    assert ivf.count() >= 1  # fit survives the NULL row
+
+
+def test_blank_docs_score_zero_quality(spark):
+    """NULL / whitespace-only docs must score 0.0, not collect the
+    low-punctuation reward (r4 review)."""
+    from accountant_pdf_extract_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", "  \n "), ("c", "the quick brown fox is here and")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.quality_features(df).collect()}
+    assert got["a"]["quality_score"] == 0.0
+    assert got["b"]["quality_score"] == 0.0
+    assert got["c"]["quality_score"] > 0.0
+    # padded text: avg token length counts token chars only
+    df2 = spark.createDataFrame([("d", "  hi  ")], "doc_id string, text string")
+    r = textstats.quality_features(df2).collect()[0]
+    assert r["avg_token_len"] == 2.0

@@ -159,7 +159,12 @@ class _BitReader:
 
     def skip(self, n: int) -> None:
         self.pos += n
-        if self.pos > self.n + 7:
+        # strict end: a valid stream's final byte carries its own
+        # 1-bit padding INSIDE the data, so consumption never passes
+        # n — reading further means truncated entropy data (a +7
+        # slack here let truncation inside the last byte decode the
+        # zero slack bytes as data: garbage pixels, not ValueError)
+        if self.pos > self.n:
             raise ValueError("jpeg: entropy data truncated")
 
     def receive(self, n: int) -> int:
@@ -184,10 +189,11 @@ def _read_u16(d: bytes, i: int) -> int:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (h, w, c) uint8 (c = 1 grey, 3 RGB).
 
-    Every malformation raises ``ValueError`` (the media kernels'
-    skip-the-row contract): segment-interior truncations surface as
-    IndexError from bytes indexing, so the structural walk is wrapped
-    here rather than guarding every field read."""
+    Malformations this subset detects raise ``ValueError`` (the media
+    kernels' skip-the-row contract): bad markers, truncated segments/
+    entropy data, unsupported frames.  Segment-interior truncations
+    surface as IndexError from bytes indexing, so the structural walk
+    is wrapped here rather than guarding every field read."""
     try:
         return _decode_structure(data)
     except IndexError as e:
@@ -205,6 +211,11 @@ def _decode_structure(data: bytes) -> np.ndarray:
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them instead of parsing 0xFF as an
+        # unknown segment with a bogus length
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1] if i + 1 < len(data) else 0
         i += 2
         if marker == 0xD9:  # EOI before SOS

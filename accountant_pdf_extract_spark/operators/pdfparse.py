@@ -65,7 +65,7 @@ _TOK_RE = re.compile(
     re.X,
 )
 
-# the full T.81 literal-string escape set: octal, the named
+# the full ISO 32000-1 §7.3.4.2 literal-string escape set: octal, the named
 # escapes n r t b f ( ) \\, and backslash-EOL line continuation
 # (which yields NOTHING); any other backslash pair stays literal
 _ESC_RE = re.compile(r"\\([0-7]{1,3}|[()\\nrtbf]|\r\n|\r|\n)")
@@ -207,7 +207,7 @@ def _font_map(
 
 
 def _lzw_decode(data: bytes) -> bytes:
-    """PDF LZWDecode (T.81-era TIFF variant, EarlyChange=1): 9→12-bit
+    """PDF LZWDecode (TIFF 6.0 LZW per ISO 32000-1 §7.4.4, EarlyChange=1): 9→12-bit
     MSB-first codes, width bumps ONE CODE EARLY (at table size 511 /
     1023 / 2047), code 256 = clear table, 257 = end of data.  Raises
     ``ValueError`` on malformed streams (caller degrades to empty)."""
@@ -403,7 +403,7 @@ def parse_pdf(data: bytes) -> list[Page]:
                     xobj_refs[em.group(1).decode("latin-1")] = _unescape(
                         nm.group(1).decode("latin-1")
                     )
-        font_maps: dict[str, dict[int, str]] = {}
+        font_maps: dict[str, tuple[bool, dict[int, str]]] = {}
         frm = _FONT_RES_RE.search(body)
         if frm:
             for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):

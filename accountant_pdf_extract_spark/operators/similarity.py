@@ -91,9 +91,13 @@ def brute_force_topk_df(
 
 def _finite_matrix(pdf, vec_col: str, dim: int | None):
     """(keep_mask, stacked float32 matrix) for one Arrow batch:
-    NULL embeddings and ragged lengths are DROPPED (the documented
-    semantics of the Catalyst twins, which explode NULL to zero rows)
-    instead of crashing np.stack in the executor."""
+    NULL embeddings, ragged lengths AND rows containing NaN/inf (or
+    NULL elements, which Arrow surfaces as None → NaN) are DROPPED
+    (the documented semantics of the Catalyst twins, which explode
+    NULL to zero rows) instead of crashing np.stack in the executor
+    or poisoning a whole batch's top-k cut (one NaN score makes the
+    argpartition threshold NaN → empty candidate sets → ragged
+    np.stack ValueError)."""
     vals = pdf[vec_col].to_list()
     keep = [
         v is not None and (dim is None or len(v) == dim) for v in vals
@@ -116,9 +120,18 @@ def _finite_matrix(pdf, vec_col: str, dim: int | None):
             keep = [k and len(v) == majority for v, k in zip(vals, keep)]
     if not any(keep):
         return keep, None
-    mat = np.stack(
-        [v for v, k in zip(vals, keep) if k]
-    ).astype(np.float32)
+    # None ELEMENTS inside a kept list become NaN under a float dtype,
+    # so the finite-row mask below covers them too
+    mat = np.array(
+        [v for v, k in zip(vals, keep) if k], dtype=np.float32
+    )
+    finite = np.isfinite(mat).all(axis=1)
+    if not finite.all():
+        it = iter(finite)
+        keep = [k and bool(next(it)) for k in keep]
+        mat = mat[finite]
+    if mat.shape[0] == 0:
+        return keep, None
     return keep, mat
 
 
@@ -381,11 +394,19 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     # NULL or ragged embeddings would crash KMeans.fit (MLlib
-    # requires one consistent dimension) — drop them like the Catalyst
-    # twins.  The dominant dim comes from one tiny global count-agg
-    # (deterministic: majority count, ties to the larger dim), cheap
-    # next to the KMeans job itself.
-    nn = df.where(F.col(vec_col).isNotNull())
+    # requires one consistent dimension), a NULL ELEMENT crashes
+    # array_to_vector outright, and NaN/inf poison the centroids —
+    # drop all of them like the pandas paths' _finite_matrix.  The
+    # x - x == 0 idiom is a pure-Catalyst finiteness test (NaN-NaN
+    # and inf-inf are both NaN).  The dominant dim comes from one
+    # tiny global count-agg (deterministic: majority count, ties to
+    # the larger dim), cheap next to the KMeans job itself.
+    nn = df.where(F.col(vec_col).isNotNull()).where(
+        F.forall(
+            F.col(vec_col),
+            lambda x: x.isNotNull() & (x - x == F.lit(0.0)),
+        )
+    )
     dim_row = (
         nn.groupBy(F.size(F.col(vec_col)).alias("_d"))
         .count()

@@ -133,11 +133,21 @@ class SimpleFont:
         for code, dec in sorted(self.char_map().items()):
             if len(dec) == 1 and dec not in rev:
                 rev[dec] = code
+        cmap = self.char_map()
         out = []
         for ch in s:
             if ch in rev:
                 out.append(chr(rev[ch]))
             elif ord(ch) < 256:
+                if cmap.get(ord(ch), ch) != ch:
+                    # same guard as the CID branch: the identity
+                    # fallback code is shadowed by a /Differences or
+                    # /ToUnicode entry meaning a DIFFERENT glyph —
+                    # emitting it would silently round-trip wrong
+                    raise ValueError(
+                        f"char {ch!r} shadowed by font entry for "
+                        f"code {ord(ch):#04x}"
+                    )
                 out.append(ch)
             else:
                 raise ValueError(

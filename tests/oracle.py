@@ -188,11 +188,11 @@ def _hex_utf16(h: str) -> str:
 
 def _font_tables(
     page_body: str, objs: dict[int, str], streams: dict[int, str]
-) -> dict[str, dict[int, str]]:
+) -> dict[str, tuple[bool, dict[int, str]]]:
     """Per-page font-resource decode tables: code → decoded string.
     /ToUnicode bfchar wins over bfrange wins over /Differences glyph
     names (same precedence as the engine); unmapped codes = identity."""
-    maps: dict[str, dict[int, str]] = {}
+    maps: dict[str, tuple[bool, dict[int, str]]] = {}
     fm = re.search(r"/Font\s*<<(.*?)>>", page_body, re.S)
     if not fm:
         return maps

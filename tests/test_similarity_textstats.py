@@ -666,15 +666,22 @@ def test_pandas_paths_drop_null_and_ragged_embeddings(spark):
 
     from accountant_pdf_extract_spark.operators import similarity
 
+    nan, inf = float("nan"), float("inf")
     rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, None),
-            (3, [0.5, 0.5]), (4, [0.0, 1.0, 0.0])]
+            (3, [0.5, 0.5]), (4, [0.0, 1.0, 0.0]),
+            # non-finite values and NULL elements must drop too — one
+            # NaN score makes the per-query argpartition threshold NaN,
+            # emptying every candidate set in the batch (ragged
+            # np.stack ValueError in the executor)
+            (5, [nan, 0.0, 0.0]), (6, [0.2, inf, 0.0]),
+            (7, [0.3, None, 0.1])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     q = np.array([[1.0, 0.0, 0.0]])
     got = similarity.brute_force_topk_pandas(
         df, q, np.array([0]), k=2
     ).collect()
     cids = {r["cid"] for r in got}
-    assert cids <= {1, 4} and 1 in cids  # 2 (null) and 3 (ragged) dropped
+    assert cids <= {1, 4} and 1 in cids  # null/ragged/non-finite dropped
 
     # one partition so the derived-plane dim comes from the full
     # row set's majority (3-dim); null and the ragged 2-dim row drop

@@ -1090,6 +1090,29 @@ def test_jpeg_rejects_corrupt_and_unsupported():
         encode_jpeg(np.zeros((0, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_jpeg(_grad_rgb(8, 8), subsampling="422")
+    # entropy truncation INSIDE the final byte must raise, not decode
+    # the reader's zero slack as data (r4 advice) — chop the last
+    # pre-EOI entropy byte
+    assert enc.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:-3] + b"\xff\xd9")
+
+
+def test_jpeg_fill_bytes_before_marker_ok():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal padding
+    and must not be parsed as an unknown segment (r4 advice)."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _grad_rgb(16, 16)
+    enc = encode_jpeg(img)
+    sof = enc.index(b"\xff\xc0")
+    padded = enc[:sof] + b"\xff\xff\xff" + enc[sof:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(enc))
 
 
 def test_jpeg_flat_image_is_near_exact():

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import re
 import zlib
+
+import numpy as np
 from dataclasses import dataclass
 
 from accountant_pdf_extract_spark import spec
@@ -37,6 +39,14 @@ _INT_KEY_RE = {
 }
 _W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
 _INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+# /DecodeParms (or the /DP abbreviation) dict carrying a /Predictor —
+# parameterizes the Flate/LZW filter, so it only applies when a filter
+# actually decoded (ISO 32000-1 §7.4.4.4, Table 8)
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
+_PRED_KEY_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(\d+)") for k in
+    (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
+}
 _PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 _FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
@@ -257,6 +267,92 @@ def _lzw_decode(data: bytes) -> bytes:
     raise ValueError("lzw: missing EOD marker")
 
 
+def _unpredict(raw: bytes, parms: bytes) -> bytes:
+    """Reverse a /Predictor declared in /DecodeParms over inflated
+    stream bytes (ISO 32000-1 §7.4.4.4): 2 = TIFF horizontal
+    differencing, 10–15 = PNG row filters (None/Sub/Up/Average/Paeth,
+    one filter-type byte per /Columns-wide row — the PNG predictor
+    NUMBER only selects the encoder's choice; decoding always reads
+    the per-row filter byte).  Acrobat writes xref streams with
+    predictor 12, so a PDF-1.5 file in the wild hits this on its very
+    first structure.  Raises ValueError on malformed data (caller
+    degrades to an empty stream, same contract as Flate/LZW)."""
+
+    def intkey(k: bytes, default: int) -> int:
+        m = _PRED_KEY_RE[k].search(parms)
+        return int(m.group(1)) if m else default
+
+    pred = intkey(b"Predictor", 1)
+    if pred <= 1:
+        return raw
+    columns = intkey(b"Columns", 1)
+    colors = intkey(b"Colors", 1)
+    bpc = intkey(b"BitsPerComponent", 8)
+    if columns < 1 or colors < 1 or bpc < 1:
+        raise ValueError("predictor: bad parameters")
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit components)
+        if bpc != 8:
+            raise ValueError("predictor: TIFF needs 8-bit components")
+        out = bytearray(raw)
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for j in range(r0 + bpp, end):
+                out[j] = (out[j] + out[j - bpp]) & 0xFF
+        return bytes(out)
+    if not 10 <= pred <= 15:
+        raise ValueError(f"predictor: unknown value {pred}")
+    n = len(raw)
+    if n % (rowlen + 1) == 0 and n:
+        # fast path: full rows.  Up-only streams (the shape Acrobat
+        # and our writer emit) reduce to one column-wise cumsum.
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, rowlen + 1)
+        ftypes = arr[:, 0]
+        if (ftypes > 4).any():
+            raise ValueError("predictor: bad PNG filter byte")
+        if (ftypes == 2).all():
+            rows = arr[:, 1:].astype(np.int64)
+            np.cumsum(rows, axis=0, out=rows)
+            return (rows & 0xFF).astype(np.uint8).tobytes()
+    out = bytearray()
+    prev = bytes(rowlen)
+    i = 0
+    while i < n:
+        ft = raw[i]
+        i += 1
+        row = bytearray(raw[i : i + rowlen])
+        i += len(row)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((a + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        else:
+            raise ValueError("predictor: bad PNG filter byte")
+        out += row
+        # a short final row still reconstructs; pad prev so a
+        # (malformed) following row can't index past it
+        prev = bytes(row) + bytes(rowlen - len(row))
+    return bytes(out)
+
+
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
     objs: dict[int, bytes] = {}
@@ -270,7 +366,10 @@ def parse_pdf(data: bytes) -> list[Page]:
             raw = sm.group(1)
             # Filter declared in the stream dict (before the 'stream'
             # keyword — never match inside stream data itself).
-            if b"/FlateDecode" in body[: sm.start()]:
+            dict_part = body[: sm.start()]
+            filtered = False
+            if b"/FlateDecode" in dict_part:
+                filtered = True
                 try:
                     raw = zlib.decompress(raw)
                 except zlib.error:
@@ -279,11 +378,21 @@ def parse_pdf(data: bytes) -> list[Page]:
                     # raising and losing the whole document; oracle
                     # mirrors this.
                     raw = b""
-            elif b"/LZWDecode" in body[: sm.start()]:
+            elif b"/LZWDecode" in dict_part:
                 try:
                     raw = _lzw_decode(raw)
+                    filtered = True
                 except ValueError:
                     raw = b""  # same degrade contract as Flate
+            if filtered and raw:
+                # /Predictor parameterizes the FILTER — an unfiltered
+                # stream ignores DecodeParms entirely
+                pm = _DECODEPARMS_RE.search(dict_part)
+                if pm:
+                    try:
+                        raw = _unpredict(raw, pm.group(1))
+                    except ValueError:
+                        raw = b""  # same degrade contract
             streams[num] = raw
 
     # ---- PDF 1.5: expand object streams (/Type /ObjStm) --------------

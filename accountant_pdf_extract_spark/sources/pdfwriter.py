@@ -310,6 +310,27 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# row width for predictor-encoded ObjStm payloads (arbitrary for
+# non-image data — the decoder only needs the declared /Columns)
+OBJSTM_PRED_COLUMNS = 64
+
+
+def _png_up(raw: bytes, columns: int) -> bytes:
+    """PNG Up-filter (predictor 12) encode: rows of ``columns`` bytes,
+    each prefixed with filter-type byte 2 and differenced against the
+    previous row — the layout Acrobat writes for xref streams.  A
+    short final row is emitted short (decoders reconstruct by row
+    position, not padding)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(raw), columns):
+        row = raw[i : i + columns]
+        out.append(2)
+        out += bytes((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
 def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
     """FlateDecode stream body if a marker-free compression exists."""
     for lvl in (6, 9, 1):
@@ -357,6 +378,7 @@ def build_pdf(
     objstm: bool = False,
     font: SimpleFont | None = None,
     lzw: bool = False,
+    predictor: bool = False,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -367,7 +389,12 @@ def build_pdf(
     compressed object stream and the cross reference is a binary XRef
     stream.  ``font`` attaches a custom-encoded /F1 to every page;
     ``lzw=True`` compresses content streams with LZWDecode instead of
-    Flate (marker-collisions fall back to Flate, then plain)."""
+    Flate (marker-collisions fall back to Flate, then plain).
+    ``predictor=True`` (objstm layout only) PNG-Up-predicts (predictor
+    12) the ObjStm payload and the xref stream before Flate, declaring
+    ``/DecodeParms`` — the layout Acrobat emits for PDF-1.5 files; the
+    plain marker-collision fallbacks stay UN-predicted because
+    DecodeParms parameterizes a filter that is then absent."""
     objs: list[str] = []  # objs[i] = body of object i+1
     is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
@@ -467,7 +494,15 @@ def build_pdf(
         f"/Type /ObjStm /N {len(packed)} "
         f"/First {len(header.encode('latin-1'))} "
     )
-    objstm_body = _flate_body(objstm_raw, extra_dict=objstm_dict)
+    if predictor:
+        objstm_body = _flate_body(
+            _png_up(objstm_raw, OBJSTM_PRED_COLUMNS),
+            extra_dict=objstm_dict
+            + "/DecodeParms << /Predictor 12 "
+            + f"/Columns {OBJSTM_PRED_COLUMNS} >> ",
+        )
+    else:
+        objstm_body = _flate_body(objstm_raw, extra_dict=objstm_dict)
     if objstm_body is None:
         # marker collision at every zlib level: a PLAIN object stream
         # is legal PDF, and dict-body payloads never contain the
@@ -513,7 +548,15 @@ def build_pdf(
         f"/Type /XRef /Size {size} /W [ 1 4 2 ] /Index [ 0 {size} ] "
         "/Root 1 0 R "
     )
-    xref_body = _flate_body(bytes(rows), extra_dict=xref_dict)
+    if predictor:
+        # predictor-12 rows of sum(W)=7 bytes — Acrobat's xref layout
+        xref_body = _flate_body(
+            _png_up(bytes(rows), 7),
+            extra_dict=xref_dict
+            + "/DecodeParms << /Predictor 12 /Columns 7 >> ",
+        )
+    else:
+        xref_body = _flate_body(bytes(rows), extra_dict=xref_dict)
     if xref_body is None:
         raw = bytes(rows)
         if b"endstream" in raw or b"endobj" in raw:

@@ -201,6 +201,11 @@ def make_invoice_pdf(
         font=font,
         # half the compressed docs use LZWDecode instead of Flate
         lzw=len(pages) % 6 == 0,
+        # ~half the PDF-1.5 docs predictor-encode ObjStm + xref stream
+        # (predictor 12, the Acrobat layout) — keyed on total op count
+        # parity, which varies across 1-page docs where page count
+        # cannot (objstm docs are mostly 1-page); no rng draw consumed
+        predictor=sum(len(p.ops) for p in pages) % 2 == 0,
     )
 
 

@@ -105,6 +105,21 @@ def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
         giant_pages.append(pg)
     docs.append(("edge-giant-pdf", [("pdf", build_pdf(giant_pages), "", 0)]))
 
+    # PDF-1.5 with predictor-12 (PNG Up) encoded ObjStm + xref stream
+    # — the Acrobat layout; guarantees golden coverage regardless of
+    # which synth docs the seed produces
+    pred_pages = []
+    for p in range(2):
+        pg = PageBuilder()
+        pg.text(72, 760, "Predictor Corp Invoice INV-2025-0042")
+        pg.text(72, 700, f"Date: 05/0{p + 1}/2025 Total: $1,250.7{p}")
+        pg.text_block(72, 660, ["alpha beta gamma", "delta epsilon"], leading=14)
+        pg.hrule(72, 600, 250)
+        pred_pages.append(pg)
+    pred_pdf = build_pdf(pred_pages, objstm=True, predictor=True)
+    assert "/DecodeParms << /Predictor 12" in pred_pdf
+    docs.append(("edge-predictor-xref", [("pdf", pred_pdf, "", 0)]))
+
     # interleaving: text, media, pdf, text with explicit offsets reversed
     pg = PageBuilder()
     pg.text(72, 700, "pdf body line")

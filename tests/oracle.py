@@ -93,6 +93,69 @@ def _lzw(data: str) -> str:
         prev = seq
 
 
+def _unpredict(s: str, parms: str) -> str:
+    """Independent /DecodeParms predictor reversal in the latin-1
+    string plane: 2 = TIFF horizontal differencing, 10-15 = PNG row
+    filters (per-row filter byte selects None/Sub/Up/Average/Paeth
+    regardless of the declared number).  ValueError on malformed data
+    (caller degrades to an empty stream)."""
+
+    def intkey(k: str, default: int) -> int:
+        m = re.search(r"/" + k + r"\s+(\d+)", parms)
+        return int(m.group(1)) if m else default
+
+    pred = intkey("Predictor", 1)
+    if pred <= 1:
+        return s
+    columns = intkey("Columns", 1)
+    colors = intkey("Colors", 1)
+    bpc = intkey("BitsPerComponent", 8)
+    if columns < 1 or colors < 1 or bpc < 1:
+        raise ValueError("bad predictor parameters")
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    data = bytearray(s.encode("latin-1"))
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("tiff predictor needs 8-bit components")
+        for r0 in range(0, len(data), rowlen):
+            for j in range(r0 + bpp, min(r0 + rowlen, len(data))):
+                data[j] = (data[j] + data[j - bpp]) & 0xFF
+        return bytes(data).decode("latin-1")
+    if not 10 <= pred <= 15:
+        raise ValueError("unknown predictor")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + rowlen])
+        i += len(row)
+        for j in range(len(row)):
+            a = row[j - bpp] if j >= bpp else 0
+            b = prev[j]
+            c = prev[j - bpp] if j >= bpp else 0
+            if ft == 0:
+                pr = 0
+            elif ft == 1:
+                pr = a
+            elif ft == 2:
+                pr = b
+            elif ft == 3:
+                pr = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise ValueError("bad png filter byte")
+            row[j] = (row[j] + pr) & 0xFF
+        out += row
+        prev = row + bytearray(rowlen - len(row))
+    return bytes(out).decode("latin-1")
+
+
 def _expand_pdf15(objs: dict[int, str], streams: dict[int, str]) -> None:
     """PDF 1.5 structures, string domain (latin-1: 1 char == 1 byte).
 
@@ -551,18 +614,33 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
         sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
         if sm:
             s = sm.group(1)
-            if "/FlateDecode" in body[: sm.start()]:
+            dict_part = body[: sm.start()]
+            filtered = False
+            if "/FlateDecode" in dict_part:
                 import zlib
 
+                filtered = True
                 try:
                     s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
                 except zlib.error:
                     s = ""  # corrupt stream → empty page (engine mirrors)
-            elif "/LZWDecode" in body[: sm.start()]:
+            elif "/LZWDecode" in dict_part:
                 try:
                     s = _lzw(s)
+                    filtered = True
                 except ValueError:
                     s = ""  # same degrade contract
+            if filtered and s:
+                # /Predictor parameterizes the filter; unfiltered
+                # streams ignore /DecodeParms (engine mirrors)
+                pm = re.search(
+                    r"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_part, re.S
+                )
+                if pm:
+                    try:
+                        s = _unpredict(s, pm.group(1))
+                    except ValueError:
+                        s = ""  # same degrade contract
             streams[n] = s
 
     _expand_pdf15(objs, streams)

@@ -44,9 +44,11 @@ class Placed:
 
 
 def cluster_lines(page_idx: int, page: Page) -> list[Line]:
-    """Group glyph runs into lines by baseline-y proximity; join runs
-    left-to-right with ''/' '/tab per the gap + ruling heuristics."""
-    runs = page.runs
+    """Group UPRIGHT glyph runs into lines by baseline-y proximity;
+    join runs left-to-right with ''/' '/tab per the gap + ruling
+    heuristics.  Rotated runs (rot != 0) cluster separately in their
+    own reading frame — see rotated_lines()."""
+    runs = [r for r in page.runs if r.rot == 0]
     if not runs:
         return []
     # top-to-bottom, then left-to-right; pages carry ~10 runs (median),
@@ -109,10 +111,46 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
     return lines
 
 
+def rotated_lines(page_idx: int, page: Page, quad: int) -> list[Line]:
+    """Cluster one rotation quadrant's runs in its READING FRAME — the
+    rigid transform that maps the rotated page onto an upright one, so
+    the y-proximity/gap/tab heuristics apply unchanged:
+
+        q=1 (90° CCW): (rx, ry) = (y,          PAGE_W - x)
+        q=2 (180°):    (rx, ry) = (PAGE_W - x, PAGE_H - y)
+        q=3 (270°):    (rx, ry) = (PAGE_H - y, x)
+
+    Device rulings are NOT transformed (rotated stamps/banners don't
+    carry cell rulings); effective size is rotation-invariant (the
+    tokenizer uses the basis-vector magnitude)."""
+    sel = [r for r in page.runs if r.rot == quad]
+    if not sel:
+        return []
+    if quad == 1:
+        tr = [(r.y, spec.PAGE_W - r.x) for r in sel]
+    elif quad == 2:
+        tr = [(spec.PAGE_W - r.x, spec.PAGE_H - r.y) for r in sel]
+    else:
+        tr = [(spec.PAGE_H - r.y, r.x) for r in sel]
+    sub = Page(
+        runs=[
+            type(r)(x=rx, y=ry, size=r.size, text=r.text, rot=0)
+            for r, (rx, ry) in zip(sel, tr)
+        ],
+        rules=[],
+        images=[],
+    )
+    return cluster_lines(page_idx, sub)
+
+
 def reading_order(page_idx: int, page: Page) -> list[Placed]:
     """Order one page's lines + media placements: header zone first,
     then body (column-major if a clean two-column split exists), then
-    footer zone; each zone top-to-bottom, left-to-right."""
+    footer zone; each zone top-to-bottom, left-to-right.  Rotated text
+    (rot quadrants 1-3) follows the upright flow, quadrant-ascending,
+    each quadrant top-down in its own reading frame — a 90° 'PAID'
+    stamp or vertical margin banner lands after the page's upright
+    content instead of interleaving at a meaningless device-y."""
     items: list[Placed] = [
         Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "")
         for ln in cluster_lines(page_idx, page)
@@ -136,7 +174,14 @@ def reading_order(page_idx: int, page: Page) -> list[Placed]:
         and len(left) + len(right) == len(body)
     )
     ordered_body = topdown(left) + topdown(right) if two_col else topdown(body)
-    return topdown(header) + ordered_body + topdown(footer)
+    rotated: list[Placed] = []
+    if any(r.rot for r in page.runs):
+        for quad in (1, 2, 3):
+            rotated.extend(
+                Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "")
+                for ln in rotated_lines(page_idx, page, quad)
+            )
+    return topdown(header) + ordered_body + topdown(footer) + rotated
 
 
 _NORM_WS = re.compile(r"\s+")

@@ -14,6 +14,7 @@ reference repo has no parser to cite (``/root/reference/README.md:1``).
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -117,6 +118,10 @@ class Run:
     y: float
     size: float
     text: str
+    # baseline rotation quadrant from the text matrix (atan2(b, a)
+    # snapped to 90°): 0 upright, 1 = 90° CCW, 2 = 180°, 3 = 270°.
+    # Layout clusters each quadrant in its own reading frame.
+    rot: int = 0
 
     @property
     def end_x(self) -> float:
@@ -544,13 +549,18 @@ def _parse_content(
     images: list[Image] = []
 
     size = 10.0
-    tm_scale = 1.0  # |a| of the last Tm — horizontal text scale
     tz = 1.0  # Tz horizontal scaling (percent/100); TEXT STATE — it
     # persists across BT/ET like Tf size, unlike the per-object Tm
     leading = 12.0
-    line_x = 0.0  # text line origin
-    x = 0.0
-    y = 0.0
+    # full text matrix model (ISO 32000-1 §9.4.2): Tlm is the line
+    # matrix, Tm the current text matrix; Td/TD/T* compose an
+    # UNSCALED text-space translation through Tlm, so positions stay
+    # right under scaled AND rotated matrices (the old |a|-scale-only
+    # model mis-placed a Td following a scaled Tm and collapsed
+    # rotated text to size 0)
+    _IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    tlm = _IDENT
+    tm = _IDENT
     ctm = (1.0, 1.0, 0.0, 0.0)  # (a, d, e, f) — only scale+translate used
     stack: list[tuple[float, float, float, float]] = []
     nums: list[float] = []
@@ -572,7 +582,7 @@ def _parse_content(
         # DECODED text — the spec'd rule (FIXTURES.md §1.1).
         # str.translate takes exactly our {ordinal: str} map and runs
         # at C speed (the per-char genexpr was 12% of kernel time).
-        nonlocal x
+        nonlocal tm
         if cur_cid:
             # composite font: bytes pair into 2-byte codes (a dangling
             # odd byte is malformed and dropped), text comes from the
@@ -587,12 +597,22 @@ def _parse_content(
         elif cur_map:
             txt = txt.translate(cur_map)
         if txt:
-            # effective glyph size = Tf size x |Tm a| (real PDFs often
-            # set Tf 1 and scale via the text matrix); rotated/skewed
-            # matrices keep position-only semantics (FIXTURES.md §1.1)
-            eff = size * tm_scale * tz
-            runs.append(Run(x=x, y=y, size=eff, text=txt))
-            x += spec.CHAR_W_FACTOR * eff * len(txt)
+            # effective glyph size = Tf size x |(a,b)| x Tz (real PDFs
+            # often set Tf 1 and scale via the text matrix; the basis-
+            # vector magnitude keeps the size right under rotation)
+            a, b = tm[0], tm[1]
+            mag = math.hypot(a, b)
+            eff = size * mag * tz
+            if abs(a) >= abs(b):
+                q = 0 if a >= 0 else 2
+            else:
+                q = 1 if b > 0 else 3
+            runs.append(Run(x=tm[4], y=tm[5], size=eff, text=txt, rot=q))
+            # advance along the baseline direction: text-space width
+            # composed through the matrix (device displacement =
+            # w·(a, b))
+            w = spec.CHAR_W_FACTOR * size * tz * len(txt)
+            tm = (a, b, tm[2], tm[3], tm[4] + w * a, tm[5] + w * b)
 
     # Dispatch on m.lastindex (the single alternation group that
     # matched) instead of unpacking all 7 groups per token; branch
@@ -603,9 +623,12 @@ def _parse_content(
             op = m.group(6)
             if op == "Td":
                 if len(nums) >= 2:
-                    line_x += nums[-2]
-                    y += nums[-1]
-                    x = line_x
+                    tx, ty = nums[-2], nums[-1]
+                    a, b_, c_, d, e, f = tlm
+                    tlm = tm = (
+                        a, b_, c_, d,
+                        tx * a + ty * c_ + e, tx * b_ + ty * d + f,
+                    )
             elif op == "Tj":
                 if strings:
                     emit(strings[-1])
@@ -617,21 +640,25 @@ def _parse_content(
                         names[-1], (False, None)
                     )
             elif op == "BT":
-                line_x = x = y = 0.0
-                tm_scale = 1.0
+                tlm = tm = _IDENT
             elif op == "ET":
                 pass
             elif op == "'":
-                y -= leading
-                x = line_x
+                a, b_, c_, d, e, f = tlm
+                tlm = tm = (
+                    a, b_, c_, d, -leading * c_ + e, -leading * d + f
+                )
                 if strings:
                     emit(strings[-1])
             elif op == "TD":
                 if len(nums) >= 2:
-                    leading = -nums[-1]
-                    line_x += nums[-2]
-                    y += nums[-1]
-                    x = line_x
+                    tx, ty = nums[-2], nums[-1]
+                    leading = -ty
+                    a, b_, c_, d, e, f = tlm
+                    tlm = tm = (
+                        a, b_, c_, d,
+                        tx * a + ty * c_ + e, tx * b_ + ty * d + f,
+                    )
             elif op == "TL":
                 if nums:
                     leading = nums[-1]
@@ -640,13 +667,12 @@ def _parse_content(
                     tz = abs(nums[-1]) / 100.0
             elif op == "Tm":
                 if len(nums) >= 6:
-                    tm_scale = abs(nums[-6])
-                    line_x = nums[-2]
-                    y = nums[-1]
-                    x = line_x
+                    tlm = tm = tuple(nums[-6:])
             elif op == "T*":
-                y -= leading
-                x = line_x
+                a, b_, c_, d, e, f = tlm
+                tlm = tm = (
+                    a, b_, c_, d, -leading * c_ + e, -leading * d + f
+                )
             elif op == "TJ":
                 buf: list[str] = []
                 for is_str, val in tj_parts:

@@ -222,6 +222,44 @@ class PageBuilder:
             f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td <{hexs}> Tj ET"
         )
 
+    def text_rot(
+        self, x: float, y: float, s: str, quad: int = 1,
+        size: float = 10.0, scale: float = 1.0,
+    ) -> None:
+        """Text rotated by ``quad`` × 90° CCW via a full Tm — e.g. a
+        vertical 'PAID' stamp (quad=1) or an upside-down watermark
+        (quad=2).  ``scale`` additionally scales the matrix (effective
+        size = size × scale)."""
+        a, b = {
+            0: (1.0, 0.0), 1: (0.0, 1.0), 2: (-1.0, 0.0), 3: (0.0, -1.0),
+        }[quad % 4]
+        a, b = a * scale, b * scale
+        self.ops.append(
+            f"BT /F1 {_n(size)} Tf {_n(a)} {_n(b)} {_n(-b)} {_n(a)} "
+            f"{_n(x)} {_n(y)} Tm ({_esc(s)}) Tj ET"
+        )
+
+    def text_rot_block(
+        self, x: float, y: float, lines: list[str], quad: int = 1,
+        size: float = 10.0, leading: float = 14.0,
+    ) -> None:
+        """Multi-line rotated block: full Tm then TD/' next-line shows
+        — line advances compose through the rotated line matrix."""
+        if not lines:
+            return
+        a, b = {
+            0: (1.0, 0.0), 1: (0.0, 1.0), 2: (-1.0, 0.0), 3: (0.0, -1.0),
+        }[quad % 4]
+        ops = [
+            f"BT /F1 {_n(size)} Tf {_n(leading)} TL "
+            f"{_n(a)} {_n(b)} {_n(-b)} {_n(a)} {_n(x)} {_n(y)} Tm"
+        ]
+        ops.append(f"({_esc(lines[0])}) Tj")
+        for ln in lines[1:]:
+            ops.append(f"({_esc(ln)}) '")
+        ops.append("ET")
+        self.ops.append(" ".join(ops))
+
     def text_tj(
         self, x: float, y: float, parts: list[str | float], size: float = 10.0
     ) -> None:

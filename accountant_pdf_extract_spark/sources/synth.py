@@ -139,6 +139,14 @@ def make_invoice_pdf(
     pg.text(72, 658, f"Date: {_fmt_date(base, style)}")
     pg.text(72, 640, f"Due: {_fmt_date(due, style)}")
     pg.text(72, 622, f"Account: {int(rng.integers(100, 9999))}-{int(rng.integers(10, 9999))}")
+    # rotated 90° 'PAID'/'COPY' stamp on a deterministic subset —
+    # keyed off already-drawn values (style x due-day), no rng draw;
+    # exercises the full-Tm rotated path in the wild corpus
+    if (style + due.day) % 5 == 2:
+        pg.text_rot(
+            540, 300, "PAID" if style % 2 == 0 else "COPY",
+            quad=1, size=24,
+        )
 
     n_rows = int(rng.integers(2, 6))
     y = 580.0

@@ -105,6 +105,33 @@ def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
         giant_pages.append(pg)
     docs.append(("edge-giant-pdf", [("pdf", build_pdf(giant_pages), "", 0)]))
 
+    # rotated text: a 90° 'PAID' stamp + an upside-down watermark on a
+    # portrait page, and a LANDSCAPE page (every run 90° CCW) whose
+    # table header must come out in reading order — full-Tm semantics
+    pg = PageBuilder()
+    pg.text(72, 760, "Rotated Stamp Co Invoice INV-2025-0077")
+    pg.text(72, 700, "Total: $842.10 due 06/15/2025")
+    pg.text_block(72, 660, ["first body line", "second body line"], leading=14)
+    pg.text_rot(540, 300, "PAID", quad=1, size=24)
+    pg.text_rot(306, 400, "VOID IF ALTERED", quad=2)
+    pg.text_rot_block(30, 700, ["ORIGINAL", "COPY 1"], quad=3, size=8)
+    land = PageBuilder()
+    # 90°-CCW text reads with the page rotated CW, so the landscape
+    # page's TOP edge is small device x; successive lines grow x
+    land.text_rot(60, 60, "Landscape Ledger Statement", quad=1, size=14)
+    # landscape table: per-cell rotated runs — the reading-frame gap
+    # heuristic must join them into tab-separated header/body lines
+    for row_x, cells in (
+        (100, ["Account", "Debit", "Credit"]),       # header row
+        (120, ["4000.12", "$10.00", "$0.00"]),
+        (140, ["1200-4711", "$0.00", "$10.00"]),
+    ):
+        for col_i, cell in enumerate(cells):
+            land.text_rot(row_x, 60 + 140 * col_i, cell, quad=1)
+    docs.append(
+        ("edge-rotated-text", [("pdf", build_pdf([pg, land]), "", 0)])
+    )
+
     # PDF-1.5 with predictor-12 (PNG Up) encoded ObjStm + xref stream
     # — the Acrobat layout; guarantees golden coverage regardless of
     # which synth docs the seed produces

@@ -373,12 +373,19 @@ def _hexdec(h: str) -> str:
 class _TextState:
     def __init__(self) -> None:
         self.size = 10.0
-        self.scale = 1.0  # |a| of the last Tm
         self.tz = 1.0     # Tz percent/100 — persists across BT
         self.leading = 12.0
-        self.lx = 0.0
-        self.x = 0.0
-        self.y = 0.0
+        # full text/line matrices (a, b, c, d, e, f) — ISO 32000-1
+        # §9.4.2; Td/TD/T* compose unscaled text-space translations
+        # through the line matrix (mirrors the engine)
+        self.tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        self.tm = self.tlm
+
+    def translate(self, tx: float, ty: float) -> None:
+        a, b, c, d, e, f = self.tlm
+        self.tlm = self.tm = (
+            a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f
+        )
 
 
 def _interpret(content: str, xobjs: dict[str, str], fonts=None):
@@ -427,9 +434,19 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
         elif cur_font:
             txt = "".join(cur_font.get(ord(c), c) for c in txt)
         if txt:
-            eff = st.size * st.scale * st.tz
-            runs.append((st.x, st.y, eff, txt))
-            st.x = st.x + spec.CHAR_W_FACTOR * eff * len(txt)
+            a, b = st.tm[0], st.tm[1]
+            mag = (a * a + b * b) ** 0.5
+            eff = st.size * mag * st.tz
+            if abs(a) >= abs(b):
+                q = 0 if a >= 0 else 2
+            else:
+                q = 1 if b > 0 else 3
+            runs.append((st.tm[4], st.tm[5], eff, txt, q))
+            w = spec.CHAR_W_FACTOR * st.size * st.tz * len(txt)
+            st.tm = (
+                a, b, st.tm[2], st.tm[3],
+                st.tm[4] + w * a, st.tm[5] + w * b,
+            )
 
     for tok in token_pat.finditer(content):
         string, open_b, close_b, name, number, op, hexs = tok.groups()
@@ -474,31 +491,21 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
         elif op == "Tz" and nums:
             st.tz = abs(nums[-1]) / 100.0
         elif op == "Td" and len(nums) >= 2:
-            st.lx += nums[-2]
-            st.y += nums[-1]
-            st.x = st.lx
+            st.translate(nums[-2], nums[-1])
         elif op == "TD" and len(nums) >= 2:
             st.leading = -nums[-1]
-            st.lx += nums[-2]
-            st.y += nums[-1]
-            st.x = st.lx
+            st.translate(nums[-2], nums[-1])
         elif op == "Tm" and len(nums) >= 6:
-            st.scale = abs(nums[-6])
-            st.lx = nums[-2]
-            st.y = nums[-1]
-            st.x = st.lx
+            st.tlm = st.tm = tuple(nums[-6:])
         elif op == "T*":
-            st.y -= st.leading
-            st.x = st.lx
+            st.translate(0.0, -st.leading)
         elif op == "BT":
-            st.lx = st.x = st.y = 0.0
-            st.scale = 1.0
+            st.tlm = st.tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
         elif op == "Tj":
             if strs:
                 advance(strs[-1])
         elif op == "'":
-            st.y -= st.leading
-            st.x = st.lx
+            st.translate(0.0, -st.leading)
             if strs:
                 advance(strs[-1])
         elif op == "TJ":
@@ -537,12 +544,32 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
 
 
 def _end_x(run) -> float:
-    x, _y, size, txt = run
+    x, _y, size, txt = run[:4]
     return x + spec.CHAR_W_FACTOR * size * len(txt)
 
 
+def _rot_lines(runs, quad):
+    """Rotated-quadrant runs clustered in their reading frame (the
+    rigid transform onto an upright page; mirrors engine
+    rotated_lines): q=1 (y, W-x); q=2 (W-x, H-y); q=3 (H-y, x).
+    No rulings in rotated frames."""
+    sel = [r for r in runs if r[4] == quad]
+    if quad == 1:
+        tr = [(r[1], spec.PAGE_W - r[0], r[2], r[3], 0) for r in sel]
+    elif quad == 2:
+        tr = [
+            (spec.PAGE_W - r[0], spec.PAGE_H - r[1], r[2], r[3], 0)
+            for r in sel
+        ]
+    else:
+        tr = [(spec.PAGE_H - r[1], r[0], r[2], r[3], 0) for r in sel]
+    return _lines_of(tr, [])
+
+
 def _lines_of(runs, vrules):
-    """Cluster runs into lines; returns (y, x, end_x, text) tuples."""
+    """Cluster UPRIGHT runs into lines; returns (y, x, end_x, text)
+    tuples.  Rotated runs go through _rot_lines."""
+    runs = [r for r in runs if r[4] == 0]
     ordered = sorted(runs, key=lambda r: (-r[1], r[0]))
     groups: list[list] = []
     for run in ordered:
@@ -576,8 +603,10 @@ def _lines_of(runs, vrules):
     return lines
 
 
-def _order_page(lines, images):
-    """items: (y, x, end_x, is_media, text, ref) in reading order."""
+def _order_page(lines, images, rot_lines=()):
+    """items: (y, x, end_x, is_media, text, ref) in reading order;
+    rotated-quadrant lines (already clustered in their reading frames,
+    quadrant-ascending) follow the upright flow."""
     items = [(y, x, ex, False, t, "") for (y, x, ex, t) in lines]
     items += [(y, x, x + w, True, "", ref) for (x, y, w, _h, ref) in images]
     header = [it for it in items if it[0] >= spec.TOP_ZONE_Y]
@@ -595,7 +624,8 @@ def _order_page(lines, images):
         mid = td(left) + td(right)
     else:
         mid = td(body)
-    return td(header) + mid + td(footer)
+    tail = [(y, x, ex, False, t, "") for (y, x, ex, t) in rot_lines]
+    return td(header) + mid + td(footer) + tail
 
 
 def _norm(text: str) -> str:
@@ -666,7 +696,13 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                     xobjs[em.group(1)] = _unesc(nm.group(1))
         fonts = _font_tables(body, objs, streams)
         runs, vrules, _hrules, images = _interpret(content, xobjs, fonts)
-        per_page.append(_order_page(_lines_of(runs, vrules), images))
+        rot = []
+        if any(r[4] for r in runs):
+            for quad in (1, 2, 3):
+                rot.extend(_rot_lines(runs, quad))
+        per_page.append(
+            _order_page(_lines_of(runs, vrules), images, rot)
+        )
 
     n_pages = len(per_page)
     # boilerplate bookkeeping

@@ -653,7 +653,7 @@ def _oracle_content(content, xobjs=None):
     from tests import oracle
 
     runs, _v, _h, images = oracle._interpret(content, xobjs or {})
-    return [t for _x, _y, _s, t in runs], [ref for *_a, ref in images]
+    return [t for _x, _y, _s, t, _q in runs], [ref for *_a, ref in images]
 
 
 def test_operand_lifetimes_engine_equals_oracle():
@@ -923,6 +923,65 @@ def test_objstm_xref_font_all_layouts_match_oracle():
                 expected = eng
             else:
                 assert eng == expected
+
+
+def test_rotated_text_full_tm_semantics():
+    """Full text-matrix model (r4 verdict item 4): a 90° 'PAID' stamp,
+    an upside-down watermark and a 270° margin banner extract AFTER
+    the upright flow (quadrant-ascending, reading-frame clustered); a
+    landscape page's table reads title → header → rows with gap-tabs;
+    Td after a scaled Tm composes through the line matrix; effective
+    size is rotation-invariant (basis-vector magnitude)."""
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 760, "Rotated Stamp Co Invoice INV-2025-0077")
+    pg.text_block(72, 660, ["first body line", "second body line"])
+    pg.text_rot(540, 300, "PAID", quad=1, size=24)
+    pg.text_rot(306, 400, "VOID IF ALTERED", quad=2)
+    pg.text_rot_block(30, 700, ["ORIGINAL", "COPY 1"], quad=3, size=8)
+    land = PageBuilder()
+    land.text_rot(60, 60, "Landscape Ledger Statement", quad=1, size=14)
+    for row_x, cells in (
+        (100, ["Account", "Debit", "Credit"]),
+        (120, ["4000.12", "$10.00", "$0.00"]),
+    ):
+        for col_i, cell in enumerate(cells):
+            land.text_rot(row_x, 60 + 140 * col_i, cell, quad=1)
+    pdf = build_pdf([pg, land])
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    texts = [t for k, t, _m, _o in eng if k == "text"]
+    assert texts == [
+        "Rotated Stamp Co Invoice INV-2025-0077",
+        "first body line",
+        "second body line",
+        "PAID",
+        "VOID IF ALTERED",
+        "ORIGINAL",
+        "COPY 1",
+        "Landscape Ledger Statement",
+        "Account\tDebit\tCredit",
+        "4000.12\t$10.00\t$0.00",
+    ]
+    ora, _ = oracle_extract([("pdf", pdf, "", 0)])
+    assert eng == ora
+
+    # rotated runs carry the rotation-invariant effective size and
+    # the right quadrant; scaled-Tm Td composes in text space
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _parse_content,
+    )
+
+    page = _parse_content(
+        "BT /F1 12 Tf 0 1 -1 0 500 300 Tm (UP) Tj ET "
+        "BT /F1 1 Tf 12 0 0 12 72 700 Tm (scaled) Tj 0 -2 Td (next) Tj ET",
+        {},
+    )
+    up, scaled, nxt = page.runs
+    assert (up.rot, up.size, up.x, up.y) == (1, 12.0, 500.0, 300.0)
+    assert (scaled.rot, scaled.size) == (0, 12.0)
+    # Td 0 -2 in text space = 24 device points below the scaled origin
+    assert (nxt.x, nxt.y) == (72.0, 700.0 - 24.0)
 
 
 def test_predictor_pdf15_layout_matches_oracle():

@@ -417,6 +417,7 @@ def build_pdf(
     font: SimpleFont | None = None,
     lzw: bool = False,
     predictor: bool = False,
+    hybrid: bool = False,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -432,7 +433,13 @@ def build_pdf(
     12) the ObjStm payload and the xref stream before Flate, declaring
     ``/DecodeParms`` — the layout Acrobat emits for PDF-1.5 files; the
     plain marker-collision fallbacks stay UN-predicted because
-    DecodeParms parameterizes a filter that is then absent."""
+    DecodeParms parameterizes a filter that is then absent.
+    ``hybrid=True`` (implies the objstm machinery) emits Acrobat's
+    incremental-save HYBRID layout: a CLASSIC xref table whose packed
+    objects are marked free, a ``trailer`` dict carrying ``/XRefStm``
+    pointing at the binary xref stream, and ``startxref`` aimed at the
+    classic table — legacy viewers read the table, modern ones the
+    stream (ISO 32000-1 §7.5.8.4)."""
     objs: list[str] = []  # objs[i] = body of object i+1
     is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
@@ -504,6 +511,8 @@ def build_pdf(
     )
     assert catalog_num == 1
 
+    if hybrid:
+        objstm = True  # hybrid rides the ObjStm + xref-stream machinery
     if not objstm:
         out = ["%PDF-1.4"]
         for i, body in enumerate(objs, start=1):
@@ -605,5 +614,27 @@ def build_pdf(
         )
     xref_off = byte_pos
     emit_obj(xref_num, xref_body)
-    out_parts.append(f"startxref\n{xref_off}\n%%EOF\n")
+    if not hybrid:
+        out_parts.append(f"startxref\n{xref_off}\n%%EOF\n")
+        return "".join(out_parts)
+
+    # ---- hybrid layout tail (ISO 32000-1 §7.5.8.4) -------------------
+    # classic xref table: in-use entries for top-level objects, FREE
+    # entries for ObjStm-packed ones (legacy viewers skip them; modern
+    # viewers recover through the /XRefStm-pointed stream's type-2
+    # rows); startxref aims at the CLASSIC table.
+    classic_off = byte_pos
+    table = ["xref", f"0 {size}"]
+    for num in range(size):
+        if num == 0:
+            table.append("0000000000 65535 f ")
+        elif num in idx_of:
+            table.append("0000000000 00000 f ")  # packed → free
+        else:
+            table.append(f"{obj_offset[num]:010d} 00000 n ")
+    out_parts.append(
+        "\n".join(table)
+        + f"\ntrailer\n<< /Size {size} /Root 1 0 R /XRefStm {xref_off} >>\n"
+        + f"startxref\n{classic_off}\n%%EOF\n"
+    )
     return "".join(out_parts)

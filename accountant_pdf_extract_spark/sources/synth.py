@@ -214,6 +214,12 @@ def make_invoice_pdf(
         # parity, which varies across 1-page docs where page count
         # cannot (objstm docs are mostly 1-page); no rng draw consumed
         predictor=sum(len(p.ops) for p in pages) % 2 == 0,
+        # ~a third of the PDF-1.5 docs use Acrobat's hybrid layout
+        # (classic xref table + /XRefStm trailer pointer); keyed off
+        # the already-drawn due date (op counts are quantized on the
+        # 1-page docs objstm mostly selects), gated on objstm's own
+        # key so the corpus layout mix stays stable
+        hybrid=len(pages) % 5 == 1 and due.day % 3 == 1,
     )
 
 

@@ -147,6 +147,12 @@ def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
     assert "/DecodeParms << /Predictor 12" in pred_pdf
     docs.append(("edge-predictor-xref", [("pdf", pred_pdf, "", 0)]))
 
+    # Acrobat hybrid layout: classic xref table (packed objects free)
+    # + trailer /XRefStm pointer + predictor-12 streams
+    hyb_pdf = build_pdf(pred_pages, hybrid=True, predictor=True)
+    assert "/XRefStm" in hyb_pdf and "trailer" in hyb_pdf
+    docs.append(("edge-hybrid-xref", [("pdf", hyb_pdf, "", 0)]))
+
     # interleaving: text, media, pdf, text with explicit offsets reversed
     pg = PageBuilder()
     pg.text(72, 700, "pdf body line")

@@ -1087,6 +1087,98 @@ def test_predictor_filters_cross_validated_and_corrupt_degrades():
     assert [r.text for r in parse_pdf(plain_doc)[0].runs] == ["hi"]
 
 
+def test_hybrid_xref_layout_matches_oracle():
+    """build_pdf(hybrid=True) — Acrobat's classic-xref-table +
+    /XRefStm incremental-save layout (r4 verdict item 5) — parses to
+    the same spans as the pure-1.5 layout, engine ≡ oracle; composes
+    with predictor=True; startxref aims at the classic table and the
+    packed objects are FREE entries there."""
+    import re
+
+    from tests.oracle import pdf_spans
+
+    pages, font = _font_pages()
+    base = build_pdf(pages, objstm=True, font=font)
+    hyb = build_pdf(pages, hybrid=True, font=font)
+    assert "trailer" in hyb and "/XRefStm" in hyb and "\nxref\n" in hyb
+    sx = int(re.search(r"startxref\n(\d+)", hyb).group(1))
+    assert hyb.encode("latin-1")[sx : sx + 4] == b"xref"
+    assert "0000000000 00000 f " in hyb  # packed objects freed
+    eng_b, _ = extract_doc([("pdf", base, "", 0)])
+    eng_h, _ = extract_doc([("pdf", hyb, "", 0)])
+    assert eng_h == eng_b
+    assert [(k, t, m) for k, t, m, _ in eng_h] == pdf_spans(hyb)
+    ph = build_pdf(pages, hybrid=True, predictor=True, font=font)
+    eng_p, _ = extract_doc([("pdf", ph, "", 0)])
+    assert eng_p == eng_b
+    assert [(k, t, m) for k, t, m, _ in eng_p] == pdf_spans(ph)
+
+
+def test_hybrid_xrefstm_only_recovery():
+    """In a hybrid file whose ObjStm header objnums are corrupt, the
+    packed objects are reachable ONLY through the /XRefStm-pointed
+    stream's type-2 entries (the classic table marks them free) —
+    the parser must still recover the page, engine ≡ oracle."""
+    from tests.oracle import pdf_spans
+
+    content = "BT /F1 10 Tf 72 700 Td (hybrid recovered) Tj ET\n"
+    packed = {
+        1: "<< /Type /Catalog /Pages 2 0 R >>",
+        2: "<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 3 0 R >>"),
+    }
+    nums = sorted(packed)
+    bodies = [packed[n] for n in nums]
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{900 + i} {o}" for i, o in enumerate(offs)) + "\n"
+    payload = header + "\n".join(bodies)
+    objstm = (f"<< /Type /ObjStm /N 3 /First {len(header)} "
+              f"/Length {len(payload)} >>\nstream\n{payload}endstream")
+    rows = bytearray()
+    entries = {0: (0, 0, 65535), 3: (1, 0, 0), 5: (1, 0, 0), 6: (1, 0, 0)}
+    for num in range(7):
+        if num in entries:
+            t, f2, f3 = entries[num]
+        else:
+            t, f2, f3 = 2, 5, nums.index(num)
+        rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    raw = bytes(rows)
+    assert b"endstream" not in raw and b"endobj" not in raw
+    xref = (f"<< /Type /XRef /Size 7 /W [ 1 4 2 ] /Index [ 0 7 ] "
+            f"/Root 1 0 R /Length {len(raw)} >>\nstream\n"
+            f"{raw.decode('latin-1')}endstream")
+    body = (
+        "%PDF-1.5\n"
+        f"3 0 obj\n<< /Length {len(content)} >>\nstream\n{content}endstream\nendobj\n"
+        f"5 0 obj\n{objstm}\nendobj\n"
+    )
+    xref_off = len(body.encode("latin-1"))
+    body += f"6 0 obj\n{xref}\nendobj\n"
+    classic_off = len(body.encode("latin-1"))
+    # classic table: free entries for the packed objnums 1/2/4
+    table = [
+        "xref", "0 7",
+        "0000000000 65535 f ", "0000000000 00000 f ",
+        "0000000000 00000 f ", "0000000009 00000 n ",
+        "0000000000 00000 f ", "0000000100 00000 n ",
+        f"{xref_off:010d} 00000 n ",
+    ]
+    pdf = (
+        body + "\n".join(table)
+        + f"\ntrailer\n<< /Size 7 /Root 1 0 R /XRefStm {xref_off} >>\n"
+        + f"startxref\n{classic_off}\n%%EOF\n"
+    )
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == [
+        ("text", "hybrid recovered", "")
+    ]
+    assert pdf_spans(pdf) == [("text", "hybrid recovered", "")]
+
+
 def test_xref_type2_recovers_corrupt_objstm_header_objnums():
     """The ObjStm header's objnum fields are garbage (all 900+) but the
     xref stream's type-2 entries map the true objnums by index — the

@@ -49,6 +49,21 @@ _PRED_KEY_RE = {
     (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
 }
 _PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+
+# standard security handler (ISO 32000-1 §7.6.3): the trailer's
+# /Encrypt reference, the file identifier, and the encrypt dict keys
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_SIGNED_INT_KEY_RE = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)") for k in
+    (b"V", b"R", b"P", b"Length")
+}
+# one combined pass over literal AND hex strings — a decrypted literal
+# re-emitted with escapes could itself contain <hex>-looking text, so
+# two sequential passes would double-decrypt
+_ANYSTR_RE = re.compile(
+    rb"\(((?:[^()\\]|\\[\s\S])*)\)|<([0-9A-Fa-f\s]*)>", re.S
+)
 _FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_ENTRY_RE = re.compile(rb"/(F\d+)\s+(\d+)\s+0\s+R")
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
@@ -358,13 +373,144 @@ def _unpredict(raw: bytes, parms: bytes) -> bytes:
     return bytes(out)
 
 
+def _string_value(part: bytes) -> bytes:
+    """First string (hex or literal) in ``part``, raw bytes."""
+    m = _ANYSTR_RE.search(part)
+    if m is None:
+        return b""
+    if m.group(1) is not None:
+        return _unescape(m.group(1).decode("latin-1")).encode("latin-1")
+    h = re.sub(rb"\s", b"", m.group(2))
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode())
+
+
+def _esc_literal(b: bytes) -> bytes:
+    """Bytes → PDF literal-string content: backslash-escape the three
+    specials and emit CR/LF as FIXED-WIDTH octal (3 digits, so a
+    following digit byte can't extend the escape)."""
+    out = bytearray()
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([c])
+        elif c == 0x0D:
+            out += b"\\015"
+        elif c == 0x0A:
+            out += b"\\012"
+        else:
+            out.append(c)
+    return bytes(out)
+
+
+def _decrypt_strings(part: bytes, okey: bytes) -> bytes:
+    """RC4-decrypt every string object in a dict region, re-emitting
+    as escaped literals (each string is its own RC4 stream —
+    Algorithm 1 applies the cipher per string, not per object)."""
+    from accountant_pdf_extract_spark.functions.pdfcrypt import rc4
+
+    def repl(m: re.Match) -> bytes:
+        if m.group(1) is not None:
+            val = _unescape(
+                m.group(1).decode("latin-1")
+            ).encode("latin-1")
+        else:
+            h = re.sub(rb"\s", b"", m.group(2))
+            if not h:
+                return m.group(0)  # '<>' inside '<<'/'>>' delimiters
+            if len(h) % 2:
+                h += b"0"
+            val = bytes.fromhex(h.decode())
+        return b"(" + _esc_literal(rc4(okey, val)) + b")"
+
+    return _ANYSTR_RE.sub(repl, part)
+
+
+def _encryption_key(data: bytes, enc_num: int) -> bytes | None:
+    """File key for the EMPTY user password, or None when the document
+    is unreadable here (non-Standard filter, AES/V>2, wrong password,
+    malformed dict) — the caller degrades to a zero-page doc rather
+    than emitting RC4 garbage as text."""
+    from accountant_pdf_extract_spark.functions import pdfcrypt
+
+    bm = re.search(
+        rb"(?<![0-9])" + str(enc_num).encode() + rb"\s+0\s+obj\b(.*?)endobj",
+        data,
+        re.S,
+    )
+    if bm is None:
+        return None
+    ed = bm.group(1)
+    if b"/Standard" not in ed:
+        return None
+
+    def intkey(k: bytes, default: int) -> int:
+        m = _SIGNED_INT_KEY_RE[k].search(ed)
+        return int(m.group(1)) if m else default
+
+    v = intkey(b"V", 0)
+    r = intkey(b"R", 2)
+    p = intkey(b"P", -44)
+    bits = intkey(b"Length", 40)
+    if v not in (1, 2) or r not in (2, 3) or not 40 <= bits <= 128:
+        return None
+    om = re.search(rb"/O\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))", ed, re.S)
+    um = re.search(rb"/U\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))", ed, re.S)
+    if om is None or um is None:
+        return None
+    o_val = _string_value(om.group(1))
+    u_val = _string_value(um.group(1))
+    if len(o_val) < 32 or len(u_val) < 16:
+        return None
+    idm = _ID_RE.search(data)
+    id0 = b""
+    if idm:
+        h = idm.group(1)
+        if len(h) % 2 == 0:
+            id0 = bytes.fromhex(h.decode())
+    fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
+    if not pdfcrypt.check_user_password(u_val, fkey, id0, r):
+        return None
+    return fkey
+
+
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
+    # ---- standard security (RC4, empty user password) ---------------
+    fkey: bytes | None = None
+    enc_num = -1
+    em_ = _ENCRYPT_REF_RE.search(data)
+    if em_:
+        enc_num = int(em_.group(1))
+        fkey = _encryption_key(data, enc_num)
+        if fkey is None:
+            return []  # unreadable (AES / bad pw / malformed) — degrade
+        from accountant_pdf_extract_spark.functions.pdfcrypt import (
+            object_key,
+            rc4,
+        )
+
     objs: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         body = m.group(2)
+        if fkey is not None and num != enc_num:
+            sm0 = _STREAM_RE.search(body)
+            dict0 = body[: sm0.start()] if sm0 else body
+            # xref streams are NEVER encrypted (§7.5.8.2)
+            if b"/Type /XRef" not in dict0:
+                okey = object_key(fkey, num)
+                new_dict = _decrypt_strings(dict0, okey)
+                if sm0:
+                    body = (
+                        new_dict
+                        + body[sm0.start() : sm0.start(1)]
+                        + rc4(okey, sm0.group(1))
+                        + body[sm0.end(1) :]
+                    )
+                else:
+                    body = new_dict
         objs[num] = body
         sm = _STREAM_RE.search(body)
         if sm:

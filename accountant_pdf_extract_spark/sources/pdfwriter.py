@@ -29,6 +29,7 @@ latin-1 plane.
 
 from __future__ import annotations
 
+import re
 import zlib
 from dataclasses import dataclass, field
 
@@ -410,6 +411,101 @@ def _stream_obj(content: str, compress: bool, lzw: bool = False) -> str:
     return f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
 
 
+_WRITER_ESC_RE = re.compile(r"\\([\\()])")  # inverse of _esc
+
+
+def _encrypt_obj_body(body: str, okey: bytes) -> str | None:
+    """Per-object standard-security encryption: dict-part literal
+    strings → RC4 → hex string; stream payload (post-compression) →
+    RC4 (length-preserving, so /Length stays valid).  Returns None on
+    a structural-marker collision in the ciphertext (caller re-rolls
+    the /ID)."""
+    from accountant_pdf_extract_spark.functions.pdfcrypt import rc4
+
+    sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
+    dict_part = body[: sm.start()] if sm else body
+
+    def repl(m: re.Match) -> str:
+        val = _WRITER_ESC_RE.sub(r"\1", m.group(1))
+        return "<" + rc4(okey, val.encode("latin-1")).hex().upper() + ">"
+
+    new_dict = re.sub(
+        r"\(((?:[^()\\]|\\.)*)\)", repl, dict_part, flags=re.S
+    )
+    if sm is None:
+        return new_dict
+    enc = rc4(okey, sm.group(1).encode("latin-1"))
+    if b"endstream" in enc or b"endobj" in enc:
+        return None
+    return (
+        new_dict
+        + body[sm.start() : sm.start(1)]
+        + enc.decode("latin-1")
+        + body[sm.end(1) :]
+    )
+
+
+def _emit_encrypted(objs: list[str], mode: str) -> str:
+    """Classic layout with /Filter /Standard encryption (empty user +
+    owner passwords): every object encrypted per-object, encrypt dict
+    appended, classic xref table + trailer with /Encrypt and /ID."""
+    import hashlib
+
+    from accountant_pdf_extract_spark.functions import pdfcrypt
+
+    bits = {"rc4-40": 40, "rc4-128": 128}[mode]
+    r = 2 if bits == 40 else 3
+    v = 1 if bits == 40 else 2
+    p = -44
+    o_val = pdfcrypt.owner_value(b"", b"", r, bits)
+    enc_num = len(objs) + 1
+    enc_bodies: list[str] = []
+    id0 = b""
+    fkey = b""
+    for attempt in range(64):
+        id0 = hashlib.md5(
+            ("\n".join(objs) + f"|{mode}|{attempt}").encode("latin-1")
+        ).digest()
+        fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
+        enc_bodies = []
+        ok = True
+        for i, body in enumerate(objs, start=1):
+            eb = _encrypt_obj_body(body, pdfcrypt.object_key(fkey, i))
+            if eb is None:
+                ok = False
+                break
+            enc_bodies.append(eb)
+        if ok:
+            break
+    else:  # pragma: no cover — 64 independent keys all colliding
+        raise ValueError("could not find a marker-safe /ID")
+    u_val = pdfcrypt.user_value(fkey, id0, r)
+    length_part = f"/Length {bits} " if v == 2 else ""
+    enc_dict = (
+        f"<< /Filter /Standard /V {v} /R {r} {length_part}"
+        f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> /P {p} >>"
+    )
+    out = ["%PDF-1.4\n"]
+    byte_pos = len("%PDF-1.4\n")
+    offs: dict[int, int] = {}
+    for i, body in enumerate(enc_bodies + [enc_dict], start=1):
+        offs[i] = byte_pos
+        s = f"{i} 0 obj\n{body}\nendobj\n"
+        out.append(s)
+        byte_pos += len(s.encode("latin-1"))
+    size = enc_num + 1
+    table = ["xref", f"0 {size}", "0000000000 65535 f "]
+    for i in range(1, size):
+        table.append(f"{offs[i]:010d} 00000 n ")
+    idh = id0.hex().upper()
+    out.append(
+        "\n".join(table)
+        + f"\ntrailer\n<< /Size {size} /Root 1 0 R /Encrypt {enc_num} 0 R "
+        + f"/ID [ <{idh}> <{idh}> ] >>\nstartxref\n{byte_pos}\n%%EOF\n"
+    )
+    return "".join(out)
+
+
 def build_pdf(
     pages: list[PageBuilder],
     compress: bool = False,
@@ -418,6 +514,7 @@ def build_pdf(
     lzw: bool = False,
     predictor: bool = False,
     hybrid: bool = False,
+    encrypt: str | None = None,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -439,7 +536,15 @@ def build_pdf(
     objects are marked free, a ``trailer`` dict carrying ``/XRefStm``
     pointing at the binary xref stream, and ``startxref`` aimed at the
     classic table — legacy viewers read the table, modern ones the
-    stream (ISO 32000-1 §7.5.8.4)."""
+    stream (ISO 32000-1 §7.5.8.4).
+    ``encrypt`` = ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3)
+    emits a standard-security-encrypted file with EMPTY user and
+    owner passwords (the common e-mailed-invoice case): per-object
+    RC4 over every stream payload (after compression) and dict-part
+    string, a /Filter /Standard encrypt dict, classic xref table and
+    a trailer with /Encrypt + /ID.  The /ID re-rolls deterministically
+    if ciphertext collides with a structural marker.  Classic layout
+    only (objstm/hybrid + encryption raises)."""
     objs: list[str] = []  # objs[i] = body of object i+1
     is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
@@ -513,6 +618,10 @@ def build_pdf(
 
     if hybrid:
         objstm = True  # hybrid rides the ObjStm + xref-stream machinery
+    if encrypt is not None:
+        if objstm:
+            raise ValueError("encryption supports the classic layout only")
+        return _emit_encrypted(objs, encrypt)
     if not objstm:
         out = ["%PDF-1.4"]
         for i, body in enumerate(objs, start=1):

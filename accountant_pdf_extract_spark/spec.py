@@ -136,3 +136,14 @@ WINANSI_HIGH = {
     0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›", 0x9C: "œ",
     0x9E: "ž", 0x9F: "Ÿ",
 }
+
+# Standard security handler padding string (ISO 32000-1 §7.6.3.3,
+# Algorithm 2) — the 32 bytes appended/truncated onto passwords; an
+# EMPTY user password is exactly this pad.  Shared engine/oracle/writer
+# constant (the algorithms themselves are implemented independently).
+PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])

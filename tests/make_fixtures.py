@@ -153,6 +153,15 @@ def handcrafted() -> list[tuple[str, list[tuple[str, str, str, int]]]]:
     assert "/XRefStm" in hyb_pdf and "trailer" in hyb_pdf
     docs.append(("edge-hybrid-xref", [("pdf", hyb_pdf, "", 0)]))
 
+    # standard-security encrypted (empty user password): RC4-40 plain
+    # and RC4-128 + FlateDecode — the common e-mailed-invoice shapes
+    enc40 = build_pdf(pred_pages, encrypt="rc4-40")
+    enc128 = build_pdf(pred_pages, compress=True, encrypt="rc4-128")
+    for e in (enc40, enc128):
+        assert "/Filter /Standard" in e and "Predictor Corp" not in e
+    docs.append(("edge-encrypted-rc4-40", [("pdf", enc40, "", 0)]))
+    docs.append(("edge-encrypted-rc4-128", [("pdf", enc128, "", 0)]))
+
     # interleaving: text, media, pdf, text with explicit offsets reversed
     pg = PageBuilder()
     pg.text(72, 700, "pdf body line")

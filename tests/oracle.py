@@ -156,6 +156,133 @@ def _unpredict(s: str, parms: str) -> str:
     return bytes(out).decode("latin-1")
 
 
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Independent RC4 (KSA + PRGA written from the cipher definition,
+    not shared with the engine's functions/pdfcrypt.py)."""
+    state = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + state[i] + key[i % len(key)]) % 256
+        state[i], state[j] = state[j], state[i]
+    res = bytearray()
+    x = y = 0
+    for b in data:
+        x = (x + 1) % 256
+        y = (y + state[x]) % 256
+        state[x], state[y] = state[y], state[x]
+        res.append(b ^ state[(state[x] + state[y]) % 256])
+    return bytes(res)
+
+
+def _std_sec_key(payload: str, enc_num: int):
+    """File key for the empty user password, or None (unreadable:
+    wrong pw / AES / malformed).  Independent implementation of
+    ISO 32000-1 §7.6.3 Algorithms 2/3/4/5/6; only spec.PDF_PAD is
+    shared with the engine."""
+    import hashlib
+
+    bm = re.search(
+        r"(?<![0-9])%d\s+0\s+obj\b(.*?)endobj" % enc_num, payload, re.S
+    )
+    if not bm or "/Standard" not in bm.group(1):
+        return None
+    ed = bm.group(1)
+
+    def ik(k, d):
+        m = re.search(r"/%s\s+(-?\d+)" % k, ed)
+        return int(m.group(1)) if m else d
+
+    v, r, p, bits = ik("V", 0), ik("R", 2), ik("P", -44), ik("Length", 40)
+    if v not in (1, 2) or r not in (2, 3) or not 40 <= bits <= 128:
+        return None
+
+    def strval(key):
+        m = re.search(
+            r"/%s\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\[\s\S])*)\))"
+            % key, ed, re.S,
+        )
+        if not m:
+            return None
+        if m.group(1) is not None:
+            h = re.sub(r"\s", "", m.group(1))
+            if len(h) % 2:
+                h += "0"
+            return bytes.fromhex(h)
+        return _unesc(m.group(2)).encode("latin-1")
+
+    o_val, u_val = strval("O"), strval("U")
+    if o_val is None or u_val is None or len(o_val) < 32 or len(u_val) < 16:
+        return None
+    idm = re.search(r"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload)
+    id0 = b""
+    if idm and len(idm.group(1)) % 2 == 0:
+        id0 = bytes.fromhex(idm.group(1))
+    n = max(5, min(16, bits // 8))
+    h = hashlib.md5()
+    h.update((spec.PDF_PAD)[:32])  # empty user password = the pad
+    h.update(o_val[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # Algorithm 6: verify the empty user password against /U
+    if r == 2:
+        ok = _rc4(key, spec.PDF_PAD) == u_val[:32]
+    else:
+        u = _rc4(key, hashlib.md5(spec.PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        ok = u[:16] == u_val[:16]
+    return key if ok else None
+
+
+def _obj_key(fkey: bytes, num: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        fkey + num.to_bytes(3, "little") + b"\x00\x00"
+    ).digest()
+    return h[: min(len(fkey) + 5, 16)]
+
+
+def _esc_lit(b: bytes) -> str:
+    out = []
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):
+            out.append("\\" + chr(c))
+        elif c == 0x0D:
+            out.append("\\015")
+        elif c == 0x0A:
+            out.append("\\012")
+        else:
+            out.append(chr(c))
+    return "".join(out)
+
+
+def _decrypt_obj_strings(part: str, okey: bytes) -> str:
+    # one combined literal+hex pass (a decrypted literal could contain
+    # <hex>-looking text; mirrors the engine's single-pass rule)
+    def repl(m):
+        if m.group(1) is not None:
+            val = _unesc(m.group(1)).encode("latin-1")
+        else:
+            h = re.sub(r"\s", "", m.group(2))
+            if not h:
+                return m.group(0)
+            if len(h) % 2:
+                h += "0"
+            val = bytes.fromhex(h)
+        return "(" + _esc_lit(_rc4(okey, val)) + ")"
+
+    return re.sub(
+        r"\(((?:[^()\\]|\\[\s\S])*)\)|<([0-9A-Fa-f\s]*)>", repl, part,
+        flags=re.S,
+    )
+
+
 def _expand_pdf15(objs: dict[int, str], streams: dict[int, str]) -> None:
     """PDF 1.5 structures, string domain (latin-1: 1 char == 1 byte).
 
@@ -638,8 +765,37 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     # Mirror the engine's byte-level view: non-latin-1 chars degrade to
     # '?' (the engine encodes with errors="replace" before parsing).
     payload = payload.encode("latin-1", errors="replace").decode("latin-1")
+    enc_m = re.search(r"/Encrypt\s+(\d+)\s+0\s+R", payload)
+    fkey = None
+    enc_num = -1
+    if enc_m:
+        enc_num = int(enc_m.group(1))
+        fkey = _std_sec_key(payload, enc_num)
+        if fkey is None:
+            return []  # unreadable — degrade (engine mirrors)
     objs = _pdf_objects(payload)
     streams = {}
+    if fkey is not None:
+        for n in list(objs):
+            if n == enc_num:
+                continue
+            body = objs[n]
+            sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
+            dict0 = body[: sm.start()] if sm else body
+            if "/Type /XRef" in dict0:
+                continue  # xref streams are never encrypted
+            okey = _obj_key(fkey, n)
+            nd = _decrypt_obj_strings(dict0, okey)
+            if sm:
+                dec = _rc4(
+                    okey, sm.group(1).encode("latin-1")
+                ).decode("latin-1")
+                objs[n] = (
+                    nd + body[sm.start() : sm.start(1)] + dec
+                    + body[sm.end(1) :]
+                )
+            else:
+                objs[n] = nd
     for n, body in objs.items():
         sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
         if sm:

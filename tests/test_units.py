@@ -1087,6 +1087,66 @@ def test_predictor_filters_cross_validated_and_corrupt_degrades():
     assert [r.text for r in parse_pdf(plain_doc)[0].runs] == ["hi"]
 
 
+def test_encrypted_rc4_roundtrip_matches_oracle():
+    """Standard-security encryption (r4 verdict item 6): RC4-40
+    (V1/R2) and RC4-128 (V2/R3) with EMPTY user+owner passwords —
+    writer encrypts per-object (strings + post-compression streams),
+    parser decrypts, engine ≡ oracle ≡ the unencrypted doc; the
+    plaintext must not appear in the file bytes; the two independent
+    crypto implementations (functions/pdfcrypt.py vs tests/oracle.py)
+    cross-validate each other."""
+    from tests.oracle import oracle_extract
+
+    pages, font = _font_pages()
+    base = build_pdf(pages, font=font)
+    e0, f0 = extract_doc([("pdf", base, "", 0)])
+    for mode, compress in (
+        ("rc4-40", False), ("rc4-40", True),
+        ("rc4-128", False), ("rc4-128", True),
+    ):
+        enc = build_pdf(pages, compress=compress, font=font, encrypt=mode)
+        assert "/Filter /Standard" in enc and "/Encrypt" in enc
+        assert "/ID [ <" in enc
+        # neither page text nor the ToUnicode CMap is readable raw
+        assert "Tj" not in enc.split("stream", 1)[1].split("endstream")[0]
+        e1, f1 = extract_doc([("pdf", enc, "", 0)])
+        o1, of1 = oracle_extract([("pdf", enc, "", 0)])
+        assert e1 == e0 == o1, (mode, compress)
+        assert f1 == f0 == of1
+    # per-object keys actually differ object-to-object
+    from accountant_pdf_extract_spark.functions import pdfcrypt
+
+    fk = pdfcrypt.file_key(b"\x11" * 32, -44, b"id", 3, 128)
+    assert pdfcrypt.object_key(fk, 1) != pdfcrypt.object_key(fk, 2)
+    assert len(fk) == 16
+
+
+def test_encrypted_unreadable_degrades_to_zero_pages():
+    """Wrong password, AES (/V 4), non-Standard filters and malformed
+    encrypt dicts must degrade to a ZERO-PAGE document (never RC4
+    garbage as text), engine ≡ oracle."""
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "secret text")
+    import re
+
+    enc = build_pdf([pg], encrypt="rc4-128")
+
+    def both_empty(doc):
+        e, _ = extract_doc([("pdf", doc, "", 0)])
+        o, _ = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o == [], (e, o)
+
+    both_empty(enc.replace("/U <", "/U <00", 1))          # wrong pw
+    both_empty(enc.replace("/V 2", "/V 4"))               # AES
+    both_empty(enc.replace("/Standard", "/Custom"))       # unknown filter
+    both_empty(re.sub(r"/O <[0-9A-F]*>", "/O <11>", enc))  # short O
+    # a user password that is NOT empty: re-derive U for pw "secret"
+    # by flipping P (key input) without updating U — must degrade
+    both_empty(enc.replace("/P -44", "/P -4"))
+
+
 def test_hybrid_xref_layout_matches_oracle():
     """build_pdf(hybrid=True) — Acrobat's classic-xref-table +
     /XRefStm incremental-save layout (r4 verdict item 5) — parses to

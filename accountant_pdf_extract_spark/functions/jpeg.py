@@ -1,17 +1,22 @@
-"""From-scratch baseline JPEG (DCTDecode) codec — stdlib + numpy only.
+"""From-scratch JPEG (DCTDecode) codec — stdlib + numpy only.
 
-Decode supports the subset scanned-document corpora actually ship:
-baseline sequential DCT (SOF0/SOF1), 8-bit, 1 (grey) or 3 (YCbCr)
-components, 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple DQT/DHT
-segments, byte stuffing, DRI/RSTn restart intervals.  Progressive
-(SOF2), arithmetic coding, 12-bit, and CMYK raise ``ValueError`` —
-the media kernels treat that as an unsupported payload and skip the
-row (same contract as ``functions/png.py``).
+Decode supports the subset scanned-document AND web corpora actually
+ship: baseline sequential DCT (SOF0/SOF1) and progressive DCT (SOF2,
+full spectral selection + successive approximation per T.81 Annex G —
+web-sourced JPEGs are mostly progressive), 8-bit, 1 (grey) or 3
+(YCbCr) components, 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple DQT/DHT
+segments (tables may change between progressive scans), byte
+stuffing, DRI/RSTn restart intervals.  Arithmetic coding, 12-bit,
+hierarchical, and CMYK raise ``ValueError`` — the media kernels treat
+that as an unsupported payload and skip the row (same contract as
+``functions/png.py``).
 
-Encode emits baseline sequential 4:4:4 (grey or YCbCr) with the
-standard Annex-K quantization + Huffman tables, libjpeg quality
-scaling, and byte stuffing — enough for the synthetic corpus and the
-resize kernels to round-trip real JPEG bytes.
+Encode emits baseline sequential (grey or YCbCr, 4:4:4/4:2:0) with
+the standard Annex-K quantization + Huffman tables, libjpeg quality
+scaling, and byte stuffing; ``progressive=True`` emits a 5-stage SOF2
+scan script (split-band spectral selection + one successive-
+approximation level) that exercises every progressive decode path —
+EOBRUN batching, ZRL, buffered correction bits.
 
 Perf shape: FDCT/IDCT are one batched matrix multiply over all 8x8
 blocks of a component; entropy coding is a per-symbol Python loop over
@@ -200,6 +205,35 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("jpeg: truncated structure") from e
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    j = 0
+    while j < len(seg):
+        pq, tq = seg[j] >> 4, seg[j] & 15
+        if pq != 0:
+            raise ValueError("jpeg: 16-bit quant tables unsupported")
+        if j + 65 > len(seg):
+            raise ValueError("jpeg: truncated DQT")
+        qt[tq] = np.frombuffer(
+            seg[j + 1 : j + 65], dtype=np.uint8
+        ).astype(np.int64)
+        j += 65
+
+
+def _parse_dht(seg: bytes, huff: dict) -> None:
+    j = 0
+    while j < len(seg):
+        tc, th = seg[j] >> 4, seg[j] & 15
+        counts = list(seg[j + 1 : j + 17])
+        if len(counts) < 16:
+            raise ValueError("jpeg: truncated DHT")
+        nsym = sum(counts)
+        symbols = list(seg[j + 17 : j + 17 + nsym])
+        if len(symbols) < nsym:
+            raise ValueError("jpeg: truncated DHT symbols")
+        huff[(tc, th)] = _decode_table(counts, symbols)
+        j += 17 + nsym
+
+
 def _decode_structure(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("jpeg: bad SOI")
@@ -228,31 +262,10 @@ def _decode_structure(data: bytes) -> np.ndarray:
             raise ValueError("jpeg: truncated segment")
         i += seg_len
         if marker == 0xDB:  # DQT
-            j = 0
-            while j < len(seg):
-                pq, tq = seg[j] >> 4, seg[j] & 15
-                if pq != 0:
-                    raise ValueError("jpeg: 16-bit quant tables unsupported")
-                if j + 65 > len(seg):
-                    raise ValueError("jpeg: truncated DQT")
-                qt[tq] = np.frombuffer(
-                    seg[j + 1 : j + 65], dtype=np.uint8
-                ).astype(np.int64)
-                j += 65
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:  # DHT
-            j = 0
-            while j < len(seg):
-                tc, th = seg[j] >> 4, seg[j] & 15
-                counts = list(seg[j + 1 : j + 17])
-                if len(counts) < 16:
-                    raise ValueError("jpeg: truncated DHT")
-                nsym = sum(counts)
-                symbols = list(seg[j + 17 : j + 17 + nsym])
-                if len(symbols) < nsym:
-                    raise ValueError("jpeg: truncated DHT symbols")
-                huff[(tc, th)] = _decode_table(counts, symbols)
-                j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline sequential
+            _parse_dht(seg, huff)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit unsupported")
@@ -268,15 +281,22 @@ def _decode_structure(data: bytes) -> np.ndarray:
                     {"id": cid, "h": samp >> 4, "v": samp & 15,
                      "tq": seg[8 + 3 * ci]}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: only baseline sequential supported")
+            raise ValueError(
+                "jpeg: only baseline sequential / progressive supported"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = _read_u16(seg, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if frame["progressive"]:
+                return _decode_progressive(
+                    data, i, seg, frame, qt, huff, restart_interval
+                )
             ns = seg[0]
             scan_tabs = {}
             for si in range(ns):
@@ -290,9 +310,10 @@ def _decode_structure(data: bytes) -> np.ndarray:
     raise ValueError("jpeg: no SOS marker")
 
 
-def _destuff(data: bytes, start: int) -> list[bytes]:
-    """Entropy-coded segments from `start`, split at RSTn markers,
-    byte-stuffing (FF 00) removed."""
+def _destuff(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """(entropy-coded segments from `start` split at RSTn markers with
+    byte-stuffing (FF 00) removed, index of the terminating 0xFF
+    marker byte — or len(data) when the stream just ends)."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
@@ -314,7 +335,7 @@ def _destuff(data: bytes, start: int) -> list[bytes]:
         else:  # EOI or any other marker terminates the scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_scan(data, start, frame, qt, huff, scan_tabs, restart_interval):
@@ -347,7 +368,7 @@ def _decode_scan(data, start, frame, qt, huff, scan_tabs, restart_interval):
         blocks.append(np.zeros((nb, 64), dtype=np.int64))
     counters = [0] * ncomp
 
-    segs = _destuff(data, start)
+    segs, _end = _destuff(data, start)
     seg_i = 0
     br = _BitReader(segs[0])
     pred = [0] * ncomp
@@ -435,6 +456,310 @@ def _decode_scan(data, start, frame, qt, huff, scan_tabs, restart_interval):
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) decoder — T.81 Annex G.2, Huffman coding
+# --------------------------------------------------------------------------
+
+
+def _decode_progressive(data, i, sos_seg, frame, qt, huff, restart_interval):
+    """Accumulate DCT coefficients across every progressive scan
+    (spectral selection + successive approximation), then dequantize /
+    IDCT once.  Coefficient storage is RASTER block order per
+    component over the MCU-padded grid."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    ncomp = len(comps)
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: empty dimensions")
+    if h * w * ncomp > MAX_COMPONENTS:
+        raise ValueError("jpeg: image too large")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+            raise ValueError("jpeg: unsupported sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []  # (bw_pad, bh_pad, bw_comp, bh_comp) per component
+    coeffs = []
+    for c in comps:
+        bw_pad, bh_pad = mcux * c["h"], mcuy * c["v"]
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        grids.append((bw_pad, bh_pad, -(-cw // 8), -(-ch_ // 8)))
+        coeffs.append(np.zeros((bh_pad * bw_pad, 64), dtype=np.int64))
+
+    seg = sos_seg
+    while True:
+        i = _decode_prog_scan(
+            data, i, seg, comps, huff, restart_interval, coeffs, grids,
+            mcux, mcuy,
+        )
+        # marker walk to the next SOS (tables may change between
+        # scans) or EOI
+        nxt = None
+        while i < len(data):
+            if data[i] != 0xFF:
+                raise ValueError("jpeg: marker expected")
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1  # fill bytes
+            marker = data[i + 1] if i + 1 < len(data) else 0xD9
+            i += 2
+            if marker == 0xD9:
+                nxt = "eoi"
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            seg_len = _read_u16(data, i)
+            s2 = data[i + 2 : i + seg_len]
+            if len(s2) != seg_len - 2:
+                raise ValueError("jpeg: truncated segment")
+            i += seg_len
+            if marker == 0xC4:
+                _parse_dht(s2, huff)
+            elif marker == 0xDB:
+                _parse_dqt(s2, qt)
+            elif marker == 0xDD:
+                restart_interval = _read_u16(s2, 0)
+            elif marker == 0xDA:
+                seg = s2
+                nxt = "sos"
+                break
+            # APPn / COM skipped
+        if nxt != "sos":
+            break
+
+    # dequantize + batched IDCT + assemble planes (raster order)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("jpeg: missing quant table")
+        q = np.zeros(64, dtype=np.int64)
+        q[ZIGZAG] = qt[c["tq"]]
+        bl = (coeffs[ci] * q[None, :]).astype(np.float64).reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", _C.T, bl, _C) + 128.0
+        px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+        bw_pad, bh_pad, _bw, _bh = grids[ci]
+        plane = (
+            px.reshape(bh_pad, bw_pad, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_pad * 8, bw_pad * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        return planes[0][:, :, None]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(
+    data, i, seg, comps, huff, restart_interval, coeffs, grids, mcux, mcuy
+):
+    """One progressive scan's entropy data; returns the index of the
+    terminating marker's 0xFF byte."""
+    ns = seg[0]
+    scomps = []  # (ci, dc_table, ac_table)
+    for si in range(ns):
+        cid = seg[1 + 2 * si]
+        tsel = seg[2 + 2 * si]
+        ci = next(
+            (k for k, c in enumerate(comps) if c["id"] == cid), None
+        )
+        if ci is None:
+            raise ValueError("jpeg: scan component not in frame")
+        scomps.append((ci, tsel >> 4, tsel & 15))
+    ss = seg[1 + 2 * ns]
+    se = seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if not (0 <= ss <= se <= 63) or al > 13 or ah > 13:
+        raise ValueError("jpeg: bad progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("jpeg: DC scan must have Se=0")  # G.1.1.1.1
+    if ss > 0 and ns != 1:
+        raise ValueError("jpeg: AC scans are non-interleaved")
+    zz = ZIGZAG
+    segs, end = _destuff(data, i)
+    seg_i = 0
+    br = _BitReader(segs[0])
+
+    def next_segment():
+        nonlocal seg_i, br
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("jpeg: missing restart segment")
+        br = _BitReader(segs[seg_i])
+
+    if ss == 0:
+        # ---- DC scan (interleaved over MCUs, or single-component) ----
+        preds = {ci: 0 for ci, _d, _a in scomps}
+        units = []  # one unit = one MCU (interleaved) or one block
+        if ns > 1:
+            for mi in range(mcux * mcuy):
+                my, mx = divmod(mi, mcux)
+                unit = []
+                for ci, dt, _at in scomps:
+                    c = comps[ci]
+                    bw_pad = grids[ci][0]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * bw_pad + (
+                                mx * c["h"] + bx
+                            )
+                            unit.append((ci, dt, idx))
+                units.append(unit)
+        else:
+            ci, dt, _at = scomps[0]
+            bw_pad, _bh_pad, bw_c, bh_c = grids[ci]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    units.append([(ci, dt, by * bw_pad + bx)])
+        if ah == 0:
+            dtabs = {}
+            for ci, dt, _at in scomps:
+                tab = huff.get((0, dt))
+                if tab is None:
+                    raise ValueError("jpeg: missing huffman table")
+                dtabs[ci] = tab
+        for ui, unit in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                next_segment()
+                preds = {k: 0 for k in preds}
+            for ci, _dt, idx in unit:
+                coef = coeffs[ci][idx]
+                if ah == 0:
+                    e = int(dtabs[ci][br.peek16()])
+                    if e == 0:
+                        raise ValueError("jpeg: bad huffman code")
+                    br.skip(e & 31)
+                    t = e >> 5
+                    preds[ci] += _extend(br.receive(t), t)
+                    coef[0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if br.receive(1):
+                        coef[0] |= 1 << al
+    else:
+        # ---- AC scan (single component, raster block order) ----------
+        ci, _dt, at = scomps[0]
+        atab = huff.get((1, at))
+        if atab is None:
+            raise ValueError("jpeg: missing huffman table")
+        bw_pad, _bh_pad, bw_c, bh_c = grids[ci]
+        eobrun = 0
+        bi = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    next_segment()
+                    eobrun = 0
+                bi += 1
+                coef = coeffs[ci][by * bw_pad + bx]
+                if ah == 0:
+                    eobrun = _ac_first(
+                        coef, br, atab, ss, se, al, eobrun, zz
+                    )
+                else:
+                    eobrun = _ac_refine(
+                        coef, br, atab, ss, se, al, eobrun, zz
+                    )
+    return end
+
+
+def _ac_first(coef, br, atab, ss, se, al, eobrun, zz):
+    """G.2.2: first AC scan of a band — EOBRUN + (run, size) codes."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        e = int(atab[br.peek16()])
+        if e == 0:
+            raise ValueError("jpeg: bad huffman code")
+        br.skip(e & 31)
+        rs = e >> 5
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC index overflow")
+        coef[zz[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(coef, br, atab, ss, se, al, eobrun, zz):
+    """G.1.2.3 coefficient correction: refine already-nonzero
+    coefficients with one bit each while inserting newly-nonzero
+    ±1<<al values; runs count ZERO-history positions only."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(z):
+        if br.receive(1) and not (coef[z] & p1):
+            coef[z] += p1 if coef[z] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            e = int(atab[br.peek16()])
+            if e == 0:
+                raise ValueError("jpeg: bad huffman code")
+            br.skip(e & 31)
+            rs = e >> 5
+            r, s = rs >> 4, rs & 15
+            if s == 0 and r < 15:  # EOBn — FULL count incl. this block
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.receive(r)
+                break
+            if s == 0:
+                val = 0  # ZRL: pass 16 zero-history positions
+            elif s == 1:
+                val = p1 if br.receive(1) else m1
+            else:
+                raise ValueError("jpeg: bad refinement size")
+            while k <= se:
+                z = int(zz[k])
+                if coef[z]:
+                    correct(z)
+                    k += 1
+                    continue
+                if r == 0:
+                    break
+                r -= 1
+                k += 1
+            if s and k <= se:
+                coef[int(zz[k])] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(zz[k])
+            if coef[z]:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 # --------------------------------------------------------------------------
@@ -533,18 +858,223 @@ def _put_block(bw, row, pred, dc_codes, ac_codes) -> int:
     return int(row[0])
 
 
+def _emit_prog_scans(
+    out, coefs, grid_w, samp_hv, c, h, w, xs, ys, pw, ph, dc_codes
+):
+    """Emit the 5-stage progressive scan script (T.81 Annex G
+    encoding, mirroring libjpeg's jcphuff shapes): DC first (Al=1,
+    interleaved), per-component split-band AC first (Al=1), AC
+    refinement (Ah=1, Al=0) with EOBRUN batching + buffered
+    correction bits, DC refinement (raw bits)."""
+    ac = _encode_tables(*_HT_AC_PROG)
+    mcux, mcuy = pw // (8 * xs), ph // (8 * ys)
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            dc_t = 0 if cid == 1 else 1
+            p += bytes([cid, (dc_t << 4) | 0])
+        p += bytes([ss, se, (ah << 4) | al])
+        out.extend(_seg(0xDA, p))
+
+    # unpadded per-component block dims (AC scans cover exactly these)
+    dims = []
+    for ci in range(c):
+        cw = w if ci == 0 else -(-w // xs)
+        ch_ = h if ci == 0 else -(-h // ys)
+        dims.append((-(-cw // 8), -(-ch_ // 8)))
+
+    def mcu_block_order():
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for ci in range(c):
+                sh, sv = samp_hv[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        yield ci, (my * sv + by) * grid_w[ci] + (
+                            mx * sh + bx
+                        )
+
+    # ---- scan 1: DC first, Al=1, interleaved --------------------------
+    sos(list(range(1, c + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * c
+    for ci, bi in mcu_block_order():
+        v = int(coefs[ci][bi][0]) >> 1  # DC point transform: arith shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = abs(diff).bit_length()
+        mag = diff + (1 << t) - 1 if diff < 0 else diff
+        cd, ln = dc_codes[ci][t]
+        bw.put(cd, ln)
+        if t:
+            bw.put(mag, t)
+    bw.flush()
+    out.extend(bw.out)
+
+    # two correction-bit buffers (libjpeg's BE/BR split): "be" bits
+    # belong to the pending EOB run and flush right after its EOBn
+    # code; "br" bits belong to the CURRENT block and flush after its
+    # next emitted symbol — one shared buffer mis-orders them
+    state = {"eobrun": 0, "be": [], "br": []}
+
+    def put_eobrun(bw):
+        if state["eobrun"]:
+            nb = state["eobrun"].bit_length() - 1
+            cd, ln = ac[nb << 4]
+            bw.put(cd, ln)
+            if nb:
+                bw.put(state["eobrun"] & ((1 << nb) - 1), nb)
+            for bit in state["be"]:
+                bw.put(bit, 1)
+            state["eobrun"] = 0
+            state["be"] = []
+
+    def flush_br(bw):
+        for bit in state["br"]:
+            bw.put(bit, 1)
+        state["br"] = []
+
+    # ---- scans 2-3: AC first, Al=1, split band, per component ---------
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(c):
+            bw_c, bh_c = dims[ci]
+            sos([ci + 1], ss, se, 0, 1)
+            bw = _BitWriter()
+            state["eobrun"], state["be"], state["br"] = 0, [], []
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    row = coefs[ci][by * grid_w[ci] + bx]
+                    ts = []
+                    for k in range(ss, se + 1):
+                        v = int(row[k])
+                        ts.append(v // 2 if v >= 0 else -((-v) // 2))
+                    last = -1
+                    for idx, t in enumerate(ts):
+                        if t:
+                            last = idx
+                    if last < 0:
+                        state["eobrun"] += 1
+                        if state["eobrun"] == 0x7FFF:
+                            put_eobrun(bw)
+                        continue
+                    put_eobrun(bw)
+                    r = 0
+                    for idx in range(last + 1):
+                        t = ts[idx]
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            cd, ln = ac[0xF0]
+                            bw.put(cd, ln)
+                            r -= 16
+                        s = abs(t).bit_length()
+                        mag = t + (1 << s) - 1 if t < 0 else t
+                        cd, ln = ac[(r << 4) | s]
+                        bw.put(cd, ln)
+                        bw.put(mag, s)
+                        r = 0
+                    if last < len(ts) - 1:
+                        state["eobrun"] += 1
+                        if state["eobrun"] == 0x7FFF:
+                            put_eobrun(bw)
+            put_eobrun(bw)
+            bw.flush()
+            out.extend(bw.out)
+
+    # ---- scan 4: AC refinement, Ah=1 Al=0, per component --------------
+    for ci in range(c):
+        bw_c, bh_c = dims[ci]
+        sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        state["eobrun"], state["be"], state["br"] = 0, [], []
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                row = coefs[ci][by * grid_w[ci] + bx]
+                ts = [int(row[k]) for k in range(1, 64)]
+                ke = -1  # last newly-nonzero (|t| == 1) position
+                for idx, t in enumerate(ts):
+                    if abs(t) == 1:
+                        ke = idx
+                if ke < 0:
+                    state["eobrun"] += 1
+                    state["be"] += [abs(t) & 1 for t in ts if t]
+                    if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+                        put_eobrun(bw)
+                    continue
+                r = 0
+                for idx in range(ke + 1):
+                    t = ts[idx]
+                    a = abs(t)
+                    if a == 0:
+                        r += 1
+                        continue
+                    # libjpeg shape: emit ZRLs lazily at the NEXT
+                    # nonzero position so each ZRL flushes only the
+                    # correction bits inside its own 16-zero span
+                    while r > 15:
+                        put_eobrun(bw)
+                        cd, ln = ac[0xF0]
+                        bw.put(cd, ln)
+                        r -= 16
+                        flush_br(bw)
+                    if a > 1:
+                        state["br"].append(a & 1)
+                        continue
+                    put_eobrun(bw)
+                    cd, ln = ac[(r << 4) | 1]
+                    bw.put(cd, ln)
+                    bw.put(1 if t > 0 else 0, 1)
+                    flush_br(bw)
+                    r = 0
+                if ke < len(ts) - 1:
+                    state["eobrun"] += 1
+                    state["be"] += [
+                        abs(t) & 1 for t in ts[ke + 1 :] if t
+                    ]
+                    if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+                        put_eobrun(bw)
+        put_eobrun(bw)
+        bw.flush()
+        out.extend(bw.out)
+
+    # ---- scan 5: DC refinement, raw bit per block, interleaved --------
+    sos(list(range(1, c + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, bi in mcu_block_order():
+        bw.put(int(coefs[ci][bi][0]) & 1, 1)
+    bw.flush()
+    out.extend(bw.out)
+
+
+# Progressive AC table: ALL 256 RS symbols — 255 at code length 9 plus
+# one at length 10 (DHT counts are single bytes, so 256-at-one-length
+# is unrepresentable; the split stays a legal canonical code well
+# under the all-ones ceiling).  Annex-K AC tables lack the EOBn
+# symbols (0x10..0xE0) progressive scans emit, so the progressive
+# encoder ships its own table.
+_HT_AC_PROG = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w) / (h, w, 1) grey or (h, w, 3) RGB uint8 → baseline JPEG.
+    """(h, w) / (h, w, 1) grey or (h, w, 3) RGB uint8 → JPEG.
 
     ``subsampling``: '444' (one block per component per MCU) or '420'
     (2x2 Y blocks + box-averaged chroma — the real-world scan default).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (resynchronization points, exercised by the decoder)."""
+    MCUs (resynchronization points, exercised by the decoder).
+    ``progressive=True`` emits SOF2 with a 5-stage scan script (DC
+    first Al=1, split-band AC first Al=1, AC refinement, DC
+    refinement) so every progressive decode path — EOBRUN batching,
+    ZRL, correction bits — is exercised; incompatible with
+    ``restart_interval``."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -552,6 +1082,8 @@ def encode_jpeg(
         raise ValueError(f"unsupported pixel shape {px.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported with progressive")
     h, w, c = px.shape
     if h == 0 or w == 0:
         raise ValueError(f"empty image dimensions {w}x{h}")
@@ -590,22 +1122,29 @@ def encode_jpeg(
     for ci in range(c):
         samp = (ys << 4) | xs if ci == 0 else 0x11
         sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
-    out += _seg(0xC0, sof)
-    for tc, th, (counts, syms) in (
-        (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM),
-        (0, 1, _HT_DC_CHROM), (1, 1, _HT_AC_CHROM),
-    )[: 2 if c == 1 else 4]:
+    out += _seg(0xC2 if progressive else 0xC0, sof)
+    if progressive:
+        tables = [(0, 0, _HT_DC_LUM), (1, 0, _HT_AC_PROG)]
+        if c == 3:
+            tables.insert(1, (0, 1, _HT_DC_CHROM))
+    else:
+        tables = [
+            (0, 0, _HT_DC_LUM), (1, 0, _HT_AC_LUM),
+            (0, 1, _HT_DC_CHROM), (1, 1, _HT_AC_CHROM),
+        ][: 2 if c == 1 else 4]
+    for tc, th, (counts, syms) in tables:
         out += _seg(
             0xC4,
             bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms),
         )
     if restart_interval > 0:
         out += _seg(0xDD, int(restart_interval).to_bytes(2, "big"))
-    sos = bytes([c])
-    for ci in range(c):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += _seg(0xDA, sos)
+    if not progressive:
+        sos = bytes([c])
+        for ci in range(c):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([0, 63, 0])
+        out += _seg(0xDA, sos)
 
     dc_l = _encode_tables(*_HT_DC_LUM)
     ac_l = _encode_tables(*_HT_AC_LUM)
@@ -618,6 +1157,14 @@ def encode_jpeg(
     # per-component block-grid widths (blocks in raster order)
     grid_w = [pw // 8 if ci == 0 else pw // (8 * xs) for ci in range(c)]
     samp_hv = [(xs, ys) if ci == 0 else (1, 1) for ci in range(c)]
+
+    if progressive:
+        _emit_prog_scans(
+            out, coefs, grid_w, samp_hv, c, h, w, xs, ys, pw, ph,
+            [dc_l, dc_c, dc_c],
+        )
+        out += b"\xff\xd9"
+        return bytes(out)
 
     bw = _BitWriter()
     preds = [0] * c

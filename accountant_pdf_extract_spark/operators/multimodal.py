@@ -84,14 +84,21 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                 else:
                     # rotate formats so every decode path runs in every
                     # corpus: PNG filter 0, PNG filter 2 (the two
-                    # vectorized paths), baseline 4:2:0 JPEG
-                    fmt = int(i) % 3
+                    # vectorized paths), baseline 4:2:0 JPEG,
+                    # progressive (SOF2) JPEG — the web-sourced shape
+                    fmt = int(i) % 4
                     if fmt == 2:
                         payload = encode_jpeg(
                             _synth_pixels(w, h, int(i)),
                             subsampling="420",
                             # some JPEGs carry restart markers
                             restart_interval=4 if int(i) % 6 == 5 else 0,
+                        )
+                    elif fmt == 3:
+                        payload = encode_jpeg(
+                            _synth_pixels(w, h, int(i)),
+                            subsampling="420" if int(i) % 8 == 3 else "444",
+                            progressive=True,
                         )
                     else:
                         payload = encode_png(
@@ -114,9 +121,9 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing image decode: PNG or baseline JPEG (DCTDecode)
-    → (h, w, c) uint8.  Anything else raises ValueError (the kernels
-    skip the row)."""
+    """Magic-sniffing image decode: PNG or JPEG (baseline or
+    progressive DCTDecode) → (h, w, c) uint8.  Anything else raises
+    ValueError (the kernels skip the row)."""
     if data[:8] == PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":

@@ -1389,12 +1389,18 @@ def test_jpeg_rejects_corrupt_and_unsupported():
                 enc[:200]):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
-    # progressive marker (SOF2) must be refused, not mis-decoded
+    # SOF2 on a baseline-style SOS (Ss=0,Se=63) is a malformed
+    # progressive scan script — rejected, not mis-decoded
     prog = bytearray(enc)
     sof = prog.index(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+    # genuinely unsupported frame type (SOF3 lossless)
+    lossless = bytearray(enc)
+    lossless[sof + 1] = 0xC3
+    with pytest.raises(ValueError, match="supported"):
+        decode_jpeg(bytes(lossless))
     # huge-dims bomb guard: patch SOF dims to 60000x60000
     bomb = bytearray(enc)
     bomb[sof + 5 : sof + 9] = (60000).to_bytes(2, "big") * 2
@@ -1410,6 +1416,72 @@ def test_jpeg_rejects_corrupt_and_unsupported():
     assert enc.endswith(b"\xff\xd9")
     with pytest.raises(ValueError):
         decode_jpeg(enc[:-3] + b"\xff\xd9")
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) decode (r4 verdict item 7): the 5-stage
+    scan script (DC first Al=1, split-band AC first, AC refinement
+    with EOBRUN batching + correction bits, DC refinement) decodes to
+    EXACTLY the pixels the baseline path produces from identical
+    coefficients — grey + color, 4:4:4 + 4:2:0, odd dims, low quality
+    (dense EOBRUNs) and high quality (dense coefficients)."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape, sub in (
+        ((8, 8, 1), "444"), ((33, 41, 3), "444"),
+        ((33, 41, 3), "420"), ((64, 80, 3), "420"),
+    ):
+        if shape[2] == 1:
+            img = rng.integers(0, 256, shape[:2], dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+            img = np.stack(
+                [(yy * 3 + xx * 2) % 256, (yy * 5) % 256, (xx * 7) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            img = np.clip(
+                img.astype(int) + rng.integers(-20, 20, shape), 0, 255
+            ).astype(np.uint8)
+        for q in (30, 95):
+            base = encode_jpeg(img, quality=q, subsampling=sub)
+            prog = encode_jpeg(
+                img, quality=q, subsampling=sub, progressive=True
+            )
+            assert b"\xff\xc2" in prog and b"\xff\xc2" not in base
+            assert np.array_equal(decode_jpeg(base), decode_jpeg(prog)), (
+                shape, sub, q,
+            )
+
+
+def test_jpeg_progressive_rejects_corrupt():
+    """Truncated / malformed progressive streams raise ValueError
+    (skip-the-row contract), never emit garbage pixels."""
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _grad_rgb(32, 32)
+    prog = encode_jpeg(img, progressive=True)
+    assert prog.endswith(b"\xff\xd9")
+    for bad in (prog[:60], prog[: len(prog) // 2], prog[:-4] + b"\xff\xd9"):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # an AC scan claiming multiple components is malformed (G.1.1.1.1)
+    sos = prog.index(b"\xff\xda")
+    # progressive + restart is refused by the encoder
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, restart_interval=4)
+    assert sos > 0
 
 
 def test_jpeg_fill_bytes_before_marker_ok():

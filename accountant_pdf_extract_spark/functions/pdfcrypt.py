@@ -19,9 +19,9 @@ import hashlib
 from accountant_pdf_extract_spark import spec
 
 
-def rc4(key: bytes, data: bytes) -> bytes:
-    """Plain RC4 (the PDF 'V2' cipher) — symmetric, so this is both
-    encrypt and decrypt."""
+def _rc4_py(key: bytes, data: bytes) -> bytes:
+    """Pure-Python RC4 — reference implementation and portable
+    fallback (also the self-check oracle for the libcrypto path)."""
     s = list(range(256))
     j = 0
     kl = len(key)
@@ -36,6 +36,52 @@ def rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+# libcrypto fast path: the legacy RC4_set_key/RC4 symbols are direct
+# (not provider-gated) and ~100x the pure-Python byte loop, which
+# otherwise costs ~20% of the whole extraction kernel on an
+# encrypted-doc corpus.  Verified against _rc4_py at import; any
+# failure (missing lib, stubbed symbols, wrong output) silently keeps
+# the portable fallback.
+_rc4_native = None
+try:  # pragma: no cover - exercised implicitly by every rc4() call
+    import ctypes
+    import ctypes.util
+
+    _name = ctypes.util.find_library("crypto")
+    if _name:
+        _lc = ctypes.CDLL(_name)
+        _lc.RC4_set_key.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+        ]
+        _lc.RC4_set_key.restype = None
+        _lc.RC4.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p,
+            ctypes.c_char_p,
+        ]
+        _lc.RC4.restype = None
+
+        def _rc4_ossl(key: bytes, data: bytes) -> bytes:
+            st = ctypes.create_string_buffer(2048)  # >= rc4_key_st
+            _lc.RC4_set_key(st, len(key), key)
+            out = ctypes.create_string_buffer(len(data))
+            _lc.RC4(st, len(data), data, out)
+            return out.raw
+
+        _probe_k, _probe_d = b"\x01\x02\x03\x04\x05", bytes(range(64))
+        if _rc4_ossl(_probe_k, _probe_d) == _rc4_py(_probe_k, _probe_d):
+            _rc4_native = _rc4_ossl
+except Exception:
+    _rc4_native = None
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the PDF 'V2' cipher) — symmetric, so this is both
+    encrypt and decrypt."""
+    if _rc4_native is not None:
+        return _rc4_native(key, data)
+    return _rc4_py(key, data)
 
 
 def _padded(pw: bytes) -> bytes:

@@ -1119,6 +1119,12 @@ def test_encrypted_rc4_roundtrip_matches_oracle():
     fk = pdfcrypt.file_key(b"\x11" * 32, -44, b"id", 3, 128)
     assert pdfcrypt.object_key(fk, 1) != pdfcrypt.object_key(fk, 2)
     assert len(fk) == 16
+    # the libcrypto fast path (when bound) must equal the pure-Python
+    # reference on every size, incl. empty and sub-KSA-length data
+    for sz in (0, 1, 16, 300, 4096):
+        d = bytes((i * 7 + 3) & 0xFF for i in range(sz))
+        assert pdfcrypt.rc4(fk, d) == pdfcrypt._rc4_py(fk, d)
+        assert pdfcrypt.rc4(fk, pdfcrypt.rc4(fk, d)) == d
 
 
 def test_encrypted_unreadable_degrades_to_zero_pages():

@@ -78,15 +78,31 @@ _BFRANGE_TRIPLE_RE = re.compile(
 )
 
 # Content-stream token: a (string), a [TJ array], a number, or an op.
+# Branch 1 (groups 1-5) is a FUSED fast path for the dominant
+# single-run idiom `BT /F1 12 Tf 72 708 Td (text) Tj ET`: one regex
+# match instead of ten, which removes ~90% of loop iterations on
+# writer-shaped content.  It is semantics-preserving by construction:
+# wherever it matches, the plain branches would have produced exactly
+# those ten tokens (every operator is whitespace-delimited in the
+# match, the string group ends at the same unescaped `)` the plain
+# string branch would stop at, and the trailing lookahead keeps `ET`
+# from being split off a longer operator run like `ET'`), and the
+# handler replays the identical state transitions — including the
+# malformed open-TJ-array corner, see _parse_content.
+_NUM_PAT = r"[-+]?\d*\.?\d+"
+_STR_PAT = r"(?:[^()\\]|\\[\s\S])*"
 _TOK_RE = re.compile(
-    r"""\(((?:[^()\\]|\\[\s\S])*)\)  # 1: literal string (escape may
+    rf"""\bBT\s+/([A-Za-z0-9]+)\s+({_NUM_PAT})\s+Tf\s+
+        ({_NUM_PAT})\s+({_NUM_PAT})\s+Td\s*
+        \(({_STR_PAT})\)\s*Tj\s+ET(?![A-Za-z'"*])  # 1-5: fused run
+      | \(({_STR_PAT})\)            # 6: literal string (escape may
                                     #    be a line-continuation EOL)
-      | (\[)                        # 2: TJ array opens
-      | (\])                        # 3: TJ array closes
-      | (/[A-Za-z0-9]+)             # 4: name
-      | ([-+]?\d*\.?\d+)            # 5: number
-      | ([A-Za-z'"*]+)              # 6: operator
-      | <([0-9A-Fa-f\s]*)>          # 7: hex string
+      | (\[)                        # 7: TJ array opens
+      | (\])                        # 8: TJ array closes
+      | (/[A-Za-z0-9]+)             # 9: name
+      | ({_NUM_PAT})                # 10: number
+      | ([A-Za-z'"*]+)              # 11: operator
+      | <([0-9A-Fa-f\s]*)>          # 12: hex string
     """,
     re.X,
 )
@@ -760,13 +776,39 @@ def _parse_content(
             w = spec.CHAR_W_FACTOR * size * tz * len(txt)
             tm = (a, b, tm[2], tm[3], tm[4] + w * a, tm[5] + w * b)
 
-    # Dispatch on m.lastindex (the single alternation group that
-    # matched) instead of unpacking all 7 groups per token; branch
-    # order = measured token frequency (ops ≈ 45%, numbers ≈ 36%).
+    # Dispatch on m.lastindex (the highest-numbered group that
+    # matched) instead of unpacking all groups per token; branch
+    # order = measured token frequency (fused runs collapse ~80% of
+    # tokens, then ops, then numbers).
     for m in _TOK_RE.finditer(content):
         gi = m.lastindex
-        if gi == 6:  # operator
-            op = m.group(6)
+        if gi == 5:  # fused `BT /F sz Tf x y Td (s) Tj ET` run
+            fname = m.group(1)
+            names.append(fname)
+            cur_cid, cur_map = font_maps.get(fname, (False, None))
+            if in_array:
+                # inside an unclosed TJ array (malformed stream) the
+                # plain branches route the three numbers and the
+                # string into tj_parts while the operators fire on
+                # stacks BT just cleared — replay that exactly
+                tlm = tm = _IDENT
+                tj_parts.append((False, float(m.group(2))))
+                tj_parts.append((False, float(m.group(3))))
+                tj_parts.append((False, float(m.group(4))))
+                tj_parts.append((True, _unescape(m.group(5))))
+            else:
+                size = float(m.group(2))
+                tlm = tm = (
+                    1.0, 0.0, 0.0, 1.0,
+                    float(m.group(3)), float(m.group(4)),
+                )
+                emit(_unescape(m.group(5)))
+            if nums:
+                nums = []
+            if strings:
+                strings = []
+        elif gi == 11:  # operator
+            op = m.group(11)
             if op == "Td":
                 if len(nums) >= 2:
                     tx, ty = nums[-2], nums[-1]
@@ -863,27 +905,27 @@ def _parse_content(
                 strings = []
             if op == "Do" and names:
                 names = []
-        elif gi == 5:  # number
-            v = float(m.group(5))
+        elif gi == 10:  # number
+            v = float(m.group(10))
             if in_array:
                 tj_parts.append((False, v))
             else:
                 nums.append(v)
-        elif gi == 1:  # literal string
-            s = _unescape(m.group(1))
+        elif gi == 6:  # literal string
+            s = _unescape(m.group(6))
             if in_array:
                 tj_parts.append((True, s))
             else:
                 strings.append(s)
-        elif gi == 4:  # /Name
-            names.append(m.group(4)[1:])
-        elif gi == 2:  # TJ array opens
+        elif gi == 9:  # /Name
+            names.append(m.group(9)[1:])
+        elif gi == 7:  # TJ array opens
             in_array = True
             tj_parts = []
-        elif gi == 3:  # TJ array closes
+        elif gi == 8:  # TJ array closes
             in_array = False
-        else:  # gi == 7: hex string
-            s = _hex_to_str(m.group(7))
+        else:  # gi == 12: hex string
+            s = _hex_to_str(m.group(12))
             if in_array:
                 tj_parts.append((True, s))
             else:

@@ -419,11 +419,12 @@ def _esc_literal(b: bytes) -> bytes:
     return bytes(out)
 
 
-def _decrypt_strings(part: bytes, okey: bytes) -> bytes:
-    """RC4-decrypt every string object in a dict region, re-emitting
-    as escaped literals (each string is its own RC4 stream —
-    Algorithm 1 applies the cipher per string, not per object)."""
-    from accountant_pdf_extract_spark.functions.pdfcrypt import rc4
+def _decrypt_strings(part: bytes, decrypt) -> bytes:
+    """Decrypt every string object in a dict region with the supplied
+    per-value cipher callable (RC4 or AES-CBC), re-emitting as escaped
+    literals (Algorithm 1 applies the cipher per string, not per
+    object).  A value the cipher rejects (AES framing/pad ValueError)
+    degrades to an empty string — never garbage text."""
 
     def repl(m: re.Match) -> bytes:
         if m.group(1) is not None:
@@ -437,16 +438,21 @@ def _decrypt_strings(part: bytes, okey: bytes) -> bytes:
             if len(h) % 2:
                 h += b"0"
             val = bytes.fromhex(h.decode())
-        return b"(" + _esc_literal(rc4(okey, val)) + b")"
+        try:
+            return b"(" + _esc_literal(decrypt(val)) + b")"
+        except ValueError:
+            return b"()"
 
     return _ANYSTR_RE.sub(repl, part)
 
 
-def _encryption_key(data: bytes, enc_num: int) -> bytes | None:
-    """File key for the EMPTY user password, or None when the document
-    is unreadable here (non-Standard filter, AES/V>2, wrong password,
-    malformed dict) — the caller degrades to a zero-page doc rather
-    than emitting RC4 garbage as text."""
+def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
+    """(file key, cipher) for the EMPTY user password — cipher is
+    ``"rc4"`` (V1/V2, or V4 with /CFM /V2), ``"aesv2"`` (V4 R4) or
+    ``"aesv3"`` (V5 R6) — or None when the document is unreadable here
+    (non-Standard filter, unknown V/R/CFM, wrong password, malformed
+    dict, failed /Perms tamper check) — the caller degrades to a
+    zero-page doc rather than emitting cipher garbage as text."""
     from accountant_pdf_extract_spark.functions import pdfcrypt
 
     bm = re.search(
@@ -464,18 +470,36 @@ def _encryption_key(data: bytes, enc_num: int) -> bytes | None:
         m = _SIGNED_INT_KEY_RE[k].search(ed)
         return int(m.group(1)) if m else default
 
+    def strkey(key: bytes) -> bytes | None:
+        m = re.search(
+            rb"/" + key + rb"\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))",
+            ed,
+            re.S,
+        )
+        return None if m is None else _string_value(m.group(1))
+
     v = intkey(b"V", 0)
     r = intkey(b"R", 2)
     p = intkey(b"P", -44)
+    o_val = strkey(b"O")
+    u_val = strkey(b"U")
+    if o_val is None or u_val is None:
+        return None
+
+    if v == 5:
+        # ---- AES-256 (ISO 32000-2, /CFM /AESV3, R6) ----------------
+        if r != 6 or b"/AESV3" not in ed:
+            return None
+        ue_val = strkey(b"UE")
+        perms = strkey(b"Perms")
+        if ue_val is None or perms is None:
+            return None
+        fkey = pdfcrypt.r6_auth_user(u_val, ue_val)
+        if fkey is None or not pdfcrypt.r6_check_perms(perms, fkey):
+            return None
+        return fkey, "aesv3"
+
     bits = intkey(b"Length", 40)
-    if v not in (1, 2) or r not in (2, 3) or not 40 <= bits <= 128:
-        return None
-    om = re.search(rb"/O\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))", ed, re.S)
-    um = re.search(rb"/U\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))", ed, re.S)
-    if om is None or um is None:
-        return None
-    o_val = _string_value(om.group(1))
-    u_val = _string_value(um.group(1))
     if len(o_val) < 32 or len(u_val) < 16:
         return None
     idm = _ID_RE.search(data)
@@ -484,25 +508,50 @@ def _encryption_key(data: bytes, enc_num: int) -> bytes | None:
         h = idm.group(1)
         if len(h) % 2 == 0:
             id0 = bytes.fromhex(h.decode())
+
+    if v == 4:
+        # ---- V4 crypt filters: /StdCF /CFM is AESV2 or V2(RC4) -----
+        if r != 4 or not 40 <= bits <= 128:
+            return None
+        if b"/AESV2" in ed:
+            cipher = "aesv2"
+        elif re.search(rb"/CFM\s*/V2\b", ed):
+            cipher = "rc4"
+        else:
+            return None
+        # /EncryptMetadata false (non-default) changes the Algorithm-2
+        # hash; unsupported here — the derived key fails the /U check
+        # below and the document degrades rather than mis-decodes.
+    elif v in (1, 2):
+        if r not in (2, 3) or not 40 <= bits <= 128:
+            return None
+        cipher = "rc4"
+    else:
+        return None
+
     fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
     if not pdfcrypt.check_user_password(u_val, fkey, id0, r):
         return None
-    return fkey
+    return fkey, cipher
 
 
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
-    # ---- standard security (RC4, empty user password) ---------------
+    # ---- standard security (RC4 / AES, empty user password) ---------
     fkey: bytes | None = None
+    cipher = ""
     enc_num = -1
     em_ = _ENCRYPT_REF_RE.search(data)
     if em_:
         enc_num = int(em_.group(1))
-        fkey = _encryption_key(data, enc_num)
-        if fkey is None:
-            return []  # unreadable (AES / bad pw / malformed) — degrade
+        fc = _encryption_key(data, enc_num)
+        if fc is None:
+            return []  # unreadable (bad pw / unknown filter) — degrade
+        fkey, cipher = fc
         from accountant_pdf_extract_spark.functions.pdfcrypt import (
+            aes_decrypt_value,
             object_key,
+            object_key_aes,
             rc4,
         )
 
@@ -516,13 +565,24 @@ def parse_pdf(data: bytes) -> list[Page]:
             dict0 = body[: sm0.start()] if sm0 else body
             # xref streams are NEVER encrypted (§7.5.8.2)
             if b"/Type /XRef" not in dict0:
-                okey = object_key(fkey, num)
-                new_dict = _decrypt_strings(dict0, okey)
+                if cipher == "rc4":
+                    okey = object_key(fkey, num)
+                    dec = lambda v, k=okey: rc4(k, v)  # noqa: E731
+                elif cipher == "aesv2":
+                    okey = object_key_aes(fkey, num)
+                    dec = lambda v, k=okey: aes_decrypt_value(k, v)  # noqa: E731
+                else:  # aesv3: the file key encrypts every object
+                    dec = lambda v: aes_decrypt_value(fkey, v)  # noqa: E731
+                new_dict = _decrypt_strings(dict0, dec)
                 if sm0:
+                    try:
+                        payload = dec(sm0.group(1))
+                    except ValueError:
+                        payload = b""  # malformed AES framing — degrade
                     body = (
                         new_dict
                         + body[sm0.start() : sm0.start(1)]
-                        + rc4(okey, sm0.group(1))
+                        + payload
                         + body[sm0.end(1) :]
                     )
                 else:

@@ -414,29 +414,55 @@ def _stream_obj(content: str, compress: bool, lzw: bool = False) -> str:
 _WRITER_ESC_RE = re.compile(r"\\([\\()])")  # inverse of _esc
 
 
-def _encrypt_obj_body(body: str, okey: bytes) -> str | None:
+def _encrypt_obj_body(
+    body: str, okey: bytes, aes_ivseed: bytes | None = None
+) -> str | None:
     """Per-object standard-security encryption: dict-part literal
-    strings → RC4 → hex string; stream payload (post-compression) →
-    RC4 (length-preserving, so /Length stays valid).  Returns None on
-    a structural-marker collision in the ciphertext (caller re-rolls
-    the /ID)."""
-    from accountant_pdf_extract_spark.functions.pdfcrypt import rc4
+    strings → cipher → hex string; stream payload (post-compression)
+    → cipher.  RC4 is length-preserving; AES (``aes_ivseed`` set)
+    grows each value by IV+padding, so the stream dict's /Length is
+    rewritten to the ciphertext size.  AES IVs are deterministic
+    per-value (MD5 of seed + a per-value counter) so fixture bytes
+    are reproducible; the seed folds the /ID re-roll attempt, giving
+    fresh IVs on marker collisions.  Returns None on a structural-
+    marker collision in the ciphertext (caller re-rolls the /ID)."""
+    import hashlib
+
+    from accountant_pdf_extract_spark.functions.pdfcrypt import (
+        aes_encrypt_value,
+        rc4,
+    )
+
+    counter = [0]
+
+    def cipher(val: bytes) -> bytes:
+        if aes_ivseed is None:
+            return rc4(okey, val)
+        iv = hashlib.md5(
+            aes_ivseed + counter[0].to_bytes(4, "little")
+        ).digest()
+        counter[0] += 1
+        return aes_encrypt_value(okey, iv, val)
 
     sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
     dict_part = body[: sm.start()] if sm else body
 
     def repl(m: re.Match) -> str:
         val = _WRITER_ESC_RE.sub(r"\1", m.group(1))
-        return "<" + rc4(okey, val.encode("latin-1")).hex().upper() + ">"
+        return "<" + cipher(val.encode("latin-1")).hex().upper() + ">"
 
     new_dict = re.sub(
         r"\(((?:[^()\\]|\\.)*)\)", repl, dict_part, flags=re.S
     )
     if sm is None:
         return new_dict
-    enc = rc4(okey, sm.group(1).encode("latin-1"))
+    enc = cipher(sm.group(1).encode("latin-1"))
     if b"endstream" in enc or b"endobj" in enc:
         return None
+    if aes_ivseed is not None:
+        new_dict = re.sub(
+            r"/Length\s+\d+", f"/Length {len(enc)}", new_dict, count=1
+        )
     return (
         new_dict
         + body[sm.start() : sm.start(1)]
@@ -448,29 +474,66 @@ def _encrypt_obj_body(body: str, okey: bytes) -> str | None:
 def _emit_encrypted(objs: list[str], mode: str) -> str:
     """Classic layout with /Filter /Standard encryption (empty user +
     owner passwords): every object encrypted per-object, encrypt dict
-    appended, classic xref table + trailer with /Encrypt and /ID."""
+    appended, classic xref table + trailer with /Encrypt and /ID.
+    Modes: ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3), ``aes-128``
+    (V4/R4 /CFM /AESV2), ``aes-256`` (V5/R6 /CFM /AESV3)."""
     import hashlib
 
     from accountant_pdf_extract_spark.functions import pdfcrypt
 
-    bits = {"rc4-40": 40, "rc4-128": 128}[mode]
-    r = 2 if bits == 40 else 3
-    v = 1 if bits == 40 else 2
+    bits = {"rc4-40": 40, "rc4-128": 128, "aes-128": 128, "aes-256": 256}[
+        mode
+    ]
+    v, r = {
+        "rc4-40": (1, 2),
+        "rc4-128": (2, 3),
+        "aes-128": (4, 4),
+        "aes-256": (5, 6),
+    }[mode]
     p = -44
-    o_val = pdfcrypt.owner_value(b"", b"", r, bits)
+    o_val = b"" if v == 5 else pdfcrypt.owner_value(b"", b"", r, bits)
     enc_num = len(objs) + 1
     enc_bodies: list[str] = []
     id0 = b""
     fkey = b""
+    u_val = o_val
+    ue_val = oe_val = perms = b""
     for attempt in range(64):
-        id0 = hashlib.md5(
-            ("\n".join(objs) + f"|{mode}|{attempt}").encode("latin-1")
-        ).digest()
-        fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
+        seed = ("\n".join(objs) + f"|{mode}|{attempt}").encode("latin-1")
+        id0 = hashlib.md5(seed).digest()
+        if v == 5:
+            # R6: the file key is random per the spec — deterministic
+            # here for reproducible fixtures; salts likewise
+            fkey = hashlib.md5(seed + b"K0").digest() + hashlib.md5(
+                seed + b"K1"
+            ).digest()
+            vs = hashlib.md5(seed + b"VS").digest()[:8]
+            ks = hashlib.md5(seed + b"KS").digest()[:8]
+            u_val, ue_val = pdfcrypt.r6_user_entries(fkey, vs, ks)
+            o_val, oe_val = pdfcrypt.r6_owner_entries(
+                fkey, u_val, vs, ks
+            )
+            perms = pdfcrypt.r6_perms(fkey, p)
+        else:
+            fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
         enc_bodies = []
         ok = True
         for i, body in enumerate(objs, start=1):
-            eb = _encrypt_obj_body(body, pdfcrypt.object_key(fkey, i))
+            if mode == "aes-256":
+                okey: bytes = fkey
+            elif mode == "aes-128":
+                okey = pdfcrypt.object_key_aes(fkey, i)
+            else:
+                okey = pdfcrypt.object_key(fkey, i)
+            eb = _encrypt_obj_body(
+                body,
+                okey,
+                aes_ivseed=(
+                    id0 + i.to_bytes(4, "little")
+                    if mode.startswith("aes")
+                    else None
+                ),
+            )
             if eb is None:
                 ok = False
                 break
@@ -479,12 +542,31 @@ def _emit_encrypted(objs: list[str], mode: str) -> str:
             break
     else:  # pragma: no cover — 64 independent keys all colliding
         raise ValueError("could not find a marker-safe /ID")
-    u_val = pdfcrypt.user_value(fkey, id0, r)
-    length_part = f"/Length {bits} " if v == 2 else ""
-    enc_dict = (
-        f"<< /Filter /Standard /V {v} /R {r} {length_part}"
-        f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> /P {p} >>"
-    )
+    if v == 5:
+        enc_dict = (
+            "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> "
+            f"/OE <{oe_val.hex().upper()}> /UE <{ue_val.hex().upper()}> "
+            f"/Perms <{perms.hex().upper()}> /P {p} >>"
+        )
+    elif v == 4:
+        u_val = pdfcrypt.user_value(fkey, id0, r)
+        enc_dict = (
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> "
+            f"/P {p} >>"
+        )
+    else:
+        u_val = pdfcrypt.user_value(fkey, id0, r)
+        length_part = f"/Length {bits} " if v == 2 else ""
+        enc_dict = (
+            f"<< /Filter /Standard /V {v} /R {r} {length_part}"
+            f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> /P {p} >>"
+        )
     out = ["%PDF-1.4\n"]
     byte_pos = len("%PDF-1.4\n")
     offs: dict[int, int] = {}

@@ -220,13 +220,19 @@ def make_invoice_pdf(
         # 1-page docs objstm mostly selects), gated on objstm's own
         # key so the corpus layout mix stays stable
         hybrid=len(pages) % 5 == 1 and due.day % 3 == 1,
-        # ~1/3 of classic-layout docs are standard-security encrypted
+        # ~half of classic-layout docs are standard-security encrypted
         # with an empty user password (the e-mailed-invoice case):
-        # base months 1/7 → RC4-40 (V1/R2), 2/8 → RC4-128 (V2/R3);
-        # keyed off the already-drawn invoice date, no rng draw
+        # base months 1/7 → RC4-40 (V1/R2), 2/8 → RC4-128 (V2/R3),
+        # 3/9 → AES-128 (V4/R4 /CFM /AESV2); keyed off the
+        # already-drawn invoice date, no rng draw.  AES-256 (V5/R6)
+        # stays unit-fixture-only: the oracle's independent
+        # Algorithm-2.B KDF is seconds per doc by design (bitwise
+        # textbook AES), which would dominate the randomized audit.
         encrypt=(
             None if len(pages) % 5 == 1
-            else {1: "rc4-40", 2: "rc4-128"}.get(base.month % 6)
+            else {1: "rc4-40", 2: "rc4-128", 3: "aes-128"}.get(
+                base.month % 6
+            )
         ),
     )
 

@@ -147,3 +147,9 @@ PDF_PAD = bytes([
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
 ])
+
+# /AESV2 per-object key salt (ISO 32000-1 §7.6.2 Algorithm 1 step a):
+# the 4 bytes 0x73 0x41 0x6C 0x54 ("sAlT") appended after the object
+# number/generation bytes before the MD5.  Shared engine/oracle/writer
+# constant like PDF_PAD.
+PDF_AES_SALT = b"sAlT"

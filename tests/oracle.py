@@ -174,11 +174,177 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(res)
 
 
+# ---------------------------------------------------------------- AES twin
+# Independent AES (FIPS 197) written in the textbook state-matrix
+# style: bitwise GF(2^8) multiply, S-box found by brute-force inverse
+# search, explicit SubBytes/ShiftRows/MixColumns steps, and the plain
+# inverse cipher (InvShiftRows->InvSubBytes->AddRoundKey->InvMixCols)
+# — deliberately NOT the engine's log/exp-table + fused-T-table +
+# equivalent-inverse-schedule structure (functions/aes.py).  Shares
+# only spec.PDF_PAD / spec.PDF_AES_SALT, like the RC4 twin above.
+
+
+def _gfm(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+def _make_sbox() -> tuple[list[int], list[int]]:
+    sbox = [0x63] * 256  # affine of inverse(0)=0 is 0x63
+    for a in range(1, 256):
+        inv = next(b for b in range(1, 256) if _gfm(a, b) == 1)
+        v = 0x63
+        for sh in range(5):
+            v ^= ((inv << sh) | (inv >> (8 - sh))) & 0xFF
+        sbox[a] = v
+    invbox = [0] * 256
+    for i, s in enumerate(sbox):
+        invbox[s] = i
+    return sbox, invbox
+
+
+_SBOX, _INV_SBOX = _make_sbox()
+
+
+def _aes_round_keys(key: bytes) -> list[list[int]]:
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcons = [1]
+    while len(rcons) < 14:
+        rcons.append(_gfm(rcons[-1], 2))
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_SBOX[x] for x in t[1:] + t[:1]]
+            t[0] ^= rcons[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[x] for x in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [
+        sum((w[4 * r + c] for c in range(4)), []) for r in range(nr + 1)
+    ]
+
+
+def _shift_rows(s: list[int], inv: bool = False) -> list[int]:
+    out = [0] * 16
+    for r in range(4):
+        for c in range(4):
+            src = (c - r) % 4 if inv else (c + r) % 4
+            out[r + 4 * c] = s[r + 4 * src]
+    return out
+
+
+def _mix_cols(s: list[int], inv: bool = False) -> list[int]:
+    mat = (14, 11, 13, 9) if inv else (2, 3, 1, 1)
+    out = [0] * 16
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _gfm(col[0], mat[(0 - r) % 4])
+                ^ _gfm(col[1], mat[(1 - r) % 4])
+                ^ _gfm(col[2], mat[(2 - r) % 4])
+                ^ _gfm(col[3], mat[(3 - r) % 4])
+            )
+    return out
+
+
+def _aes_enc_block(rks: list[list[int]], blk: bytes) -> bytes:
+    s = [a ^ b for a, b in zip(blk, rks[0])]
+    for rk in rks[1:-1]:
+        s = _mix_cols(_shift_rows([_SBOX[x] for x in s]))
+        s = [a ^ b for a, b in zip(s, rk)]
+    s = _shift_rows([_SBOX[x] for x in s])
+    return bytes(a ^ b for a, b in zip(s, rks[-1]))
+
+
+def _aes_dec_block(rks: list[list[int]], blk: bytes) -> bytes:
+    s = [a ^ b for a, b in zip(blk, rks[-1])]
+    for rk in reversed(rks[1:-1]):
+        s = [_INV_SBOX[x] for x in _shift_rows(s, inv=True)]
+        s = _mix_cols([a ^ b for a, b in zip(s, rk)], inv=True)
+    s = [_INV_SBOX[x] for x in _shift_rows(s, inv=True)]
+    return bytes(a ^ b for a, b in zip(s, rks[0]))
+
+
+def _aes_cbc_dec(key: bytes, data: bytes) -> bytes:
+    """PDF value framing: 16-byte IV || CBC ciphertext, PKCS#7 pad.
+    Raises ValueError on malformed framing/pad (caller degrades)."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad AES value framing")
+    rks = _aes_round_keys(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_dec_block(rks, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad AES pad")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_enc_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """No-pad CBC encrypt (exact multiple of 16) — the R6 KDF shape."""
+    rks = _aes_round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _aes_enc_block(
+            rks, bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (independent of the engine's
+    pdfcrypt.hash_2b): SHA-256 seed, then AES-128-CBC rounds over 64
+    reps of (pw+K+udata), digest picked by first-16-bytes mod 3,
+    until round >= 64 and last ciphertext byte <= round - 32."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rounds = 0
+    while True:
+        rounds += 1
+        e = _aes_cbc_enc_raw(k[:16], k[16:32], (pw + k + udata) * 64)
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+            sum(e[:16]) % 3
+        ](e).digest()
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _obj_key_aes(fkey: bytes, num: int) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(
+        fkey
+        + num.to_bytes(3, "little")
+        + b"\x00\x00"
+        + spec.PDF_AES_SALT
+    ).digest()
+    return h[: min(len(fkey) + 5, 16)]
+
+
 def _std_sec_key(payload: str, enc_num: int):
-    """File key for the empty user password, or None (unreadable:
-    wrong pw / AES / malformed).  Independent implementation of
-    ISO 32000-1 §7.6.3 Algorithms 2/3/4/5/6; only spec.PDF_PAD is
-    shared with the engine."""
+    """(file key, cipher) for the empty user password — cipher is
+    "rc4", "aesv2" or "aesv3" — or None (unreadable: wrong pw /
+    unknown V/R/CFM / malformed / failed /Perms check).  Independent
+    implementation of ISO 32000-1 §7.6.3 Algorithms 2/3/4/5/6 and
+    ISO 32000-2 Algorithms 2.A/2.B/8/10; only spec.PDF_PAD and
+    spec.PDF_AES_SALT are shared with the engine."""
     import hashlib
 
     bm = re.search(
@@ -193,10 +359,8 @@ def _std_sec_key(payload: str, enc_num: int):
         return int(m.group(1)) if m else d
 
     v, r, p, bits = ik("V", 0), ik("R", 2), ik("P", -44), ik("Length", 40)
-    if v not in (1, 2) or r not in (2, 3) or not 40 <= bits <= 128:
-        return None
 
-    def strval(key):
+    def strval_of(key):
         m = re.search(
             r"/%s\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\[\s\S])*)\))"
             % key, ed, re.S,
@@ -210,7 +374,54 @@ def _std_sec_key(payload: str, enc_num: int):
             return bytes.fromhex(h)
         return _unesc(m.group(2)).encode("latin-1")
 
-    o_val, u_val = strval("O"), strval("U")
+    if v == 5:
+        # ---- AES-256, /CFM /AESV3, R6 (ISO 32000-2) ----------------
+        if r != 6 or "/AESV3" not in ed:
+            return None
+        u_val, ue_val = strval_of("U"), strval_of("UE")
+        perms = strval_of("Perms")
+        if (
+            u_val is None or ue_val is None or perms is None
+            or len(u_val) < 48 or len(ue_val) < 32 or len(perms) < 16
+        ):
+            return None
+        vsalt, ksalt = u_val[32:40], u_val[40:48]
+        if _hash_2b(b"", vsalt) != u_val[:32]:
+            return None  # empty user password does not open the file
+        ikey = _hash_2b(b"", ksalt)
+        # /UE is AES-256-CBC, zero IV, no padding: invert block-wise
+        rks = _aes_round_keys(ikey)
+        prev = bytes(16)
+        fkey = b""
+        for i in (0, 16):
+            blk = ue_val[i : i + 16]
+            fkey += bytes(
+                a ^ b for a, b in zip(_aes_dec_block(rks, blk), prev)
+            )
+            prev = blk
+        # Algorithm 10 tamper check: /Perms decrypts (zero-IV single
+        # block) to ... 'adb' at bytes 9..11
+        pblk = _aes_dec_block(_aes_round_keys(fkey), perms[:16])
+        if pblk[9:12] != b"adb":
+            return None
+        return fkey, "aesv3"
+
+    if v == 4:
+        # ---- V4 crypt filters: /AESV2 or /CFM /V2 (RC4) ------------
+        if r != 4 or not 40 <= bits <= 128:
+            return None
+        if "/AESV2" in ed:
+            cipher = "aesv2"
+        elif re.search(r"/CFM\s*/V2\b", ed):
+            cipher = "rc4"
+        else:
+            return None
+    elif v in (1, 2) and r in (2, 3) and 40 <= bits <= 128:
+        cipher = "rc4"
+    else:
+        return None
+
+    o_val, u_val = strval_of("O"), strval_of("U")
     if o_val is None or u_val is None or len(o_val) < 32 or len(u_val) < 16:
         return None
     idm = re.search(r"/ID\s*\[\s*<([0-9A-Fa-f]*)>", payload)
@@ -236,7 +447,7 @@ def _std_sec_key(payload: str, enc_num: int):
         for i in range(1, 20):
             u = _rc4(bytes(b ^ i for b in key), u)
         ok = u[:16] == u_val[:16]
-    return key if ok else None
+    return (key, cipher) if ok else None
 
 
 def _obj_key(fkey: bytes, num: int) -> bytes:
@@ -262,9 +473,10 @@ def _esc_lit(b: bytes) -> str:
     return "".join(out)
 
 
-def _decrypt_obj_strings(part: str, okey: bytes) -> str:
+def _decrypt_obj_strings(part: str, dec) -> str:
     # one combined literal+hex pass (a decrypted literal could contain
-    # <hex>-looking text; mirrors the engine's single-pass rule)
+    # <hex>-looking text; mirrors the engine's single-pass rule).  A
+    # value the cipher rejects (AES framing/pad) degrades to ().
     def repl(m):
         if m.group(1) is not None:
             val = _unesc(m.group(1)).encode("latin-1")
@@ -275,7 +487,10 @@ def _decrypt_obj_strings(part: str, okey: bytes) -> str:
             if len(h) % 2:
                 h += "0"
             val = bytes.fromhex(h)
-        return "(" + _esc_lit(_rc4(okey, val)) + ")"
+        try:
+            return "(" + _esc_lit(dec(val)) + ")"
+        except ValueError:
+            return "()"
 
     return re.sub(
         r"\(((?:[^()\\]|\\[\s\S])*)\)|<([0-9A-Fa-f\s]*)>", repl, part,
@@ -767,12 +982,14 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     payload = payload.encode("latin-1", errors="replace").decode("latin-1")
     enc_m = re.search(r"/Encrypt\s+(\d+)\s+0\s+R", payload)
     fkey = None
+    cipher = ""
     enc_num = -1
     if enc_m:
         enc_num = int(enc_m.group(1))
-        fkey = _std_sec_key(payload, enc_num)
-        if fkey is None:
+        fc = _std_sec_key(payload, enc_num)
+        if fc is None:
             return []  # unreadable — degrade (engine mirrors)
+        fkey, cipher = fc
     objs = _pdf_objects(payload)
     streams = {}
     if fkey is not None:
@@ -784,12 +1001,22 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
             dict0 = body[: sm.start()] if sm else body
             if "/Type /XRef" in dict0:
                 continue  # xref streams are never encrypted
-            okey = _obj_key(fkey, n)
-            nd = _decrypt_obj_strings(dict0, okey)
+            if cipher == "rc4":
+                okey = _obj_key(fkey, n)
+                dec_fn = lambda v, k=okey: _rc4(k, v)  # noqa: E731
+            elif cipher == "aesv2":
+                okey = _obj_key_aes(fkey, n)
+                dec_fn = lambda v, k=okey: _aes_cbc_dec(k, v)  # noqa: E731
+            else:  # aesv3: the file key encrypts every object
+                dec_fn = lambda v: _aes_cbc_dec(fkey, v)  # noqa: E731
+            nd = _decrypt_obj_strings(dict0, dec_fn)
             if sm:
-                dec = _rc4(
-                    okey, sm.group(1).encode("latin-1")
-                ).decode("latin-1")
+                try:
+                    dec = dec_fn(
+                        sm.group(1).encode("latin-1")
+                    ).decode("latin-1")
+                except ValueError:
+                    dec = ""  # malformed AES framing — degrade
                 objs[n] = (
                     nd + body[sm.start() : sm.start(1)] + dec
                     + body[sm.end(1) :]

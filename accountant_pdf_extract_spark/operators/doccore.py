@@ -6,7 +6,9 @@ Pure Python/numpy — no Spark imports — so the same function serves the
 synth round-trip property tests.  The semantics it implements are the
 north-rule invariant (``BASELINE.json:15``): output spans are
 ``(kind, text, media_ref, order)`` with ``order`` the dense 0-based
-reading-order rank; only kinds ``text``/``media`` survive.
+reading-order rank; kinds ``text``/``media`` survive, plus
+``attachment`` spans (content, filename) for PDF embedded files —
+the ZUGFeRD/Factur-X hybrid-invoice shape.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from __future__ import annotations
 from accountant_pdf_extract_spark.operators.fields import extract_fields
 from accountant_pdf_extract_spark.operators.htmlstrip import strip_html
 from accountant_pdf_extract_spark.operators.layout import pdf_to_items
-from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf_full
 
 OutSpan = tuple[str, str, str, int]  # (kind, text, media_ref, order)
 
@@ -46,13 +48,20 @@ def extract_doc(
                 # §1.1); a stray non-latin-1 char must degrade to '?'
                 # for that char only — never drop the whole document
                 # (the oracle applies the same replacement).
-                for it in pdf_to_items(
-                    parse_pdf(text.encode("latin-1", errors="replace"))
-                ):
+                pages, attachments = parse_pdf_full(
+                    text.encode("latin-1", errors="replace")
+                )
+                for it in pdf_to_items(pages):
                     if it.is_media:
                         out.append(("media", "", it.media_ref))
                     else:
                         out.append(("text", it.text, ""))
+                # embedded files (ZUGFeRD-style) trail the page items
+                # as their own kind: content in text, filename in
+                # media_ref; they do NOT feed field extraction (the
+                # document text rules stay payload-only)
+                for name, content in attachments:
+                    out.append(("attachment", content, name))
         elif kind == "html":
             for block in strip_html(text):
                 out.append(("text", block, ""))

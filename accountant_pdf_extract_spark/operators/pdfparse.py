@@ -40,10 +40,8 @@ _INT_KEY_RE = {
 }
 _W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
 _INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
-# /DecodeParms (or the /DP abbreviation) dict carrying a /Predictor —
-# parameterizes the Flate/LZW filter, so it only applies when a filter
-# actually decoded (ISO 32000-1 §7.4.4.4, Table 8)
-_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
+# /DecodeParms keys carrying a /Predictor — parameterize the
+# Flate/LZW stage they align with (ISO 32000-1 §7.4.4.4, Table 8)
 _PRED_KEY_RE = {
     k: re.compile(rb"/" + k + rb"\s+(\d+)") for k in
     (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent")
@@ -389,6 +387,250 @@ def _unpredict(raw: bytes, parms: bytes) -> bytes:
     return bytes(out)
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (ISO 32000-1 §7.4.2): whitespace ignored, ``>``
+    is EOD, an odd trailing digit is padded with 0.  Any other
+    character raises ValueError (caller degrades)."""
+    end = data.find(b">")
+    h = re.sub(rb"\s", b"", data if end < 0 else data[:end])
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", h):
+        raise ValueError("asciihex: non-hex character")
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode())
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars '!'..'u' → 4 bytes
+    base-85 big-endian, ``z`` = a zero group (only between groups),
+    ``~>`` is EOD, whitespace ignored.  A final partial group of n
+    chars yields n-1 bytes ('u'-padded).  Raises ValueError on
+    out-of-range chars, 'z' inside a group, a 1-char final group, or
+    group value overflow."""
+    end = data.find(b"~>")
+    body = data if end < 0 else data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c in (0x20, 0x09, 0x0A, 0x0D, 0x0C, 0x00):
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ascii85: z inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise ValueError("ascii85: character out of range")
+        group.append(c - 33)
+        if len(group) == 5:
+            v = 0
+            for d in group:
+                v = v * 85 + d
+            if v > 0xFFFFFFFF:
+                raise ValueError("ascii85: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ascii85: single trailing character")
+        n = len(group)
+        v = 0
+        for d in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            raise ValueError("ascii85: group overflow")
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000-1 §7.4.5): length byte L ∈ 0..127
+    copies the next L+1 bytes, L ∈ 129..255 repeats the next byte
+    257-L times, 128 is EOD.  Truncated data raises ValueError."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ell = data[i]
+        i += 1
+        if ell == 128:
+            return bytes(out)
+        if ell < 128:
+            chunk = data[i : i + ell + 1]
+            if len(chunk) != ell + 1:
+                raise ValueError("rle: truncated literal run")
+            out += chunk
+            i += ell + 1
+        else:
+            if i >= n:
+                raise ValueError("rle: truncated repeat run")
+            out += bytes([data[i]]) * (257 - ell)
+            i += 1
+    raise ValueError("rle: missing EOD marker")
+
+
+# /Filter declaration: a single name or an array of names, applied in
+# ARRAY ORDER when decoding (ISO 32000-1 §7.4, Table 6) — e.g.
+# [/ASCII85Decode /FlateDecode] un-a85s first, then inflates.
+_FILTER_DECL_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+# /DecodeParms may likewise be one dict or an array aligned with the
+# filter array (null for parameterless stages)
+_DP_DECL_RE = re.compile(
+    rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>)", re.S
+)
+_DP_ITEM_RE = re.compile(rb"<<(.*?)>>|null", re.S)
+
+_STREAM_DECODERS = {
+    b"FlateDecode": lambda raw: zlib.decompress(raw),
+    b"LZWDecode": lambda raw: _lzw_decode(raw),
+    b"ASCIIHexDecode": lambda raw: _asciihex_decode(raw),
+    b"ASCII85Decode": lambda raw: _ascii85_decode(raw),
+    b"RunLengthDecode": lambda raw: _rle_decode(raw),
+}
+
+
+def _decode_stream(raw: bytes, dict_part: bytes) -> bytes:
+    """Apply the stream dict's /Filter chain (with aligned
+    /DecodeParms) to the raw payload.  Any malformed stage — unknown
+    filter name, corrupt data, bad predictor — degrades the WHOLE
+    stream to b\"\" (the page yields nothing, never garbage); the
+    oracle mirrors this contract."""
+    fm = _FILTER_DECL_RE.search(dict_part)
+    if fm is None:
+        return raw
+    names = [m.group(1) for m in _FILTER_NAME_RE.finditer(fm.group(1))]
+    parms: list[bytes | None] = [None] * len(names)
+    dm = _DP_DECL_RE.search(dict_part)
+    if dm is not None:
+        items = [
+            m.group(1) for m in _DP_ITEM_RE.finditer(dm.group(1))
+        ]
+        for i in range(min(len(items), len(names))):
+            parms[i] = items[i]  # None for literal `null`
+    try:
+        for name, parm in zip(names, parms):
+            dec = _STREAM_DECODERS.get(name)
+            if dec is None:
+                raise ValueError(f"unknown filter {name!r}")
+            raw = dec(raw)
+            # /Predictor parameterizes the Flate/LZW stage it is
+            # aligned with; parameterless stages ignore their parms
+            if parm is not None and name in (
+                b"FlateDecode", b"LZWDecode",
+            ):
+                raw = _unpredict(raw, parm)
+    except (ValueError, zlib.error):
+        return b""
+    return raw
+
+
+def _balanced_dict(body: bytes, start: int) -> bytes:
+    """The inner bytes of the ``<< ... >>`` dict whose ``<<`` begins
+    at ``start``, honoring nesting.  Empty on imbalance."""
+    depth = 0
+    i = start
+    n = len(body)
+    while i < n - 1:
+        pair = body[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start + 2 : i - 2]
+        else:
+            i += 1
+    return b""
+
+
+def _dict_value(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes:
+    """The dict a ``key`` points at — an indirect reference's target
+    object body, or the inline ``<< ... >>`` (balanced).  b"" when
+    absent."""
+    m = re.search(key + rb"\s+(\d+)\s+0\s+R", body)
+    if m:
+        return objs.get(int(m.group(1)), b"")
+    m = re.search(key + rb"\s*<<", body)
+    if m:
+        return _balanced_dict(body, m.end() - 2)
+    return b""
+
+
+_NAMES_ARR_RE = re.compile(rb"/Names\s*\[([^\]]*)\]")
+_NAME_TREE_ENTRY_RE = re.compile(
+    rb"(\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>)\s*(\d+)\s+0\s+R"
+)
+_EF_F_RE = re.compile(rb"/(?:UF|F)\s+(\d+)\s+0\s+R")
+_FILESPEC_NAME_RE = {
+    k: re.compile(
+        rb"/" + k + rb"\s*(\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>)"
+    )
+    for k in (b"UF", b"F")
+}
+
+
+def _attachments(
+    objs: dict[int, bytes], streams: dict[int, bytes]
+) -> list[tuple[str, str]]:
+    """Embedded files (ISO 32000-1 §7.11.4, the ZUGFeRD/Factur-X
+    hybrid-invoice shape): catalog → /Names → /EmbeddedFiles name
+    tree (direct /Names array, or one /Kids level of leaves) →
+    /Filespec objects → the /EF /F (or /UF) embedded stream.
+    Returns (filename, content) in name-tree order; the filename
+    prefers the filespec's /UF, then /F, then the tree key.  Streams
+    arrive already decrypted and defiltered (``streams``)."""
+    cat = b""
+    for _num, body in sorted(objs.items()):
+        if b"/Type /Catalog" in body:
+            cat = body
+            break
+    if not cat:
+        return []
+    names = _dict_value(cat, rb"/Names", objs)
+    if not names:
+        return []
+    tree = _dict_value(names, rb"/EmbeddedFiles", objs)
+    if not tree:
+        return []
+    leaves = [tree]
+    km = _KIDS_RE.search(tree)
+    if km and not _NAMES_ARR_RE.search(tree):
+        leaves = [
+            objs.get(int(r.group(1)), b"")
+            for r in _REF_RE.finditer(km.group(1))
+        ]
+    out: list[tuple[str, str]] = []
+    for leaf in leaves:
+        am = _NAMES_ARR_RE.search(leaf)
+        if not am:
+            continue
+        for em in _NAME_TREE_ENTRY_RE.finditer(am.group(1)):
+            key = _string_value(em.group(1)).decode(
+                "latin-1", errors="replace"
+            )
+            fs = objs.get(int(em.group(2)), b"")
+            ef = _dict_value(fs, rb"/EF", objs)
+            sm = _EF_F_RE.search(ef)
+            if sm is None:
+                continue
+            content = streams.get(int(sm.group(1)))
+            if content is None:
+                continue
+            name = key
+            for k in (b"UF", b"F"):
+                nm = _FILESPEC_NAME_RE[k].search(fs)
+                if nm:
+                    name = _string_value(nm.group(1)).decode(
+                        "latin-1", errors="replace"
+                    )
+                    break
+            out.append((name, content.decode("latin-1")))
+    return out
+
+
 def _string_value(part: bytes) -> bytes:
     """First string (hex or literal) in ``part``, raw bytes."""
     m = _ANYSTR_RE.search(part)
@@ -537,6 +779,14 @@ def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
 
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
+    return parse_pdf_full(data)[0]
+
+
+def parse_pdf_full(
+    data: bytes,
+) -> tuple[list[Page], list[tuple[str, str]]]:
+    """Pages plus embedded-file attachments (filename, content) —
+    the ZUGFeRD/Factur-X hybrid-invoice shape rides /EmbeddedFiles."""
     # ---- standard security (RC4 / AES, empty user password) ---------
     fkey: bytes | None = None
     cipher = ""
@@ -546,7 +796,7 @@ def parse_pdf(data: bytes) -> list[Page]:
         enc_num = int(em_.group(1))
         fc = _encryption_key(data, enc_num)
         if fc is None:
-            return []  # unreadable (bad pw / unknown filter) — degrade
+            return [], []  # unreadable (bad pw / unknown filter)
         fkey, cipher = fc
         from accountant_pdf_extract_spark.functions.pdfcrypt import (
             aes_decrypt_value,
@@ -590,37 +840,14 @@ def parse_pdf(data: bytes) -> list[Page]:
         objs[num] = body
         sm = _STREAM_RE.search(body)
         if sm:
-            raw = sm.group(1)
-            # Filter declared in the stream dict (before the 'stream'
-            # keyword — never match inside stream data itself).
-            dict_part = body[: sm.start()]
-            filtered = False
-            if b"/FlateDecode" in dict_part:
-                filtered = True
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error:
-                    # corrupt compressed stream: degrade to an empty
-                    # content stream (page yields nothing) instead of
-                    # raising and losing the whole document; oracle
-                    # mirrors this.
-                    raw = b""
-            elif b"/LZWDecode" in dict_part:
-                try:
-                    raw = _lzw_decode(raw)
-                    filtered = True
-                except ValueError:
-                    raw = b""  # same degrade contract as Flate
-            if filtered and raw:
-                # /Predictor parameterizes the FILTER — an unfiltered
-                # stream ignores DecodeParms entirely
-                pm = _DECODEPARMS_RE.search(dict_part)
-                if pm:
-                    try:
-                        raw = _unpredict(raw, pm.group(1))
-                    except ValueError:
-                        raw = b""  # same degrade contract
-            streams[num] = raw
+            # Filter chain declared in the stream dict (before the
+            # 'stream' keyword — never match inside stream data);
+            # corrupt/unknown stages degrade to an empty stream (the
+            # page yields nothing) instead of raising and losing the
+            # whole document; oracle mirrors this.
+            streams[num] = _decode_stream(
+                sm.group(1), body[: sm.start()]
+            )
 
     # ---- PDF 1.5: expand object streams (/Type /ObjStm) --------------
     # Embedded objects carry no "N 0 obj" headers in the raw bytes, so
@@ -758,7 +985,7 @@ def parse_pdf(data: bytes) -> list[Page]:
         pages.append(
             _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
         )
-    return pages
+    return pages, _attachments(objs, streams)
 
 
 def _parse_content(

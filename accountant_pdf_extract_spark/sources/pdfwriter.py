@@ -370,6 +370,70 @@ def _png_up(raw: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _asciihex_encode(raw: bytes) -> str:
+    """ASCIIHexDecode payload: hex pairs + the ``>`` EOD marker.
+    Marker-safe by charset ([0-9a-f>] cannot spell 'endstream')."""
+    return raw.hex() + ">"
+
+
+def _ascii85_encode(raw: bytes) -> str:
+    """ASCII85Decode payload ('!'..'u' base-85, 'z' zero-group
+    shortcut, ``~>`` EOD).  NOT inherently marker-safe — the charset
+    covers all of 'endstream' — so callers must check."""
+    out = []
+    for i in range(0, len(raw) - len(raw) % 4, 4):
+        v = int.from_bytes(raw[i : i + 4], "big")
+        if v == 0:
+            out.append("z")
+            continue
+        grp = []
+        for _ in range(5):
+            grp.append(chr(33 + v % 85))
+            v //= 85
+        out += reversed(grp)
+    tail = raw[len(raw) - len(raw) % 4 :]
+    if tail:
+        v = int.from_bytes(tail + bytes(4 - len(tail)), "big")
+        grp = []
+        for _ in range(5):
+            grp.append(chr(33 + v % 85))
+            v //= 85
+        out += list(reversed(grp))[: len(tail) + 1]
+    return "".join(out) + "~>"
+
+
+def _rle_encode(raw: bytes) -> str:
+    """RunLengthDecode payload: repeat runs (≥3) as (257-n, byte),
+    literal chunks ≤128 bytes, EOD 128.  Literal copies can embed
+    structural markers — callers must check."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and raw[i + run] == raw[i]:
+            run += 1
+        if run >= 3:
+            j = lit_start
+            while j < i:
+                chunk = raw[j : min(j + 128, i)]
+                out += bytes([len(chunk) - 1]) + chunk
+                j += len(chunk)
+            out += bytes([257 - run, raw[i]])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    j = lit_start
+    while j < i:
+        chunk = raw[j : min(j + 128, i)]
+        out += bytes([len(chunk) - 1]) + chunk
+        j += len(chunk)
+    out += b"\x80"
+    return out.decode("latin-1")
+
+
 def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
     """FlateDecode stream body if a marker-free compression exists."""
     for lvl in (6, 9, 1):
@@ -382,8 +446,20 @@ def _flate_body(raw: bytes, extra_dict: str = "") -> str | None:
     return None
 
 
-def _stream_obj(content: str, compress: bool, lzw: bool = False) -> str:
-    """A stream object body, plain / Flate / LZW, marker-safe.
+def _stream_obj(
+    content: str,
+    compress: bool,
+    lzw: bool = False,
+    ascii_filter: str | None = None,
+) -> str:
+    """A stream object body, plain / Flate / LZW / ASCII-family,
+    marker-safe.
+
+    ``ascii_filter``: ``"hex"`` → /ASCIIHexDecode, ``"a85"`` →
+    the chain [/ASCII85Decode /FlateDecode] (deflate then a85-wrap;
+    the decoder un-a85s first), ``"rle"`` → /RunLengthDecode.  a85
+    and rle outputs CAN embed structural markers — on collision fall
+    through to the Flate path (same contract as LZW).
 
     A plain stream whose CONTENT embeds a structural marker (caller
     text containing "endstream"/"endobj") would make the parser's lazy
@@ -391,6 +467,29 @@ def _stream_obj(content: str, compress: bool, lzw: bool = False) -> str:
     page — force Flate for such pages even when compress=False."""
     raw = content.encode("latin-1")
     plain_ok = b"endstream" not in raw and b"endobj" not in raw
+    if ascii_filter == "hex":
+        enc = _asciihex_encode(raw)
+        return (
+            f"<< /Length {len(enc)} /Filter /ASCIIHexDecode >>\n"
+            f"stream\n{enc}endstream"
+        )
+    if ascii_filter == "a85":
+        enc = _ascii85_encode(zlib.compress(raw, 6))
+        if "endstream" not in enc and "endobj" not in enc:
+            return (
+                f"<< /Length {len(enc)} "
+                "/Filter [ /ASCII85Decode /FlateDecode ] >>\n"
+                f"stream\n{enc}endstream"
+            )
+        compress = True  # marker collision: plain Flate fallback
+    if ascii_filter == "rle":
+        enc = _rle_encode(raw)
+        if "endstream" not in enc and "endobj" not in enc:
+            return (
+                f"<< /Length {len(enc)} /Filter /RunLengthDecode >>\n"
+                f"stream\n{enc}endstream"
+            )
+        compress = True  # marker collision: plain Flate fallback
     if lzw:
         comp = _lzw_encode(raw)
         if b"endstream" not in comp and b"endobj" not in comp:
@@ -597,6 +696,7 @@ def build_pdf(
     predictor: bool = False,
     hybrid: bool = False,
     encrypt: str | None = None,
+    ascii_filter: str | None = None,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -619,6 +719,10 @@ def build_pdf(
     pointing at the binary xref stream, and ``startxref`` aimed at the
     classic table — legacy viewers read the table, modern ones the
     stream (ISO 32000-1 §7.5.8.4).
+    ``ascii_filter`` = ``"hex"`` / ``"a85"`` / ``"rle"`` wraps CONTENT
+    streams in /ASCIIHexDecode, the [/ASCII85Decode /FlateDecode]
+    chain, or /RunLengthDecode respectively (a85/rle marker
+    collisions fall back to Flate, mirroring lzw).
     ``encrypt`` = ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3)
     emits a standard-security-encrypted file with EMPTY user and
     owner passwords (the common e-mailed-invoice case): per-object
@@ -670,7 +774,8 @@ def build_pdf(
     page_nums: list[int] = []
     for pg in pages:
         stream_num = add(
-            _stream_obj(pg.content(), compress, lzw), dict_only=False
+            _stream_obj(pg.content(), compress, lzw, ascii_filter),
+            dict_only=False,
         )
         xobj_entries = []
         for i, ref in enumerate(pg.images, start=1):

@@ -220,6 +220,14 @@ def make_invoice_pdf(
         # 1-page docs objstm mostly selects), gated on objstm's own
         # key so the corpus layout mix stays stable
         hybrid=len(pages) % 5 == 1 and due.day % 3 == 1,
+        # ~3/7 of UNcompressed docs wrap content streams in an
+        # ASCII-family filter — hex (/ASCIIHexDecode), the
+        # [/ASCII85Decode /FlateDecode] chain, or /RunLengthDecode —
+        # keyed off the already-drawn due date, no rng draw
+        ascii_filter=(
+            None if len(pages) % 3 == 0
+            else {1: "hex", 3: "a85", 5: "rle"}.get(due.day % 7)
+        ),
         # ~half of classic-layout docs are standard-security encrypted
         # with an empty user password (the e-mailed-invoice case):
         # base months 1/7 → RC4-40 (V1/R2), 2/8 → RC4-128 (V2/R3),

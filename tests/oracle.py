@@ -156,6 +156,125 @@ def _unpredict(s: str, parms: str) -> str:
     return bytes(out).decode("latin-1")
 
 
+def _asciihex(s: str) -> str:
+    """Independent ASCIIHexDecode in the latin-1 string plane."""
+    end = s.find(">")
+    h = re.sub(r"\s", "", s if end < 0 else s[:end])
+    if re.search(r"[^0-9A-Fa-f]", h):
+        raise ValueError("bad hex char")
+    if len(h) % 2:
+        h += "0"
+    return "".join(
+        chr(int(h[i : i + 2], 16)) for i in range(0, len(h), 2)
+    )
+
+
+def _ascii85(s: str) -> str:
+    """Independent ASCII85Decode (digit-accumulator form, latin-1
+    string plane)."""
+    end = s.find("~>")
+    if end >= 0:
+        s = s[:end]
+    out = []
+    digits: list[int] = []
+
+    def flush(nd: int) -> None:
+        v = 0
+        for k in range(5):
+            v = v * 85 + (digits[k] if k < nd else 84)
+        if v > 0xFFFFFFFF:
+            raise ValueError("group overflow")
+        four = [
+            (v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF
+        ]
+        out.extend(chr(b) for b in four[: nd - 1 if nd < 5 else 4])
+
+    for ch in s:
+        if ch in " \t\r\n\f\x00":
+            continue
+        if ch == "z":
+            if digits:
+                raise ValueError("z inside group")
+            out.append("\x00\x00\x00\x00")
+            continue
+        o = ord(ch)
+        if not 33 <= o <= 117:
+            raise ValueError("char out of range")
+        digits.append(o - 33)
+        if len(digits) == 5:
+            flush(5)
+            digits = []
+    if digits:
+        if len(digits) == 1:
+            raise ValueError("single trailing char")
+        flush(len(digits))
+    return "".join(out)
+
+
+def _rle(s: str) -> str:
+    """Independent RunLengthDecode (latin-1 string plane)."""
+    out = []
+    i = 0
+    while i < len(s):
+        ell = ord(s[i])
+        i += 1
+        if ell == 128:
+            return "".join(out)
+        if ell < 128:
+            if i + ell + 1 > len(s):
+                raise ValueError("truncated literal")
+            out.append(s[i : i + ell + 1])
+            i += ell + 1
+        else:
+            if i >= len(s):
+                raise ValueError("truncated repeat")
+            out.append(s[i] * (257 - ell))
+            i += 1
+    raise ValueError("no EOD")
+
+
+def _decode_stream_oracle(s: str, dict_part: str) -> str:
+    """The stream dict's /Filter chain with aligned /DecodeParms; any
+    malformed stage degrades the whole stream to "" (engine mirrors:
+    operators/pdfparse._decode_stream)."""
+    import zlib
+
+    fm = re.search(r"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_part)
+    if not fm:
+        return s
+    names = re.findall(r"/([A-Za-z0-9]+)", fm.group(1))
+    parms: list[str | None] = [None] * len(names)
+    dm = re.search(
+        r"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>)", dict_part, re.S
+    )
+    if dm:
+        items = [
+            m.group(1)
+            for m in re.finditer(r"<<(.*?)>>|null", dm.group(1), re.S)
+        ]
+        for i in range(min(len(items), len(names))):
+            parms[i] = items[i]
+    try:
+        for name, parm in zip(names, parms):
+            if name == "FlateDecode":
+                s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
+            elif name == "LZWDecode":
+                s = _lzw(s)
+            elif name == "ASCIIHexDecode":
+                s = _asciihex(s)
+            elif name == "ASCII85Decode":
+                s = _ascii85(s)
+            elif name == "RunLengthDecode":
+                s = _rle(s)
+            else:
+                raise ValueError("unknown filter " + name)
+            if parm is not None and name in ("FlateDecode", "LZWDecode"):
+                s = _unpredict(s, parm)
+    except (ValueError, zlib.error):
+        return ""
+    return s
+
+
 def _rc4(key: bytes, data: bytes) -> bytes:
     """Independent RC4 (KSA + PRGA written from the cipher definition,
     not shared with the engine's functions/pdfcrypt.py)."""
@@ -1026,35 +1145,9 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     for n, body in objs.items():
         sm = re.search(r"stream\r?\n(.*?)endstream", body, re.S)
         if sm:
-            s = sm.group(1)
-            dict_part = body[: sm.start()]
-            filtered = False
-            if "/FlateDecode" in dict_part:
-                import zlib
-
-                filtered = True
-                try:
-                    s = zlib.decompress(s.encode("latin-1")).decode("latin-1")
-                except zlib.error:
-                    s = ""  # corrupt stream → empty page (engine mirrors)
-            elif "/LZWDecode" in dict_part:
-                try:
-                    s = _lzw(s)
-                    filtered = True
-                except ValueError:
-                    s = ""  # same degrade contract
-            if filtered and s:
-                # /Predictor parameterizes the filter; unfiltered
-                # streams ignore /DecodeParms (engine mirrors)
-                pm = re.search(
-                    r"/(?:DecodeParms|DP)\s*<<(.*?)>>", dict_part, re.S
-                )
-                if pm:
-                    try:
-                        s = _unpredict(s, pm.group(1))
-                    except ValueError:
-                        s = ""  # same degrade contract
-            streams[n] = s
+            streams[n] = _decode_stream_oracle(
+                sm.group(1), body[: sm.start()]
+            )
 
     _expand_pdf15(objs, streams)
 

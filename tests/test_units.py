@@ -1153,6 +1153,137 @@ def test_encrypted_unreadable_degrades_to_zero_pages():
     both_empty(enc.replace("/P -44", "/P -4"))
 
 
+def test_ascii_filter_family_roundtrip():
+    """/ASCIIHexDecode, the [/ASCII85Decode /FlateDecode] chain and
+    /RunLengthDecode (ISO 32000-1 §7.4.2/3/5): writer emits, parser
+    chain-decodes, engine ≡ oracle ≡ the plain doc.  Also pins the
+    a85 'z' zero-group shortcut and rle repeat/literal framing at the
+    primitive level."""
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _ascii85_decode, _asciihex_decode, _rle_decode,
+    )
+    from accountant_pdf_extract_spark.sources.pdfwriter import (
+        _ascii85_encode, _asciihex_encode, _rle_encode,
+    )
+    from tests.oracle import oracle_extract
+
+    import random
+
+    rnd = random.Random(7)
+    for n in (0, 1, 2, 3, 4, 5, 63, 64, 1000):
+        data = bytes(rnd.randrange(256) for _ in range(n))
+        for enc, dec in (
+            (_ascii85_encode, _ascii85_decode),
+            (_asciihex_encode, _asciihex_decode),
+            (_rle_encode, _rle_decode),
+        ):
+            assert dec(enc(data).encode("latin-1")) == data, (n, enc)
+    assert _ascii85_encode(b"\x00" * 4) == "z~>"
+    assert _rle_decode(b"\xfe\x41\x02abc\x80") == b"AAAabc"
+
+    pages, font = _font_pages()
+    base = build_pdf(pages, font=font)
+    e0, f0 = extract_doc([("pdf", base, "", 0)])
+    for mode, tag in (
+        ("hex", "/ASCIIHexDecode"),
+        ("a85", "/ASCII85Decode"),
+        ("rle", "/RunLengthDecode"),
+    ):
+        doc = build_pdf(pages, font=font, ascii_filter=mode)
+        assert tag in doc
+        if mode == "a85":  # the two-stage chain, in decode order
+            assert "[ /ASCII85Decode /FlateDecode ]" in doc
+        e1, f1 = extract_doc([("pdf", doc, "", 0)])
+        o1, of1 = oracle_extract([("pdf", doc, "", 0)])
+        assert e1 == e0 == o1, mode
+        assert f1 == f0 == of1
+    # filters compose with standard-security encryption (decrypt
+    # happens BEFORE filter decode, ISO 32000-1 §7.6.2)
+    doc = build_pdf(pages, font=font, ascii_filter="a85",
+                    encrypt="aes-128")
+    e1, _ = extract_doc([("pdf", doc, "", 0)])
+    o1, _ = oracle_extract([("pdf", doc, "", 0)])
+    assert e1 == e0 == o1
+
+
+def test_filter_chain_array_decodeparms_alignment():
+    """A hand-built [/ASCII85Decode /FlateDecode] chain with
+    /DecodeParms [null << /Predictor 12 ... >>]: the predictor must
+    bind to the FLATE stage (index alignment), not the a85 stage —
+    engine ≡ oracle on the recovered text."""
+    import zlib
+
+    from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+    from accountant_pdf_extract_spark.sources.pdfwriter import (
+        _ascii85_encode, _png_up,
+    )
+    from tests.oracle import pdf_spans
+
+    content = b"BT /F0 12 Tf 72 700 Td (chained text) Tj ET"
+    cols = 8
+    predicted = _png_up(content, cols)
+    payload = _ascii85_encode(zlib.compress(predicted, 6))
+    doc = (
+        "%%PDF-1.4\n"
+        "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+        "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        "4 0 obj\n<< /Filter [ /ASCII85Decode /FlateDecode ] "
+        "/DecodeParms [ null << /Predictor 12 /Columns %d >> ] "
+        "/Length %d >>\nstream\n%sendstream\nendobj\n"
+        % (cols, len(payload), payload)
+    )
+    runs = parse_pdf(doc.encode("latin-1"))[0].runs
+    assert [r.text for r in runs] == ["chained text"]
+    spans = pdf_spans(doc)
+    assert [t for _, t, _ in spans if t.strip()] == ["chained text"]
+
+
+def test_ascii_filter_malformed_degrades():
+    """Malformed ASCII-family payloads and unknown filters degrade the
+    STREAM to empty (page yields nothing, never garbage), engine ≡
+    oracle: bad hex char, z inside an a85 group, a85 single trailing
+    char, truncated rle, unknown name inside a chain."""
+    from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+    from tests.oracle import pdf_spans
+
+    def doc_with(filter_decl: str, payload: str) -> str:
+        return (
+            "%%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< /Filter %s /Length %d >>\n"
+            "stream\n%sendstream\nendobj\n"
+            % (filter_decl, len(payload), payload)
+        )
+
+    cases = [
+        ("/ASCIIHexDecode", "48x69>"),             # non-hex char
+        ("/ASCII85Decode", "!!z!!~>"),             # z inside group
+        ("/ASCII85Decode", "!!!!!!~>"),            # 1-char final group
+        ("/ASCII85Decode", "uuuuu~>"),             # group overflow
+        ("/RunLengthDecode", "\x05ab"),            # truncated literal
+        ("/RunLengthDecode", "\x00a"),             # missing EOD
+        ("[ /ASCII85Decode /DCTDecode ]", "z~>"),  # unknown stage
+    ]
+    for decl, payload in cases:
+        doc = doc_with(decl, payload)
+        pages = parse_pdf(doc.encode("latin-1"))
+        assert len(pages) == 1 and pages[0].runs == [], (decl, payload)
+        spans = pdf_spans(doc)
+        assert [t for _, t, _ in spans if t.strip()] == [], decl
+    # valid payloads with the lenient shapes: odd hex digit pads with
+    # 0, missing '>' EOD accepted, whitespace ignored everywhere
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _ascii85_decode, _asciihex_decode,
+    )
+
+    assert _asciihex_decode(b"4 16") == b"A`"
+    assert _asciihex_decode(b"41") == b"A"
+    assert _ascii85_decode(b"z") == b"\x00" * 4
+
+
 def test_aes_fips197_vectors():
     """FIPS 197 Appendix C known-answer vectors pin BOTH independent
     AES cores (engine functions/aes.py T-table core incl. the

@@ -75,6 +75,36 @@ def q_span_stats(spark, sf):
     )
 
 
+@register("q_attachments")
+def q_attachments(spark, sf):
+    """Embedded e-invoice attachments (ZUGFeRD/Factur-X shape):
+    per-currency count, XML bytes, and ID-presence over the
+    ``attachment`` span kind (rows-only; the attachment content
+    itself is pinned by golden fixtures).  Post-extraction analytics
+    stay JVM-side: regexp_extract/length/groupBy, no Python UDF."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    att = flat.where(F.col("kind") == "attachment")
+    return (
+        att.select(
+            F.regexp_extract(
+                "text", "<Currency>([A-Z]{3})</Currency>", 1
+            ).alias("ccy"),
+            F.length("text").alias("xml_len"),
+            (
+                F.regexp_extract("text", "<ID>(INV[0-9-]+)</ID>", 1)
+                != ""
+            ).cast("int").alias("has_id"),
+        )
+        .groupBy("ccy")
+        .agg(
+            F.count("*").alias("n_att"),
+            F.sum("xml_len").alias("total_xml_len"),
+            F.min("has_id").alias("all_have_id"),
+        )
+    )
+
+
 @register("q_span_filter")
 def q_span_filter(spark, sf):
     """P3: span-kind predicate via array HOF — route pdf spans without

@@ -697,6 +697,7 @@ def build_pdf(
     hybrid: bool = False,
     encrypt: str | None = None,
     ascii_filter: str | None = None,
+    attachments: list[tuple[str, str]] | None = None,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -723,6 +724,9 @@ def build_pdf(
     streams in /ASCIIHexDecode, the [/ASCII85Decode /FlateDecode]
     chain, or /RunLengthDecode respectively (a85/rle marker
     collisions fall back to Flate, mirroring lzw).
+    ``attachments`` = [(filename, content), ...] embeds files via the
+    catalog /Names /EmbeddedFiles name tree (Filespec + EmbeddedFile
+    stream — the ZUGFeRD/Factur-X hybrid-invoice shape).
     ``encrypt`` = ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3)
     emits a standard-security-encrypted file with EMPTY user and
     owner passwords (the common e-mailed-invoice case): per-object
@@ -802,6 +806,40 @@ def build_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>"
     )
     assert catalog_num == 1
+
+    if attachments:
+        # /EmbeddedFiles name tree (ISO 32000-1 §7.11.4, the
+        # ZUGFeRD/Factur-X hybrid-invoice shape): embedded-file
+        # stream + /Filespec per attachment (filespecs are dict-only,
+        # so they ride the ObjStm in the 1.5 layout), keys sorted as
+        # the name-tree contract requires, tree inline on the catalog.
+        entries = []
+        for name, content in sorted(attachments):
+            raw = content.encode("latin-1")
+            body = None
+            if not compress and b"endstream" not in raw \
+                    and b"endobj" not in raw:
+                body = (
+                    f"<< /Type /EmbeddedFile /Length {len(raw)} >>\n"
+                    f"stream\n{content}endstream"
+                )
+            if body is None:
+                body = _flate_body(raw, extra_dict="/Type /EmbeddedFile ")
+            if body is None:
+                raise ValueError(
+                    "attachment embeds structural markers in both "
+                    "plain and compressed form"
+                )
+            snum = add(body, dict_only=False)
+            fs = add(
+                f"<< /Type /Filespec /F ({_esc(name)}) "
+                f"/EF << /F {snum} 0 R >> >>"
+            )
+            entries.append(f"({_esc(name)}) {fs} 0 R")
+        objs[catalog_num - 1] = (
+            "<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles "
+            f"<< /Names [ {' '.join(entries)} ] >> >> >>"
+        )
 
     if hybrid:
         objstm = True  # hybrid rides the ObjStm + xref-stream machinery

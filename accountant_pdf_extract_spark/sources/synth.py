@@ -220,6 +220,22 @@ def make_invoice_pdf(
         # 1-page docs objstm mostly selects), gated on objstm's own
         # key so the corpus layout mix stays stable
         hybrid=len(pages) % 5 == 1 and due.day % 3 == 1,
+        # ~1/4 of docs carry a Factur-X/ZUGFeRD-style embedded XML
+        # e-invoice (the hybrid-invoice shape) whose values mirror the
+        # printed document; keyed off the already-drawn invoice
+        # number, no rng draw
+        attachments=(
+            [(
+                "factur-x.xml",
+                '<?xml version="1.0"?><CrossIndustryInvoice>'
+                f"<ID>{inv_no}</ID>"
+                f"<IssueDate>{base.isoformat()}</IssueDate>"
+                f"<Currency>{ccy}</Currency>"
+                f"<GrandTotal>{abs(total)}</GrandTotal>"
+                "</CrossIndustryInvoice>",
+            )]
+            if int(inv_no[-4:]) % 4 == 1 else None
+        ),
         # ~3/7 of UNcompressed docs wrap content streams in an
         # ASCII-family filter — hex (/ASCIIHexDecode), the
         # [/ASCII85Decode /FlateDecode] chain, or /RunLengthDecode —

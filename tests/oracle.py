@@ -1206,6 +1206,101 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                 out.append(("media", "", ref))
             elif _norm(text) not in drop:
                 out.append(("text", text, ""))
+    out.extend(_attachments_oracle(objs, streams))
+    return out
+
+
+def _balanced_dict_str(body: str, start: int) -> str:
+    """Inner text of the << ... >> opening at ``start`` (nesting-aware,
+    independent of the engine's byte-domain twin)."""
+    depth = 0
+    i = start
+    while i < len(body) - 1:
+        two = body[i : i + 2]
+        if two == "<<":
+            depth += 1
+            i += 2
+        elif two == ">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start + 2 : i - 2]
+        else:
+            i += 1
+    return ""
+
+
+def _dict_value_str(body: str, key: str, objs: dict[int, str]) -> str:
+    m = re.search(key + r"\s+(\d+)\s+0\s+R", body)
+    if m:
+        return objs.get(int(m.group(1)), "")
+    m = re.search(key + r"\s*<<", body)
+    if m:
+        return _balanced_dict_str(body, m.end() - 2)
+    return ""
+
+
+def _str_token(tok: str) -> str:
+    """A PDF string token — (literal) or <hex> — to its value."""
+    if tok.startswith("("):
+        return _unesc(tok[1:-1])
+    h = re.sub(r"\s", "", tok[1:-1])
+    if len(h) % 2:
+        h += "0"
+    return "".join(chr(int(h[i : i + 2], 16)) for i in range(0, len(h), 2))
+
+
+_STR_TOK = r"\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>"
+
+
+def _attachments_oracle(
+    objs: dict[int, str], streams: dict[int, str]
+) -> list[tuple[str, str, str]]:
+    """Embedded files (ISO 32000-1 §7.11.4): catalog /Names
+    /EmbeddedFiles name tree → Filespec → /EF stream, emitted as
+    ("attachment", content, filename) after all page items —
+    independent twin of operators/pdfparse._attachments."""
+    cat = ""
+    for _n, body in sorted(objs.items()):
+        if "/Type /Catalog" in body:
+            cat = body
+            break
+    tree = _dict_value_str(
+        _dict_value_str(cat, r"/Names", objs), r"/EmbeddedFiles", objs
+    )
+    if not tree:
+        return []
+    leaves = [tree]
+    km = re.search(r"/Kids\s*\[([^\]]*)\]", tree)
+    if km and not re.search(r"/Names\s*\[", tree):
+        leaves = [
+            objs.get(int(r), "")
+            for r in re.findall(r"(\d+)\s+0\s+R", km.group(1))
+        ]
+    out = []
+    for leaf in leaves:
+        am = re.search(r"/Names\s*\[([^\]]*)\]", leaf)
+        if not am:
+            continue
+        for em in re.finditer(
+            r"(" + _STR_TOK + r")\s*(\d+)\s+0\s+R", am.group(1)
+        ):
+            key = _str_token(em.group(1))
+            fs = objs.get(int(em.group(2)), "")
+            ef = _dict_value_str(fs, r"/EF", objs)
+            sm = re.search(r"/(?:UF|F)\s+(\d+)\s+0\s+R", ef)
+            if sm is None:
+                continue
+            content = streams.get(int(sm.group(1)))
+            if content is None:
+                continue
+            name = key
+            for k in ("UF", "F"):
+                nm = re.search(r"/" + k + r"\s*(" + _STR_TOK + r")", fs)
+                if nm:
+                    name = _str_token(nm.group(1))
+                    break
+            out.append(("attachment", content, name))
     return out
 
 

@@ -1153,6 +1153,71 @@ def test_encrypted_unreadable_degrades_to_zero_pages():
     both_empty(enc.replace("/P -44", "/P -4"))
 
 
+def test_embedded_file_attachments():
+    """/EmbeddedFiles name tree (ISO 32000-1 §7.11.4 — the
+    ZUGFeRD/Factur-X hybrid e-invoice shape): writer embeds
+    (filename, content) pairs via Filespec + EmbeddedFile stream;
+    engine and oracle emit ("attachment", content, filename) spans
+    after all page items, in sorted name-tree order, across every
+    layout (classic/compressed/ObjStm/hybrid/encrypted/filtered).
+    Attachment text does NOT feed field extraction."""
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "Invoice INV-77 total: $10.00")
+    xml = (
+        '<?xml version="1.0"?><CrossIndustryInvoice>'
+        "<ID>INV-77</ID><GrandTotal>99999.99</GrandTotal>"
+        "</CrossIndustryInvoice>"
+    )
+    atts = [("factur-x.xml", xml), ("meta.txt", "hello world")]
+    for opts in (
+        {}, {"compress": True}, {"objstm": True},
+        {"encrypt": "rc4-128"}, {"encrypt": "aes-128"},
+        {"ascii_filter": "a85"}, {"hybrid": True},
+    ):
+        doc = build_pdf([pg], attachments=atts, **opts)
+        e, f = extract_doc([("pdf", doc, "", 0)])
+        o, of = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o, opts
+        got = [(s[1], s[2]) for s in e if s[0] == "attachment"]
+        assert got == [(xml, "factur-x.xml"), ("hello world", "meta.txt")], opts
+        # attachment order trails page items, dense span order holds
+        assert [s[3] for s in e] == list(range(len(e)))
+        # the 99999.99 amount lives ONLY in the attachment: fields
+        # must not see it (payload-only field extraction)
+        assert f == of
+        assert all("99999" not in str(v) for v in f.values()), f
+    # a /Kids-level name tree (hand-built) resolves identically
+    import re as _re
+
+    doc = build_pdf([pg], attachments=[("a.txt", "AAA")])
+    m = _re.search(
+        r"/Names << /EmbeddedFiles << (/Names \[[^\]]*\]) >> >>", doc
+    )
+    assert m is not None
+    kid = max(int(x) for x in _re.findall(r"(\d+) 0 obj", doc)) + 1
+    doc2 = doc.replace(
+        m.group(0),
+        f"/Names << /EmbeddedFiles << /Kids [ {kid} 0 R ] >> >>",
+    ).replace(
+        "%%EOF", f"{kid} 0 obj\n<< {m.group(1)} >>\nendobj\n%%EOF"
+    )
+    e, _ = extract_doc([("pdf", doc2, "", 0)])
+    o, _ = oracle_extract([("pdf", doc2, "", 0)])
+    assert e == o
+    assert [(s[1], s[2]) for s in e if s[0] == "attachment"] == [
+        ("AAA", "a.txt")
+    ]
+    # degrade shapes: dangling filespec ref and missing /EF stream
+    # drop that entry (never crash), engine ≡ oracle
+    doc3 = doc.replace("/EF <<", "/XX <<")
+    e3, _ = extract_doc([("pdf", doc3, "", 0)])
+    o3, _ = oracle_extract([("pdf", doc3, "", 0)])
+    assert e3 == o3
+    assert not [s for s in e3 if s[0] == "attachment"]
+
+
 def test_ascii_filter_family_roundtrip():
     """/ASCIIHexDecode, the [/ASCII85Decode /FlateDecode] chain and
     /RunLengthDecode (ISO 32000-1 §7.4.2/3/5): writer emits, parser

@@ -6,7 +6,8 @@ Pure Python/numpy — no Spark imports — so the same function serves the
 synth round-trip property tests.  The semantics it implements are the
 north-rule invariant (``BASELINE.json:15``): output spans are
 ``(kind, text, media_ref, order)`` with ``order`` the dense 0-based
-reading-order rank; kinds ``text``/``media`` survive, plus
+reading-order rank; kinds ``text``/``media`` survive, plus ``form``
+spans (value, field name) for AcroForm field values and
 ``attachment`` spans (content, filename) for PDF embedded files —
 the ZUGFeRD/Factur-X hybrid-invoice shape.
 """
@@ -48,7 +49,7 @@ def extract_doc(
                 # §1.1); a stray non-latin-1 char must degrade to '?'
                 # for that char only — never drop the whole document
                 # (the oracle applies the same replacement).
-                pages, attachments = parse_pdf_full(
+                pages, forms, attachments = parse_pdf_full(
                     text.encode("latin-1", errors="replace")
                 )
                 for it in pdf_to_items(pages):
@@ -56,10 +57,13 @@ def extract_doc(
                         out.append(("media", "", it.media_ref))
                     else:
                         out.append(("text", it.text, ""))
-                # embedded files (ZUGFeRD-style) trail the page items
-                # as their own kind: content in text, filename in
-                # media_ref; they do NOT feed field extraction (the
-                # document text rules stay payload-only)
+                # AcroForm field values trail the page items (value in
+                # text, field name in media_ref), then embedded files
+                # (ZUGFeRD-style; content in text, filename in
+                # media_ref); neither feeds field extraction — the
+                # document text rules stay payload-only
+                for name, value in forms:
+                    out.append(("form", value, name))
                 for name, content in attachments:
                     out.append(("attachment", content, name))
         elif kind == "html":

@@ -631,6 +631,70 @@ def _attachments(
     return out
 
 
+_FIELDS_ARR_RE = re.compile(rb"/Fields\s*\[([^\]]*)\]")
+_FT_TXCH_RE = re.compile(rb"/FT\s*/(?:Tx|Ch)\b")
+_T_STR_RE = re.compile(
+    rb"/T\s*(\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>)"
+)
+_V_STR_RE = re.compile(
+    rb"/V\s*(\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>)"
+)
+
+
+def _text_string(raw: bytes) -> str:
+    """PDF text string (ISO 32000-1 §7.9.2.2): UTF-16BE when the BOM
+    leads, PDFDocEncoding (~latin-1 subset here) otherwise."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1", errors="replace")
+
+
+def _form_fields(objs: dict[int, bytes]) -> list[tuple[str, str]]:
+    """AcroForm text/choice field values (ISO 32000-1 §12.7): catalog
+    /AcroForm → /Fields array → field dicts with /FT /Tx or /Ch, /T
+    partial name and /V value (direct on the field, or — merged-widget
+    shape — on the first /Kids entry carrying one).  Returns
+    (name, value) in /Fields order; values are BOM-aware text strings.
+    Non-text field types and valueless fields are skipped; dangling
+    refs degrade to skip, never raise."""
+    cat = b""
+    for _num, body in sorted(objs.items()):
+        if b"/Type /Catalog" in body:
+            cat = body
+            break
+    if not cat:
+        return []
+    acro = _dict_value(cat, rb"/AcroForm", objs)
+    if not acro:
+        return []
+    fm = _FIELDS_ARR_RE.search(acro)
+    if not fm:
+        return []
+    out: list[tuple[str, str]] = []
+    for r in _REF_RE.finditer(fm.group(1)):
+        fd = objs.get(int(r.group(1)), b"")
+        if not _FT_TXCH_RE.search(fd):
+            continue
+        tm = _T_STR_RE.search(fd)
+        if tm is None:
+            continue
+        vm = _V_STR_RE.search(fd)
+        if vm is None:
+            km = _KIDS_RE.search(fd)
+            if km:
+                for kr in _REF_RE.finditer(km.group(1)):
+                    vm = _V_STR_RE.search(objs.get(int(kr.group(1)), b""))
+                    if vm is not None:
+                        break
+        if vm is None:
+            continue
+        out.append((
+            _text_string(_string_value(tm.group(1))),
+            _text_string(_string_value(vm.group(1))),
+        ))
+    return out
+
+
 def _string_value(part: bytes) -> bytes:
     """First string (hex or literal) in ``part``, raw bytes."""
     m = _ANYSTR_RE.search(part)
@@ -784,9 +848,10 @@ def parse_pdf(data: bytes) -> list[Page]:
 
 def parse_pdf_full(
     data: bytes,
-) -> tuple[list[Page], list[tuple[str, str]]]:
-    """Pages plus embedded-file attachments (filename, content) —
-    the ZUGFeRD/Factur-X hybrid-invoice shape rides /EmbeddedFiles."""
+) -> tuple[list[Page], list[tuple[str, str]], list[tuple[str, str]]]:
+    """Pages, AcroForm field values (name, value), and embedded-file
+    attachments (filename, content) — the ZUGFeRD/Factur-X
+    hybrid-invoice shape rides /EmbeddedFiles."""
     # ---- standard security (RC4 / AES, empty user password) ---------
     fkey: bytes | None = None
     cipher = ""
@@ -796,7 +861,7 @@ def parse_pdf_full(
         enc_num = int(em_.group(1))
         fc = _encryption_key(data, enc_num)
         if fc is None:
-            return [], []  # unreadable (bad pw / unknown filter)
+            return [], [], []  # unreadable (bad pw / unknown filter)
         fkey, cipher = fc
         from accountant_pdf_extract_spark.functions.pdfcrypt import (
             aes_decrypt_value,
@@ -985,7 +1050,7 @@ def parse_pdf_full(
         pages.append(
             _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
         )
-    return pages, _attachments(objs, streams)
+    return pages, _form_fields(objs), _attachments(objs, streams)
 
 
 def _parse_content(

@@ -105,6 +105,25 @@ def q_attachments(spark, sf):
     )
 
 
+@register("q_form_fields")
+def q_form_fields(spark, sf):
+    """AcroForm field values (fillable-invoice shape): per-field-name
+    count and distinct-value count over the ``form`` span kind
+    (rows-only; values are pinned by golden fixtures).  Analytics stay
+    JVM-side; field name rides media_ref, value rides text."""
+    docs = interleaved_from_documents(spark, sf, seed=42)
+    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    return (
+        flat.where(F.col("kind") == "form")
+        .groupBy(F.col("media_ref").alias("field_name"))
+        .agg(
+            F.count("*").alias("n_values"),
+            F.countDistinct("text").alias("n_distinct"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+    )
+
+
 @register("q_span_filter")
 def q_span_filter(spark, sf):
     """P3: span-kind predicate via array HOF — route pdf spans without

@@ -40,6 +40,25 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _text_str_obj(s: str) -> str:
+    """A PDF text string (ISO 32000-1 §7.9.2.2): latin-1-expressible
+    text as an escaped literal, anything else as a UTF-16BE hex
+    string with leading BOM."""
+    try:
+        s.encode("latin-1")
+    except UnicodeEncodeError:
+        return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
+    return f"({_esc(s)})"
+
+
+def _field_obj(name: str, value: str) -> str:
+    """An AcroForm terminal text-field dict (§12.7.4.3)."""
+    return (
+        f"<< /FT /Tx /T {_text_str_obj(name)} "
+        f"/V {_text_str_obj(value)} >>"
+    )
+
+
 def _n(v: float) -> str:
     """Exponent-free number formatting for content streams: the
     parser's token grammar (and its oracle mirror) has no exponent
@@ -547,11 +566,21 @@ def _encrypt_obj_body(
     dict_part = body[: sm.start()] if sm else body
 
     def repl(m: re.Match) -> str:
-        val = _WRITER_ESC_RE.sub(r"\1", m.group(1))
-        return "<" + cipher(val.encode("latin-1")).hex().upper() + ">"
+        if m.group(1) is not None:
+            val = _WRITER_ESC_RE.sub(r"\1", m.group(1)).encode("latin-1")
+        else:  # hex string (e.g. UTF-16BE form values) — §7.6.2
+            # encrypts ALL strings; one combined pass so freshly
+            # emitted ciphertext hex is never re-matched (mirrors the
+            # parser's _ANYSTR_RE rationale)
+            h = re.sub(r"\s", "", m.group(2))
+            if len(h) % 2:
+                h += "0"
+            val = bytes.fromhex(h)
+        return "<" + cipher(val).hex().upper() + ">"
 
     new_dict = re.sub(
-        r"\(((?:[^()\\]|\\.)*)\)", repl, dict_part, flags=re.S
+        r"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>",
+        repl, dict_part, flags=re.S,
     )
     if sm is None:
         return new_dict
@@ -698,6 +727,7 @@ def build_pdf(
     encrypt: str | None = None,
     ascii_filter: str | None = None,
     attachments: list[tuple[str, str]] | None = None,
+    form_fields: list[tuple[str, str]] | None = None,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -727,6 +757,9 @@ def build_pdf(
     ``attachments`` = [(filename, content), ...] embeds files via the
     catalog /Names /EmbeddedFiles name tree (Filespec + EmbeddedFile
     stream — the ZUGFeRD/Factur-X hybrid-invoice shape).
+    ``form_fields`` = [(name, value), ...] adds an /AcroForm with one
+    terminal /FT /Tx field per pair (direct /T and /V text strings;
+    UTF-16BE hex + BOM when the value needs it).
     ``encrypt`` = ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3)
     emits a standard-security-encrypted file with EMPTY user and
     owner passwords (the common e-mailed-invoice case): per-object
@@ -807,6 +840,18 @@ def build_pdf(
     )
     assert catalog_num == 1
 
+    catalog_extra = ""
+    if form_fields:
+        # AcroForm (ISO 32000-1 §12.7) text fields: one /FT /Tx field
+        # dict per (name, value) with direct /T and /V; field dicts
+        # are dict-only, so they ride the ObjStm in the 1.5 layout.
+        # Non-latin-1 values ride as UTF-16BE hex strings with BOM
+        # (§7.9.2.2); widget /Annots are out of subset (value
+        # extraction never reads them).
+        refs = []
+        for name, value in form_fields:
+            refs.append(f"{add(_field_obj(name, value))} 0 R")
+        catalog_extra += f" /AcroForm << /Fields [ {' '.join(refs)} ] >>"
     if attachments:
         # /EmbeddedFiles name tree (ISO 32000-1 §7.11.4, the
         # ZUGFeRD/Factur-X hybrid-invoice shape): embedded-file
@@ -836,9 +881,13 @@ def build_pdf(
                 f"/EF << /F {snum} 0 R >> >>"
             )
             entries.append(f"({_esc(name)}) {fs} 0 R")
+        catalog_extra += (
+            " /Names << /EmbeddedFiles "
+            f"<< /Names [ {' '.join(entries)} ] >> >>"
+        )
+    if catalog_extra:
         objs[catalog_num - 1] = (
-            "<< /Type /Catalog /Pages 2 0 R /Names << /EmbeddedFiles "
-            f"<< /Names [ {' '.join(entries)} ] >> >> >>"
+            f"<< /Type /Catalog /Pages 2 0 R{catalog_extra} >>"
         )
 
     if hybrid:

@@ -236,6 +236,19 @@ def make_invoice_pdf(
             )]
             if int(inv_no[-4:]) % 4 == 1 else None
         ),
+        # ~1/4 of docs carry AcroForm text fields (fillable-invoice
+        # shape) mirroring the printed values; disjoint key residue
+        # from attachments so a doc carries one shape or the other,
+        # never both; no rng draw
+        form_fields=(
+            [
+                ("InvoiceNumber", inv_no),
+                ("IssueDate", base.isoformat()),
+                ("GrandTotal", f"{ccy} {abs(total)}"),
+                ("Payee", company),
+            ]
+            if int(inv_no[-4:]) % 4 == 2 else None
+        ),
         # ~3/7 of UNcompressed docs wrap content streams in an
         # ASCII-family filter — hex (/ASCIIHexDecode), the
         # [/ASCII85Decode /FlateDecode] chain, or /RunLengthDecode —

@@ -1206,7 +1206,64 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                 out.append(("media", "", ref))
             elif _norm(text) not in drop:
                 out.append(("text", text, ""))
+    out.extend(_forms_oracle(objs))
     out.extend(_attachments_oracle(objs, streams))
+    return out
+
+
+def _pdf_text_str(raw: str) -> str:
+    """PDF text string semantics (ISO 32000-1 §7.9.2.2) over a
+    latin-1-domain value: UTF-16BE when the BOM leads."""
+    if raw[:2] == "\xfe\xff":
+        return raw[2:].encode("latin-1", errors="replace").decode(
+            "utf-16-be", errors="replace"
+        )
+    return raw
+
+
+def _forms_oracle(objs: dict[int, str]) -> list[tuple[str, str, str]]:
+    """AcroForm field values (ISO 32000-1 §12.7): catalog /AcroForm →
+    /Fields → /FT /Tx|/Ch fields with /T and /V (direct, or on the
+    first /Kids entry carrying one), emitted as ("form", value, name)
+    after page items — independent twin of
+    operators/pdfparse._form_fields."""
+    cat = ""
+    for _n, body in sorted(objs.items()):
+        if "/Type /Catalog" in body:
+            cat = body
+            break
+    acro = _dict_value_str(cat, r"/AcroForm", objs)
+    if not acro:
+        return []
+    fm = re.search(r"/Fields\s*\[([^\]]*)\]", acro)
+    if not fm:
+        return []
+    out = []
+    for r in re.finditer(r"(\d+)\s+0\s+R", fm.group(1)):
+        fd = objs.get(int(r.group(1)), "")
+        if not re.search(r"/FT\s*/(?:Tx|Ch)\b", fd):
+            continue
+        tm = re.search(r"/T\s*(" + _STR_TOK + r")", fd)
+        if tm is None:
+            continue
+        vm = re.search(r"/V\s*(" + _STR_TOK + r")", fd)
+        if vm is None:
+            km = re.search(r"/Kids\s*\[([^\]]*)\]", fd)
+            if km:
+                for kr in re.finditer(r"(\d+)\s+0\s+R", km.group(1)):
+                    vm = re.search(
+                        r"/V\s*(" + _STR_TOK + r")",
+                        objs.get(int(kr.group(1)), ""),
+                    )
+                    if vm is not None:
+                        break
+        if vm is None:
+            continue
+        out.append((
+            "form",
+            _pdf_text_str(_str_token(vm.group(1))),
+            _pdf_text_str(_str_token(tm.group(1))),
+        ))
     return out
 
 

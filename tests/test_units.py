@@ -1218,6 +1218,79 @@ def test_embedded_file_attachments():
     assert not [s for s in e3 if s[0] == "attachment"]
 
 
+def test_acroform_field_values():
+    """AcroForm text fields (ISO 32000-1 §12.7): writer emits terminal
+    /FT /Tx fields with direct /T and /V; engine and oracle emit
+    ("form", value, name) spans after page items (before attachments),
+    in /Fields order, across every layout incl. encryption (ALL dict
+    strings — literal and UTF-16BE hex — encrypt per §7.6.2).  Form
+    values do NOT feed field extraction."""
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "Invoice INV-88 total: $10.00")
+    ff = [
+        ("InvoiceNumber", "INV-88"),
+        ("GrandTotal", "USD 77777.77"),  # NOT on the page
+        ("Payee", "Müller — café €"),  # UTF-16BE hex + BOM
+    ]
+    for opts in (
+        {}, {"compress": True}, {"objstm": True}, {"hybrid": True},
+        {"encrypt": "rc4-40"}, {"encrypt": "rc4-128"},
+        {"encrypt": "aes-128"}, {"encrypt": "aes-256"},
+        {"ascii_filter": "a85"},
+    ):
+        doc = build_pdf(
+            [pg], form_fields=ff, attachments=[("a.txt", "AAA")], **opts
+        )
+        e, f = extract_doc([("pdf", doc, "", 0)])
+        o, of = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o, opts
+        assert [(s[2], s[1]) for s in e if s[0] == "form"] == ff, opts
+        # order: page items, then forms, then attachments; dense
+        assert [s[0] for s in e] == [
+            "text", "form", "form", "form", "attachment"
+        ], opts
+        assert [s[3] for s in e] == list(range(len(e)))
+        # the 77777.77 amount lives ONLY in the form value: field
+        # extraction stays payload-only
+        assert f == of
+        assert all("77777" not in str(v) for v in f.values()), f
+
+    # merged-widget /Kids shape: valueless parent carries /T, the kid
+    # carries /V — hand-built by splitting one field in two objects
+    import re as _re
+
+    doc = build_pdf([pg], form_fields=[("Ref", "R-1")])
+    m = _re.search(
+        r"/FT /Tx /T \(Ref\) /V \(R-1\)", doc
+    )
+    assert m is not None
+    kid = max(int(x) for x in _re.findall(r"(\d+) 0 obj", doc)) + 1
+    doc2 = doc.replace(
+        m.group(0), f"/FT /Tx /T (Ref) /Kids [ {kid} 0 R ]"
+    ).replace(
+        "%%EOF", f"{kid} 0 obj\n<< /V (R-1) >>\nendobj\n%%EOF"
+    )
+    e, _ = extract_doc([("pdf", doc2, "", 0)])
+    o, _ = oracle_extract([("pdf", doc2, "", 0)])
+    assert e == o
+    assert [(s[2], s[1]) for s in e if s[0] == "form"] == [("Ref", "R-1")]
+
+    # degrade shapes, engine ≡ oracle, never crash: non-text field
+    # type skipped; valueless field skipped; dangling field ref skipped
+    for mut in (
+        lambda d: d.replace("/FT /Tx", "/FT /Btn"),
+        lambda d: d.replace("/V (R-1) ", ""),
+        lambda d: _re.sub(r"/Fields \[ \d+ 0 R \]", "/Fields [ 999 0 R ]", d),
+    ):
+        d3 = mut(doc)
+        e3, _ = extract_doc([("pdf", d3, "", 0)])
+        o3, _ = oracle_extract([("pdf", d3, "", 0)])
+        assert e3 == o3
+        assert not [s for s in e3 if s[0] == "form"]
+
+
 def test_ascii_filter_family_roundtrip():
     """/ASCIIHexDecode, the [/ASCII85Decode /FlateDecode] chain and
     /RunLengthDecode (ISO 32000-1 §7.4.2/3/5): writer emits, parser

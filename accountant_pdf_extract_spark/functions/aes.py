@@ -253,6 +253,24 @@ def cbc_encrypt_nopad(key: bytes, iv: bytes, plain: bytes) -> bytes:
     return bytes(out)
 
 
+def cbc_decrypt_nopad(key: bytes, iv: bytes, cipher: bytes) -> bytes:
+    """Raw CBC decrypt without padding (exact multiple of 16) — the
+    R6 /UE file-key unwrap and /Perms tamper check decrypt raw
+    32/16-byte values (ISO 32000-2 Algorithms 2.A / 13)."""
+    if len(cipher) % 16:
+        raise ValueError("NoPad CBC needs a multiple of 16")
+    if _native is not None:
+        return _native.cbc_raw(key, iv, cipher, encrypt=False)
+    dw = _dec_key(_expand_key(key))
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(cipher), 16):
+        blk = cipher[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(dw, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
 # ----------------------------------------------------- libcrypto fast path
 class _Native:
     """EVP one-shot CBC via libcrypto; padding handled by us (PDF pad

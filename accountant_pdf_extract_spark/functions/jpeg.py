@@ -505,7 +505,9 @@ def _decode_progressive(data, i, sos_seg, frame, qt, huff, restart_interval):
                 raise ValueError("jpeg: marker expected")
             while i + 1 < len(data) and data[i + 1] == 0xFF:
                 i += 1  # fill bytes
-            marker = data[i + 1] if i + 1 < len(data) else 0xD9
+            if i + 1 >= len(data):
+                raise ValueError("jpeg: truncated marker")
+            marker = data[i + 1]
             i += 2
             if marker == 0xD9:
                 nxt = "eoi"
@@ -528,6 +530,11 @@ def _decode_progressive(data, i, sos_seg, frame, qt, huff, restart_interval):
                 nxt = "sos"
                 break
             # APPn / COM skipped
+        if nxt is None:
+            # ran off the end without SOS or EOI: a truncated download
+            # must raise (skip-the-row contract), not silently return
+            # a partially-refined image
+            raise ValueError("jpeg: truncated between scans")
         if nxt != "sos":
             break
 

@@ -231,20 +231,7 @@ def r6_auth_user(
     ikey = hash_2b(user_pw, ksalt)
     # AES-256-CBC, zero IV, NO padding (the spec encrypts the raw
     # 32-byte key)
-    from accountant_pdf_extract_spark.functions.aes import _native
-
-    if _native is not None:
-        return _native.cbc_raw(ikey, bytes(16), ue_val[:32], encrypt=False)
-    dw = aes._dec_key(aes._expand_key(ikey))
-    prev = bytes(16)
-    out = bytearray()
-    for i in range(0, 32, 16):
-        blk = ue_val[i : i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(aes._decrypt_block(dw, blk), prev)
-        )
-        prev = blk
-    return bytes(out)
+    return aes.cbc_decrypt_nopad(ikey, bytes(16), ue_val[:32])
 
 
 def r6_user_entries(
@@ -296,12 +283,5 @@ def r6_check_perms(perms: bytes, fkey: bytes) -> bool:
 
     if len(perms) < 16:
         return False
-    from accountant_pdf_extract_spark.functions.aes import _native
-
-    blk = perms[:16]
-    if _native is not None:
-        out = _native.cbc_raw(fkey, bytes(16), blk, encrypt=False)
-    else:
-        dw = aes._dec_key(aes._expand_key(fkey))
-        out = aes._decrypt_block(dw, blk)
+    out = aes.cbc_decrypt_nopad(fkey, bytes(16), perms[:16])
     return out[9:12] == b"adb"

@@ -752,6 +752,39 @@ def _decrypt_strings(part: bytes, decrypt) -> bytes:
     return _ANYSTR_RE.sub(repl, part)
 
 
+def _encrypt_ref(data: bytes) -> int | None:
+    """The document's /Encrypt object number, or None.
+
+    Searched ONLY where the spec puts it — trailer dicts (§7.5.5) and
+    /Type /XRef stream dicts (§7.5.8.2, which carry the trailer keys
+    in 1.5 layouts) — never the whole byte stream: a readable
+    unencrypted document whose page TEXT merely contains
+    "/Encrypt N 0 R" must not trip the security handler and degrade
+    to zero pages.  The ``/Encrypt`` substring guard keeps the common
+    unencrypted case to one fast scan."""
+    if b"/Encrypt" not in data:
+        return None
+    for tm in re.finditer(rb"trailer\b", data):
+        m = re.compile(rb"\s*<<").match(data, tm.end())
+        if m is None:
+            continue
+        em = _ENCRYPT_REF_RE.search(_balanced_dict(data, m.end() - 2))
+        if em:
+            return int(em.group(1))
+    for om in _OBJ_RE.finditer(data):
+        body = om.group(2)
+        # dict part ends at the stream keyword (endstream may be
+        # missing on a truncated object; the dict region must still
+        # never include stream data)
+        sm = re.search(rb"stream\r?\n", body)
+        dict0 = body[: sm.start()] if sm else body
+        if b"/Type /XRef" in dict0:
+            em = _ENCRYPT_REF_RE.search(dict0)
+            if em:
+                return int(em.group(1))
+    return None
+
+
 def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
     """(file key, cipher) for the EMPTY user password — cipher is
     ``"rc4"`` (V1/V2, or V4 with /CFM /V2), ``"aesv2"`` (V4 R4) or
@@ -789,22 +822,25 @@ def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
     p = intkey(b"P", -44)
     o_val = strkey(b"O")
     u_val = strkey(b"U")
-    if o_val is None or u_val is None:
-        return None
 
     if v == 5:
         # ---- AES-256 (ISO 32000-2, /CFM /AESV3, R6) ----------------
+        # /O plays no part in user-password auth here (it serves
+        # owner-password auth only), so its absence must not make a
+        # V5 document unreadable — the oracle's V5 path never reads it
         if r != 6 or b"/AESV3" not in ed:
             return None
         ue_val = strkey(b"UE")
         perms = strkey(b"Perms")
-        if ue_val is None or perms is None:
+        if u_val is None or ue_val is None or perms is None:
             return None
         fkey = pdfcrypt.r6_auth_user(u_val, ue_val)
         if fkey is None or not pdfcrypt.r6_check_perms(perms, fkey):
             return None
         return fkey, "aesv3"
 
+    if o_val is None or u_val is None:
+        return None
     bits = intkey(b"Length", 40)
     if len(o_val) < 32 or len(u_val) < 16:
         return None
@@ -856,9 +892,9 @@ def parse_pdf_full(
     fkey: bytes | None = None
     cipher = ""
     enc_num = -1
-    em_ = _ENCRYPT_REF_RE.search(data)
-    if em_:
-        enc_num = int(em_.group(1))
+    enc_ref = _encrypt_ref(data)
+    if enc_ref is not None:
+        enc_num = enc_ref
         fc = _encryption_key(data, enc_num)
         if fc is None:
             return [], [], []  # unreadable (bad pw / unknown filter)
@@ -875,11 +911,14 @@ def parse_pdf_full(
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         body = m.group(2)
+        # one stream scan per object; the decryption branch reuses the
+        # match offsets instead of re-searching the rebuilt body
+        sm = _STREAM_RE.search(body)
+        dict_part = body[: sm.start()] if sm else body
+        payload = sm.group(1) if sm else b""
         if fkey is not None and num != enc_num:
-            sm0 = _STREAM_RE.search(body)
-            dict0 = body[: sm0.start()] if sm0 else body
             # xref streams are NEVER encrypted (§7.5.8.2)
-            if b"/Type /XRef" not in dict0:
+            if b"/Type /XRef" not in dict_part:
                 if cipher == "rc4":
                     okey = object_key(fkey, num)
                     dec = lambda v, k=okey: rc4(k, v)  # noqa: E731
@@ -888,31 +927,28 @@ def parse_pdf_full(
                     dec = lambda v, k=okey: aes_decrypt_value(k, v)  # noqa: E731
                 else:  # aesv3: the file key encrypts every object
                     dec = lambda v: aes_decrypt_value(fkey, v)  # noqa: E731
-                new_dict = _decrypt_strings(dict0, dec)
-                if sm0:
+                dict_part = _decrypt_strings(dict_part, dec)
+                if sm:
                     try:
-                        payload = dec(sm0.group(1))
+                        payload = dec(payload)
                     except ValueError:
                         payload = b""  # malformed AES framing — degrade
                     body = (
-                        new_dict
-                        + body[sm0.start() : sm0.start(1)]
+                        dict_part
+                        + body[sm.start() : sm.start(1)]
                         + payload
-                        + body[sm0.end(1) :]
+                        + body[sm.end(1) :]
                     )
                 else:
-                    body = new_dict
+                    body = dict_part
         objs[num] = body
-        sm = _STREAM_RE.search(body)
         if sm:
             # Filter chain declared in the stream dict (before the
             # 'stream' keyword — never match inside stream data);
             # corrupt/unknown stages degrade to an empty stream (the
             # page yields nothing) instead of raising and losing the
             # whole document; oracle mirrors this.
-            streams[num] = _decode_stream(
-                sm.group(1), body[: sm.start()]
-            )
+            streams[num] = _decode_stream(payload, dict_part)
 
     # ---- PDF 1.5: expand object streams (/Type /ObjStm) --------------
     # Embedded objects carry no "N 0 obj" headers in the raw bytes, so

@@ -1094,17 +1094,44 @@ def _norm(text: str) -> str:
     return re.sub(r"\s+", " ", re.sub(r"\d+", "#", text.lower())).strip()
 
 
+def _encrypt_ref_oracle(payload: str) -> int | None:
+    """The /Encrypt object number from where the spec puts it —
+    trailer dicts (§7.5.5) or /Type /XRef stream dicts (§7.5.8.2) —
+    never page text; independent twin of pdfparse._encrypt_ref."""
+    if "/Encrypt" not in payload:
+        return None
+    for tm in re.finditer(r"trailer\b", payload):
+        m = re.compile(r"\s*<<").match(payload, tm.end())
+        if m is None:
+            continue
+        em = re.search(
+            r"/Encrypt\s+(\d+)\s+0\s+R",
+            _balanced_dict_str(payload, m.end() - 2),
+        )
+        if em:
+            return int(em.group(1))
+    for om in re.finditer(r"(\d+)\s+0\s+obj\b(.*?)endobj", payload, re.S):
+        body = om.group(2)
+        sm = re.search(r"stream\r?\n", body)
+        dict0 = body[: sm.start()] if sm else body
+        if "/Type /XRef" in dict0:
+            em = re.search(r"/Encrypt\s+(\d+)\s+0\s+R", dict0)
+            if em:
+                return int(em.group(1))
+    return None
+
+
 def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     """PDF payload (latin-1 string) → [(kind, text, media_ref)]."""
     # Mirror the engine's byte-level view: non-latin-1 chars degrade to
     # '?' (the engine encodes with errors="replace" before parsing).
     payload = payload.encode("latin-1", errors="replace").decode("latin-1")
-    enc_m = re.search(r"/Encrypt\s+(\d+)\s+0\s+R", payload)
+    enc_ref = _encrypt_ref_oracle(payload)
     fkey = None
     cipher = ""
     enc_num = -1
-    if enc_m:
-        enc_num = int(enc_m.group(1))
+    if enc_ref is not None:
+        enc_num = enc_ref
         fc = _std_sec_key(payload, enc_num)
         if fc is None:
             return []  # unreadable — degrade (engine mirrors)

@@ -1218,6 +1218,61 @@ def test_embedded_file_attachments():
     assert not [s for s in e3 if s[0] == "attachment"]
 
 
+def test_encrypt_trigger_scoped_to_trailer():
+    """A readable UNencrypted document whose page text merely contains
+    '/Encrypt N 0 R' must extract normally — the security handler
+    trigger reads trailer dicts (ISO 32000-1 §7.5.5) and /Type /XRef
+    stream dicts (§7.5.8.2), never page text.  Real encryption keeps
+    triggering from the trailer."""
+    from accountant_pdf_extract_spark.operators.pdfparse import _encrypt_ref
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "see /Encrypt 99 0 R for details")
+    pg.text(72, 680, "Invoice INV-1 total: $5.00")
+    doc = build_pdf([pg])
+    e, _ = extract_doc([("pdf", doc, "", 0)])
+    o, _ = oracle_extract([("pdf", doc, "", 0)])
+    assert e == o
+    assert any("/Encrypt 99 0 R" in s[1] for s in e), e
+    # real encryption (trailer-dict reference) still decrypts
+    enc = build_pdf([pg], encrypt="rc4-128")
+    e, _ = extract_doc([("pdf", enc, "", 0)])
+    o, _ = oracle_extract([("pdf", enc, "", 0)])
+    assert e == o
+    assert any("INV-1" in s[1] for s in e), e
+    # 1.5 layouts carry trailer keys on the /Type /XRef stream dict
+    xref_obj = (
+        b"9 0 obj\n<< /Type /XRef /Encrypt 5 0 R /W [1 2 1] >>\n"
+        b"stream\n\nendstream\nendobj"
+    )
+    assert _encrypt_ref(xref_obj) == 5
+    # ... but an /Encrypt-looking token inside stream DATA never fires
+    assert _encrypt_ref(
+        b"9 0 obj\n<< /Type /XRef /W [1 2 1] >>\n"
+        b"stream\n/Encrypt 5 0 R\nendstream\nendobj"
+    ) is None
+
+
+def test_v5_encrypt_dict_without_O_still_opens():
+    """V5/R6 user-password auth never reads /O (it serves owner auth);
+    an AES-256 document missing /O must still decrypt — engine and
+    oracle agree."""
+    import re as _re
+
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "Invoice INV-2 total: $7.00")
+    doc = build_pdf([pg], encrypt="aes-256")
+    doc2 = _re.sub(r"/O\s*<[^>]*>\s*", "", doc)
+    assert doc2 != doc
+    e, _ = extract_doc([("pdf", doc2, "", 0)])
+    o, _ = oracle_extract([("pdf", doc2, "", 0)])
+    assert e == o
+    assert any("INV-2" in s[1] for s in e), e
+
+
 def test_acroform_field_values():
     """AcroForm text fields (ISO 32000-1 §12.7): writer emits terminal
     /FT /Tx fields with direct /T and /V; engine and oracle emit
@@ -1873,7 +1928,14 @@ def test_jpeg_progressive_rejects_corrupt():
     img = _grad_rgb(32, 32)
     prog = encode_jpeg(img, progressive=True)
     assert prog.endswith(b"\xff\xd9")
-    for bad in (prog[:60], prog[: len(prog) // 2], prog[:-4] + b"\xff\xd9"):
+    # truncation exactly BETWEEN scans (after a complete scan, before
+    # the next SOS) must also raise — not return a partially-refined
+    # image as if EOI had been seen
+    scan2 = prog.index(b"\xff\xda", prog.index(b"\xff\xda") + 2)
+    for bad in (
+        prog[:60], prog[: len(prog) // 2], prog[:-4] + b"\xff\xd9",
+        prog[:scan2], prog[: scan2 - 2] + b"\xff",
+    ):
         with pytest.raises(ValueError):
             decode_jpeg(bad)
     # an AC scan claiming multiple components is malformed (G.1.1.1.1)

@@ -752,6 +752,73 @@ def _decrypt_strings(part: bytes, decrypt) -> bytes:
     return _ANYSTR_RE.sub(repl, part)
 
 
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+
+
+def _rotate_of(body: bytes, default: int) -> int:
+    """Page /Rotate in quarter turns clockwise (0-3).  ISO 32000-1
+    §7.7.3.3: degrees clockwise at display time, multiple of 90,
+    inheritable (``default`` carries the /Pages-node value); negative
+    values normalize mod 360; non-multiples of 90 degrade to the
+    inherited default."""
+    m = _ROTATE_RE.search(body)
+    if m is None:
+        return default
+    deg = int(m.group(1)) % 360
+    return deg // 90 if deg % 90 == 0 else default
+
+
+def _rotate_page(pg: Page, k: int) -> Page:
+    """Normalize a /Rotate page into its DISPLAY frame: rotate every
+    run, ruling, and image placement by ``k`` quarter turns clockwise
+    and subtract ``k`` from each run's rotation quadrant, so content
+    written sideways with a compensating /Rotate (the scanned-page
+    shape) extracts as an ordinary upright page.  For odd ``k`` the
+    display sheet is landscape while the header/footer/column-split
+    zones stay defined on the portrait constants (spec.PAGE_W/H) —
+    a documented heuristic degradation, mirrored by the oracle."""
+    W, H = spec.PAGE_W, spec.PAGE_H
+    if k == 1:
+        pt = lambda x, y: (y, W - x)  # noqa: E731
+    elif k == 2:
+        pt = lambda x, y: (W - x, H - y)  # noqa: E731
+    else:
+        pt = lambda x, y: (H - y, x)  # noqa: E731
+    runs = [
+        Run(x=pt(r.x, r.y)[0], y=pt(r.x, r.y)[1], size=r.size,
+            text=r.text, rot=(r.rot - k) % 4)
+        for r in pg.runs
+    ]
+    rules: list[Rule] = []
+    for r in pg.rules:
+        if k == 2:
+            if r.horiz:
+                rules.append(Rule(True, W - r.x - r.length, H - r.y, r.length))
+            else:
+                rules.append(Rule(False, W - r.x, H - r.y - r.length, r.length))
+        elif k == 1:
+            if r.horiz:  # horizontal becomes vertical
+                rules.append(Rule(False, r.y, W - r.x - r.length, r.length))
+            else:
+                rules.append(Rule(True, r.y, W - r.x, r.length))
+        else:  # k == 3
+            if r.horiz:
+                rules.append(Rule(False, H - r.y, r.x, r.length))
+            else:
+                rules.append(Rule(True, H - r.y - r.length, r.x, r.length))
+    images: list[Image] = []
+    for im in pg.images:
+        if k == 1:
+            images.append(Image(im.y, W - im.x - im.w, im.h, im.w, im.media_ref))
+        elif k == 2:
+            images.append(Image(W - im.x - im.w, H - im.y - im.h,
+                                im.w, im.h, im.media_ref))
+        else:
+            images.append(Image(H - im.y - im.h, im.x, im.h, im.w,
+                                im.media_ref))
+    return Page(runs=runs, rules=rules, images=images)
+
+
 def _encrypt_ref(data: bytes) -> int | None:
     """The document's /Encrypt object number, or None.
 
@@ -1034,11 +1101,13 @@ def parse_pdf_full(
 
     # Page order: the /Pages /Kids list if present, else object order.
     page_nums: list[int] = []
+    pages_rot = 0  # /Pages-node /Rotate is inheritable (§7.7.3.4)
     for num, body in objs.items():
         if b"/Type /Pages" in body:
             km = _KIDS_RE.search(body)
             if km:
                 page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+            pages_rot = _rotate_of(body, 0)
             break
     if not page_nums:
         page_nums = [
@@ -1083,9 +1152,11 @@ def parse_pdf_full(
                     font_maps[fe.group(1).decode("latin-1")] = (
                         is_cid, fmap
                     )
-        pages.append(
-            _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
-        )
+        pg = _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
+        k = _rotate_of(body, pages_rot)
+        if k:
+            pg = _rotate_page(pg, k)
+        pages.append(pg)
     return pages, _form_fields(objs), _attachments(objs, streams)
 
 

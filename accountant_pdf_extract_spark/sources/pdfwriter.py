@@ -226,6 +226,10 @@ class PageBuilder:
 
     ops: list[str] = field(default_factory=list)
     images: list[str] = field(default_factory=list)  # media_refs, -> /Im{i+1}
+    # page /Rotate (degrees clockwise at display time, multiple of 90);
+    # pair with text_rot(quad=rotate//90) content for the compensated
+    # scanned-page shape that displays (and extracts) upright
+    rotate: int = 0
 
     def text(self, x: float, y: float, s: str, size: float = 10.0) -> None:
         self.ops.append(
@@ -828,9 +832,12 @@ def build_pdf(
                 if xobj_entries else ""
             )
             res = f" /Resources <<{font_res}{xo} >>"
+        # /Rotate: display rotation in degrees clockwise (ISO 32000-1
+        # §7.7.3.3, Table 30) — the scanned-sideways/upside-down shape
+        rot_entry = f"/Rotate {pg.rotate} " if pg.rotate else ""
         page_num = add(
             "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {stream_num} 0 R{res} >>"
+            f"{rot_entry}/Contents {stream_num} 0 R{res} >>"
         )
         page_nums.append(page_num)
 

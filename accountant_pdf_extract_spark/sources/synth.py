@@ -198,6 +198,25 @@ def make_invoice_pdf(
             pg.image(150, 200, 120, 80, ref)
         pages.append(pg)
 
+    # ~1/6 of docs end with a scanned-upside-down addendum page:
+    # content written rotated 180° in user space with a compensating
+    # /Rotate 180 (the fax/scanner shape) — extraction must normalize
+    # it into the upright reading frame.  Keyed off already-drawn
+    # values, no rng draw.
+    if due.day % 6 == 3:
+        ap = PageBuilder(rotate=180)
+        # 180°-rotated block anchored so the DISPLAY frame reads
+        # top-down from (72, 700): display (x,y) <- user (612-x, 792-y)
+        ap.text_rot_block(
+            612 - 72, 792 - 700,
+            [
+                f"Scanned addendum for {inv_no}",
+                "Filed copy - do not pay twice",
+            ],
+            quad=2,
+        )
+        pages.append(ap)
+
     # Deterministic compressed subset (~1/3 of docs) without consuming
     # an rng draw (which would shift every downstream synth value).
     return build_pdf(

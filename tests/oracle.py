@@ -767,6 +767,67 @@ def _font_tables(
     return maps
 
 
+def _rotate_quarter(body: str, default: int) -> int:
+    """Page /Rotate in quarter turns clockwise (0-3; §7.7.3.3):
+    inheritable, negatives normalize mod 360, non-multiples of 90
+    degrade to the inherited default — independent twin of
+    pdfparse._rotate_of."""
+    m = re.search(r"/Rotate\s+(-?\d+)", body)
+    if m is None:
+        return default
+    deg = int(m.group(1)) % 360
+    return deg // 90 if deg % 90 == 0 else default
+
+
+def _pages_node_rotate(objs: dict[int, str]) -> int:
+    for body in objs.values():
+        if "/Type /Pages" in body:
+            return _rotate_quarter(body, 0)
+    return 0
+
+
+def _rotate_items(runs, vrules, hrules, images, k):
+    """Rotate one page's interpreted items ``k`` quarter turns
+    clockwise into the display frame (run quadrants decrease by k;
+    odd k swaps the h/v ruling families) — twin of
+    pdfparse._rotate_page."""
+    W, H = spec.PAGE_W, spec.PAGE_H
+    if k == 1:
+        pt = lambda x, y: (y, W - x)  # noqa: E731
+    elif k == 2:
+        pt = lambda x, y: (W - x, H - y)  # noqa: E731
+    else:
+        pt = lambda x, y: (H - y, x)  # noqa: E731
+    r2 = [
+        (*pt(x, y), eff, txt, (q - k) % 4)
+        for (x, y, eff, txt, q) in runs
+    ]
+    nh, nv = [], []
+    for (x, y, ln) in hrules:
+        if k == 2:
+            nh.append((W - x - ln, H - y, ln))
+        elif k == 1:
+            nv.append((y, W - x - ln, ln))
+        else:
+            nv.append((H - y, x, ln))
+    for (x, y, ln) in vrules:
+        if k == 2:
+            nv.append((W - x, H - y - ln, ln))
+        elif k == 1:
+            nh.append((y, W - x, ln))
+        else:
+            nh.append((H - y - ln, x, ln))
+    ims = []
+    for (x, y, w, h, ref) in images:
+        if k == 1:
+            ims.append((y, W - x - w, h, w, ref))
+        elif k == 2:
+            ims.append((W - x - w, H - y - h, w, h, ref))
+        else:
+            ims.append((H - y - h, x, h, w, ref))
+    return r2, nv, nh, ims
+
+
 def _page_object_numbers(objs: dict[int, str]) -> list[int]:
     # mirror engine: stop at the FIRST /Type /Pages object whether or
     # not it carries /Kids, and fall back to the object-order scan
@@ -1198,7 +1259,12 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                 if nm:
                     xobjs[em.group(1)] = _unesc(nm.group(1))
         fonts = _font_tables(body, objs, streams)
-        runs, vrules, _hrules, images = _interpret(content, xobjs, fonts)
+        runs, vrules, hrules, images = _interpret(content, xobjs, fonts)
+        k = _rotate_quarter(body, _pages_node_rotate(objs))
+        if k:
+            runs, vrules, hrules, images = _rotate_items(
+                runs, vrules, hrules, images, k
+            )
         rot = []
         if any(r[4] for r in runs):
             for quad in (1, 2, 3):

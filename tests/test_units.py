@@ -1218,6 +1218,84 @@ def test_embedded_file_attachments():
     assert not [s for s in e3 if s[0] == "attachment"]
 
 
+def test_page_rotate_normalizes_to_display_frame():
+    """Page /Rotate (ISO 32000-1 §7.7.3.3): content written sideways
+    with a compensating /Rotate (the scanned-page shape) extracts
+    exactly like the upright page — runs, rulings (h/v families swap
+    on odd quarters), and image placements all normalize; /Rotate
+    inherits from the /Pages node; invalid values degrade."""
+    import re as _re
+
+    from tests.oracle import oracle_extract
+
+    up = PageBuilder()
+    up.text(72, 700, "Invoice INV-6 total: $4.00")
+    up.text(72, 680, "Line two of the body")
+    up.vrule(150, 610, 60)
+    up.text(80, 620, "cellA")
+    up.text(160, 620, "cellB")
+    up.image(150, 200, 120, 80, "media://sha/rot")
+    ref, _ = extract_doc([("pdf", build_pdf([up]), "", 0)])
+    assert ref
+
+    W, H = 612.0, 792.0
+
+    def inv(k, x, y):  # user-space point whose display image is (x, y)
+        if k == 1:
+            return (W - y, x)
+        if k == 2:
+            return (W - x, H - y)
+        return (y, H - x)
+
+    for k in (1, 2, 3):
+        pg = PageBuilder(rotate=90 * k)
+        for (x, y, s) in (
+            (72, 700, "Invoice INV-6 total: $4.00"),
+            (72, 680, "Line two of the body"),
+            (80, 620, "cellA"), (160, 620, "cellB"),
+        ):
+            pg.text_rot(*inv(k, x, y), s, quad=k)
+        # rules/images in user space whose display images land where
+        # the upright page put them
+        if k == 2:
+            pg.vrule(W - 150, H - 610 - 60, 60)
+            pg.image(W - 150 - 120, H - 200 - 80, 120, 80, "media://sha/rot")
+        elif k == 1:
+            # display vert (150, 610, 60) <- user horiz: (y, W-x-ln)=(150,610)
+            pg.hrule(W - 610 - 60, 150, 60)
+            pg.image(W - 200 - 80, 150, 80, 120, "media://sha/rot")
+        else:
+            # k=3: display vert (150,610,60) <- user horiz (H-y, x): x=610, y=H-150
+            pg.hrule(610, H - 150, 60)
+            pg.image(200, H - 150 - 120, 80, 120, "media://sha/rot")
+        doc = build_pdf([pg])
+        e, _ = extract_doc([("pdf", doc, "", 0)])
+        o, _ = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o, k
+        assert e == ref, (k, e, ref)
+
+    # inheritance: /Rotate on the /Pages node applies to pages without
+    # their own; a page-level value overrides it
+    pg = PageBuilder()
+    pg.text_rot(*inv(2, 72, 700), "Inherited rotation page", quad=2)
+    doc = build_pdf([pg]).replace(
+        "/Type /Pages", "/Type /Pages /Rotate 180", 1
+    )
+    e, _ = extract_doc([("pdf", doc, "", 0)])
+    o, _ = oracle_extract([("pdf", doc, "", 0)])
+    assert e == o
+    assert e[0][1] == "Inherited rotation page"
+    # invalid /Rotate (not a multiple of 90) degrades to inherited/0
+    pg2 = PageBuilder(rotate=45)
+    pg2.text(72, 700, "Bad rotate value page")
+    doc2 = build_pdf([pg2])
+    assert _re.search(r"/Rotate 45", doc2)
+    e2, _ = extract_doc([("pdf", doc2, "", 0)])
+    o2, _ = oracle_extract([("pdf", doc2, "", 0)])
+    assert e2 == o2
+    assert e2[0][1] == "Bad rotate value page"
+
+
 def test_encrypt_trigger_scoped_to_trailer():
     """A readable UNencrypted document whose page text merely contains
     '/Encrypt N 0 R' must extract normally — the security handler

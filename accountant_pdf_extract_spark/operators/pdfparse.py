@@ -572,6 +572,14 @@ _FILESPEC_NAME_RE = {
 }
 
 
+def _catalog(objs: dict[int, bytes]) -> bytes:
+    """The document catalog body (lowest object number wins), or b""."""
+    for _num, body in sorted(objs.items()):
+        if b"/Type /Catalog" in body:
+            return body
+    return b""
+
+
 def _attachments(
     objs: dict[int, bytes], streams: dict[int, bytes]
 ) -> list[tuple[str, str]]:
@@ -582,11 +590,7 @@ def _attachments(
     Returns (filename, content) in name-tree order; the filename
     prefers the filespec's /UF, then /F, then the tree key.  Streams
     arrive already decrypted and defiltered (``streams``)."""
-    cat = b""
-    for _num, body in sorted(objs.items()):
-        if b"/Type /Catalog" in body:
-            cat = body
-            break
+    cat = _catalog(objs)
     if not cat:
         return []
     names = _dict_value(cat, rb"/Names", objs)
@@ -657,11 +661,7 @@ def _form_fields(objs: dict[int, bytes]) -> list[tuple[str, str]]:
     (name, value) in /Fields order; values are BOM-aware text strings.
     Non-text field types and valueless fields are skipped; dangling
     refs degrade to skip, never raise."""
-    cat = b""
-    for _num, body in sorted(objs.items()):
-        if b"/Type /Catalog" in body:
-            cat = body
-            break
+    cat = _catalog(objs)
     if not cat:
         return []
     acro = _dict_value(cat, rb"/AcroForm", objs)
@@ -785,9 +785,9 @@ def _rotate_page(pg: Page, k: int) -> Page:
     else:
         pt = lambda x, y: (H - y, x)  # noqa: E731
     runs = [
-        Run(x=pt(r.x, r.y)[0], y=pt(r.x, r.y)[1], size=r.size,
-            text=r.text, rot=(r.rot - k) % 4)
+        Run(x=px, y=py, size=r.size, text=r.text, rot=(r.rot - k) % 4)
         for r in pg.runs
+        for px, py in (pt(r.x, r.y),)
     ]
     rules: list[Rule] = []
     for r in pg.rules:
@@ -852,6 +852,59 @@ def _encrypt_ref(data: bytes) -> int | None:
     return None
 
 
+def _strip_subdicts(body: bytes) -> bytes:
+    """``body`` with nested ``<< ... >>`` sub-dictionaries removed, so
+    top-level key scans over an encrypt dict cannot be shadowed by a
+    crypt-filter sub-dict's keys — Acrobat writes keys alphabetically,
+    so ``/CF << /StdCF << /Length 16 >> >>`` (key BYTES) precedes the
+    top-level ``/Length 128`` (key BITS).  String literals (both
+    ``(...)`` with escapes and ``<...>`` hex) are copied or skipped
+    atomically: /O and /U values are binary and may contain ``<<``.
+    The body spans obj..endobj, so the encrypt dict's OWN ``<< >>``
+    is depth 1 — content is kept at depth <= 1 and stripped below."""
+    out = bytearray()
+    depth = 0
+    i, n = 0, len(body)
+    while i < n:
+        if body.startswith(b"<<", i):
+            depth += 1
+            i += 2
+            continue
+        if body.startswith(b">>", i):
+            if depth:
+                depth -= 1
+            i += 2
+            continue
+        c = body[i : i + 1]
+        if c == b"(":  # literal string — atomic (escapes + nesting)
+            j, nest = i + 1, 1
+            while j < n and nest:
+                ch = body[j : j + 1]
+                if ch == b"\\":
+                    j += 2
+                    continue
+                if ch == b"(":
+                    nest += 1
+                elif ch == b")":
+                    nest -= 1
+                j += 1
+            if depth <= 1:
+                out += body[i:j]
+            i = j
+            continue
+        if c == b"<":  # hex string (single <) — atomic
+            j = body.find(b">", i + 1)
+            j = n if j < 0 else j + 1
+            if depth <= 1:
+                out += body[i:j]
+            i = j
+            continue
+        if depth <= 1:
+            out += c
+        i += 1
+    return bytes(out)
+
+
 def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
     """(file key, cipher) for the EMPTY user password — cipher is
     ``"rc4"`` (V1/V2, or V4 with /CFM /V2), ``"aesv2"`` (V4 R4) or
@@ -871,15 +924,19 @@ def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
     ed = bm.group(1)
     if b"/Standard" not in ed:
         return None
+    # Top-level view for KEY lookups (/Length /V /R /P /O /U ...);
+    # the /CFM cipher markers are checked against the FULL body below
+    # because they live inside the /CF sub-dictionary.
+    edt = _strip_subdicts(ed)
 
     def intkey(k: bytes, default: int) -> int:
-        m = _SIGNED_INT_KEY_RE[k].search(ed)
+        m = _SIGNED_INT_KEY_RE[k].search(edt)
         return int(m.group(1)) if m else default
 
     def strkey(key: bytes) -> bytes | None:
         m = re.search(
             rb"/" + key + rb"\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))",
-            ed,
+            edt,
             re.S,
         )
         return None if m is None else _string_value(m.group(1))

@@ -207,9 +207,9 @@ def main() -> None:
             rs = clean[name]
             if min(rs) <= 0 or max(rs) / min(rs) <= SPREAD_LIMIT:
                 break
-            extra = run_one(name)
-            clean[name].append(extra)
-            runs[name].append(extra)
+            rerun = run_one(name)
+            clean[name].append(rerun)
+            runs[name].append(rerun)
         rs = clean[name]
         if min(rs) > 0 and max(rs) / min(rs) > SPREAD_LIMIT:
             noisy.append(name)

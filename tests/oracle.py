@@ -472,9 +472,51 @@ def _std_sec_key(payload: str, enc_num: int):
     if not bm or "/Standard" not in bm.group(1):
         return None
     ed = bm.group(1)
+    # Key lookups must see only the TOP-LEVEL encrypt dict: a crypt
+    # filter sub-dict (/CF << /StdCF << /Length 16 >> >>) precedes the
+    # top-level /Length when keys are alphabetical, and its 16 is
+    # BYTES, not bits.  Walk the body keeping depth<=1 text (the
+    # encrypt dict's own << >> is depth 1); strings copy atomically.
+    out, depth, i, n = [], 0, 0, len(ed)
+    while i < n:
+        if ed.startswith("<<", i):
+            depth += 1
+            i += 2
+            continue
+        if ed.startswith(">>", i):
+            depth = max(0, depth - 1)
+            i += 2
+            continue
+        c = ed[i]
+        if c == "(":
+            j, nest = i + 1, 1
+            while j < n and nest:
+                if ed[j] == "\\":
+                    j += 2
+                    continue
+                if ed[j] == "(":
+                    nest += 1
+                elif ed[j] == ")":
+                    nest -= 1
+                j += 1
+            if depth <= 1:
+                out.append(ed[i:j])
+            i = j
+            continue
+        if c == "<":
+            j = ed.find(">", i + 1)
+            j = n if j < 0 else j + 1
+            if depth <= 1:
+                out.append(ed[i:j])
+            i = j
+            continue
+        if depth <= 1:
+            out.append(c)
+        i += 1
+    edt = "".join(out)
 
     def ik(k, d):
-        m = re.search(r"/%s\s+(-?\d+)" % k, ed)
+        m = re.search(r"/%s\s+(-?\d+)" % k, edt)
         return int(m.group(1)) if m else d
 
     v, r, p, bits = ik("V", 0), ik("R", 2), ik("P", -44), ik("Length", 40)
@@ -482,7 +524,7 @@ def _std_sec_key(payload: str, enc_num: int):
     def strval_of(key):
         m = re.search(
             r"/%s\s*(?:<([0-9A-Fa-f\s]*)>|\(((?:[^()\\]|\\[\s\S])*)\))"
-            % key, ed, re.S,
+            % key, edt, re.S,
         )
         if not m:
             return None

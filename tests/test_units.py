@@ -1351,6 +1351,44 @@ def test_v5_encrypt_dict_without_O_still_opens():
     assert any("INV-2" in s[1] for s in e), e
 
 
+def test_v4_encrypt_dict_alphabetical_key_order():
+    """Acrobat writes encrypt-dict keys alphabetically, so the /CF
+    crypt-filter sub-dict (whose /Length 16 is BYTES) precedes the
+    top-level /Length 128 (BITS).  Key lookups must be scoped to the
+    top level — a first-match scan reads 16, fails the 40<=bits<=128
+    guard, and silently drops every page.  Engine ≡ oracle ≡ the
+    writer-ordered document."""
+    import re as _re
+
+    from tests.oracle import oracle_extract
+
+    pg = PageBuilder()
+    pg.text(72, 700, "Invoice INV-9 total: $42.00")
+    doc = build_pdf([pg], encrypt="aes-128")
+    m = _re.search(
+        r"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        r"/CF (<< /StdCF << /CFM /AESV2 /Length 16 >> >>) "
+        r"/StmF /StdCF /StrF /StdCF /O <([0-9A-F]+)> /U <([0-9A-F]+)> "
+        r"/P (-?\d+) >>",
+        doc,
+    )
+    assert m, "writer encrypt-dict shape changed — update this test"
+    cf, o, u, p = m.groups()
+    alpha = (
+        f"<< /CF {cf} /Filter /Standard /Length 128 /O <{o}> /P {p} "
+        f"/R 4 /StmF /StdCF /StrF /StdCF /U <{u}> /V 4 >>"
+    )
+    # a token permutation is byte-length-preserving: xref offsets hold
+    assert len(alpha) == len(m.group(0))
+    doc2 = doc[: m.start()] + alpha + doc[m.end() :]
+    e0, f0 = extract_doc([("pdf", doc, "", 0)])
+    e1, f1 = extract_doc([("pdf", doc2, "", 0)])
+    o1, of1 = oracle_extract([("pdf", doc2, "", 0)])
+    assert e1 == e0 == o1
+    assert f1 == f0 == of1
+    assert any("INV-9" in s[1] for s in e1), e1
+
+
 def test_acroform_field_values():
     """AcroForm text fields (ISO 32000-1 §12.7): writer emits terminal
     /FT /Tx fields with direct /T and /V; engine and oracle emit

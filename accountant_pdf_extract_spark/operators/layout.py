@@ -41,6 +41,10 @@ class Placed:
     is_media: bool
     text: str
     media_ref: str
+    # computed against the OWNING page's /MediaBox-derived zone cuts
+    # at reading_order time (pages differ in size, so boilerplate
+    # stripping cannot re-derive this from y alone)
+    in_zone: bool = False
 
 
 def cluster_lines(page_idx: int, page: Page) -> list[Line]:
@@ -116,9 +120,9 @@ def rotated_lines(page_idx: int, page: Page, quad: int) -> list[Line]:
     rigid transform that maps the rotated page onto an upright one, so
     the y-proximity/gap/tab heuristics apply unchanged:
 
-        q=1 (90° CCW): (rx, ry) = (y,          PAGE_W - x)
-        q=2 (180°):    (rx, ry) = (PAGE_W - x, PAGE_H - y)
-        q=3 (270°):    (rx, ry) = (PAGE_H - y, x)
+        q=1 (90° CCW): (rx, ry) = (y,          page_w - x)
+        q=2 (180°):    (rx, ry) = (page_w - x, page_h - y)
+        q=3 (270°):    (rx, ry) = (page_h - y, x)
 
     Device rulings are NOT transformed (rotated stamps/banners don't
     carry cell rulings); effective size is rotation-invariant (the
@@ -127,11 +131,11 @@ def rotated_lines(page_idx: int, page: Page, quad: int) -> list[Line]:
     if not sel:
         return []
     if quad == 1:
-        tr = [(r.y, spec.PAGE_W - r.x) for r in sel]
+        tr = [(r.y, page.w - r.x) for r in sel]
     elif quad == 2:
-        tr = [(spec.PAGE_W - r.x, spec.PAGE_H - r.y) for r in sel]
+        tr = [(page.w - r.x, page.h - r.y) for r in sel]
     else:
-        tr = [(spec.PAGE_H - r.y, r.x) for r in sel]
+        tr = [(page.h - r.y, r.x) for r in sel]
     sub = Page(
         runs=[
             type(r)(x=rx, y=ry, size=r.size, text=r.text, rot=0)
@@ -151,22 +155,27 @@ def reading_order(page_idx: int, page: Page) -> list[Placed]:
     each quadrant top-down in its own reading frame — a 90° 'PAID'
     stamp or vertical margin banner lands after the page's upright
     content instead of interleaving at a meaningless device-y."""
+    top_y = spec.TOP_ZONE_FRAC * page.h
+    bot_y = spec.BOT_ZONE_FRAC * page.h
     items: list[Placed] = [
-        Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "")
+        Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "",
+               in_zone=ln.y >= top_y or ln.y <= bot_y)
         for ln in cluster_lines(page_idx, page)
     ] + [
-        Placed(page_idx, im.y, im.x, im.x + im.w, True, "", im.media_ref)
+        Placed(page_idx, im.y, im.x, im.x + im.w, True, "", im.media_ref,
+               in_zone=im.y >= top_y or im.y <= bot_y)
         for im in page.images
     ]
-    header = [it for it in items if it.y >= spec.TOP_ZONE_Y]
-    footer = [it for it in items if it.y <= spec.BOT_ZONE_Y]
-    body = [it for it in items if spec.BOT_ZONE_Y < it.y < spec.TOP_ZONE_Y]
+    header = [it for it in items if it.y >= top_y]
+    footer = [it for it in items if it.y <= bot_y]
+    body = [it for it in items if bot_y < it.y < top_y]
 
     def topdown(seq: list[Placed]) -> list[Placed]:
         return sorted(seq, key=lambda it: (-it.y, it.x))
 
-    left = [it for it in body if it.end_x < spec.COL_SPLIT_X]
-    right = [it for it in body if it.x >= spec.COL_SPLIT_X]
+    split_x = page.w / 2.0
+    left = [it for it in body if it.end_x < split_x]
+    right = [it for it in body if it.x >= split_x]
     two_col = (
         len(body) >= spec.COL_MIN_TOTAL
         and len(left) >= spec.COL_MIN_SIDE
@@ -177,8 +186,14 @@ def reading_order(page_idx: int, page: Page) -> list[Placed]:
     rotated: list[Placed] = []
     if any(r.rot for r in page.runs):
         for quad in (1, 2, 3):
+            # zone membership against the rotated FRAME's height (the
+            # frame swaps dims for odd quadrants) — a repeated margin
+            # banner near the frame edge is boilerplate like any other
+            fh = page.w if quad % 2 else page.h
+            ftop, fbot = spec.TOP_ZONE_FRAC * fh, spec.BOT_ZONE_FRAC * fh
             rotated.extend(
-                Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "")
+                Placed(page_idx, ln.y, ln.x, ln.end_x, False, ln.text, "",
+                       in_zone=ln.y >= ftop or ln.y <= fbot)
                 for ln in rotated_lines(page_idx, page, quad)
             )
     return topdown(header) + ordered_body + topdown(footer) + rotated
@@ -216,9 +231,8 @@ def strip_boilerplate(
             continue
         key = normalize_line(it.text)
         norms.append(key)
-        in_zone = it.y >= spec.TOP_ZONE_Y or it.y <= spec.BOT_ZONE_Y
         pages_of.setdefault(key, set()).add(it.page)
-        always_zoned[key] = always_zoned.get(key, True) and in_zone
+        always_zoned[key] = always_zoned.get(key, True) and it.in_zone
     min_pages = max(2, math.ceil(spec.BOILER_FRAC * n_pages))
     boiler = {
         k

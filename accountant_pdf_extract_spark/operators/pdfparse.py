@@ -179,6 +179,11 @@ class Page:
     runs: list[Run]
     rules: list[Rule]
     images: list[Image]
+    # display-frame page size from /MediaBox (defaults: US Letter,
+    # the historical fixed geometry).  Layout zone cuts and column
+    # split derive from these — A4 vs Letter moves the header line.
+    w: float = spec.PAGE_W
+    h: float = spec.PAGE_H
 
 
 def _utf16be_hex(h: bytes) -> str:
@@ -768,16 +773,47 @@ def _rotate_of(body: bytes, default: int) -> int:
     return deg // 90 if deg % 90 == 0 else default
 
 
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([-+0-9.]+)\s+([-+0-9.]+)\s+"
+    rb"([-+0-9.]+)\s+([-+0-9.]+)\s*\]"
+)
+
+_DEFAULT_BOX = (0.0, 0.0, spec.PAGE_W, spec.PAGE_H)
+
+
+def _mediabox_of(
+    body: bytes, default: tuple[float, float, float, float]
+) -> tuple[float, float, float, float]:
+    """Page /MediaBox as (x0, y0, w, h).  ISO 32000-1 §7.7.3.3:
+    inheritable (``default`` carries the /Pages-node value, itself
+    defaulting to US Letter); a malformed or degenerate box (w<=0 or
+    h<=0, non-numeric) degrades to the inherited default.  Nonzero
+    origins are normalized by translating page content (§8.3: user
+    space is unbounded; the box only frames the visible region)."""
+    m = _MEDIABOX_RE.search(body)
+    if m is None:
+        return default
+    try:
+        x0, y0, x1, y1 = (float(m.group(i)) for i in (1, 2, 3, 4))
+    except ValueError:
+        return default
+    w, h = x1 - x0, y1 - y0
+    if w <= 0 or h <= 0:
+        return default
+    return (x0, y0, w, h)
+
+
 def _rotate_page(pg: Page, k: int) -> Page:
     """Normalize a /Rotate page into its DISPLAY frame: rotate every
     run, ruling, and image placement by ``k`` quarter turns clockwise
     and subtract ``k`` from each run's rotation quadrant, so content
     written sideways with a compensating /Rotate (the scanned-page
-    shape) extracts as an ordinary upright page.  For odd ``k`` the
-    display sheet is landscape while the header/footer/column-split
-    zones stay defined on the portrait constants (spec.PAGE_W/H) —
-    a documented heuristic degradation, mirrored by the oracle."""
-    W, H = spec.PAGE_W, spec.PAGE_H
+    shape) extracts as an ordinary upright page.  The display sheet's
+    dimensions come from the page's /MediaBox; odd ``k`` swaps them,
+    so zone cuts and the column split land on the sheet the reader
+    actually sees (since r5 — previously a portrait-constants
+    degradation)."""
+    W, H = pg.w, pg.h
     if k == 1:
         pt = lambda x, y: (y, W - x)  # noqa: E731
     elif k == 2:
@@ -816,7 +852,8 @@ def _rotate_page(pg: Page, k: int) -> Page:
         else:
             images.append(Image(H - im.y - im.h, im.x, im.h, im.w,
                                 im.media_ref))
-    return Page(runs=runs, rules=rules, images=images)
+    nw, nh = (H, W) if k % 2 else (W, H)
+    return Page(runs=runs, rules=rules, images=images, w=nw, h=nh)
 
 
 def _encrypt_ref(data: bytes) -> int | None:
@@ -1159,12 +1196,14 @@ def parse_pdf_full(
     # Page order: the /Pages /Kids list if present, else object order.
     page_nums: list[int] = []
     pages_rot = 0  # /Pages-node /Rotate is inheritable (§7.7.3.4)
+    pages_box = _DEFAULT_BOX  # /Pages-node /MediaBox, likewise
     for num, body in objs.items():
         if b"/Type /Pages" in body:
             km = _KIDS_RE.search(body)
             if km:
                 page_nums = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
             pages_rot = _rotate_of(body, 0)
+            pages_box = _mediabox_of(body, _DEFAULT_BOX)
             break
     if not page_nums:
         page_nums = [
@@ -1210,6 +1249,19 @@ def parse_pdf_full(
                         is_cid, fmap
                     )
         pg = _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
+        x0, y0, pg.w, pg.h = _mediabox_of(body, pages_box)
+        if x0 or y0:
+            # normalize a shifted origin so layout sees (0,0)-anchored
+            # coordinates; dataclasses are fresh per page (mutable ok)
+            for r in pg.runs:
+                r.x -= x0
+                r.y -= y0
+            for rl in pg.rules:
+                rl.x -= x0
+                rl.y -= y0
+            for im in pg.images:
+                im.x -= x0
+                im.y -= y0
         k = _rotate_of(body, pages_rot)
         if k:
             pg = _rotate_page(pg, k)

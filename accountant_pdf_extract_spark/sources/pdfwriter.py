@@ -230,6 +230,12 @@ class PageBuilder:
     # pair with text_rot(quad=rotate//90) content for the compensated
     # scanned-page shape that displays (and extracts) upright
     rotate: int = 0
+    # page /MediaBox: (w, h) sheet size — US Letter default, A4 =
+    # (595.28, 841.89) — and an origin offset (nonzero exercises the
+    # parser's user-space translation; content coords must be written
+    # origin-relative by the caller)
+    size: tuple[float, float] = (612.0, 792.0)
+    media_origin: tuple[float, float] = (0.0, 0.0)
 
     def text(self, x: float, y: float, s: str, size: float = 10.0) -> None:
         self.ops.append(
@@ -732,6 +738,7 @@ def build_pdf(
     ascii_filter: str | None = None,
     attachments: list[tuple[str, str]] | None = None,
     form_fields: list[tuple[str, str]] | None = None,
+    inherit_mediabox: bool = False,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -835,15 +842,31 @@ def build_pdf(
         # /Rotate: display rotation in degrees clockwise (ISO 32000-1
         # §7.7.3.3, Table 30) — the scanned-sideways/upside-down shape
         rot_entry = f"/Rotate {pg.rotate} " if pg.rotate else ""
+        # /MediaBox per page, or inherited from the /Pages node
+        # (§7.7.3.4) when inherit_mediabox is set
+        bx, by = pg.media_origin
+        bw, bh = pg.size
+        box_entry = (
+            "" if inherit_mediabox else
+            f"/MediaBox [{_n(bx)} {_n(by)} {_n(bx + bw)} {_n(by + bh)}] "
+        )
         page_num = add(
-            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"<< /Type /Page /Parent 2 0 R {box_entry}"
             f"{rot_entry}/Contents {stream_num} 0 R{res} >>"
         )
         page_nums.append(page_num)
 
     kids = " ".join(f"{n} 0 R" for n in page_nums)
+    pages_box = ""
+    if inherit_mediabox and pages:
+        bx, by = pages[0].media_origin
+        bw, bh = pages[0].size
+        pages_box = (
+            f" /MediaBox [{_n(bx)} {_n(by)} {_n(bx + bw)} {_n(by + bh)}]"
+        )
     objs[pages_num - 1] = (
-        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)} >>"
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_nums)}"
+        f"{pages_box} >>"
     )
     assert catalog_num == 1
 

@@ -129,10 +129,18 @@ def make_invoice_pdf(
             font = SimpleFont(tounicode=((0x80, "€"),))
     enc = font.encode if font is not None else (lambda s: s)
 
+    # EUR invoices are A4 sheets (the European norm; exercises the
+    # r5 per-page /MediaBox path); others stay US Letter.  Header
+    # anchors derive from the page height — on Letter H-32 is the
+    # historical 760, so USD/GBP docs are byte-identical — while the
+    # footer and body anchors are absolute on both sizes.  Keyed off
+    # the already-drawn currency: no rng draw, corpus stays stable.
+    W, H = (595.28, 841.89) if ccy == "EUR" else (612.0, 792.0)
+
     pages: list[PageBuilder] = []
 
-    pg = PageBuilder()
-    pg.text(72, 760, f"{company} - Statement")
+    pg = PageBuilder(size=(W, H))
+    pg.text(72, H - 32, f"{company} - Statement")
     pg.text(72, 30, f"Page 1 of {n_pages}")
     pg.text(72, 700, "INVOICE", size=14)
     pg.text(72, 676, f"Invoice No: {inv_no}")
@@ -177,8 +185,8 @@ def make_invoice_pdf(
     pages.append(pg)
 
     for p in range(2, n_pages + 1):
-        pg = PageBuilder()
-        pg.text(72, 760, f"{company} - Statement")
+        pg = PageBuilder(size=(W, H))
+        pg.text(72, H - 32, f"{company} - Statement")
         pg.text(72, 30, f"Page {p} of {n_pages}")
         layout = int(rng.integers(0, 10))
         if layout < 2 and not giant:
@@ -204,11 +212,11 @@ def make_invoice_pdf(
     # it into the upright reading frame.  Keyed off already-drawn
     # values, no rng draw.
     if due.day % 6 == 3:
-        ap = PageBuilder(rotate=180)
+        ap = PageBuilder(rotate=180, size=(W, H))
         # 180°-rotated block anchored so the DISPLAY frame reads
-        # top-down from (72, 700): display (x,y) <- user (612-x, 792-y)
+        # top-down from (72, 700): display (x,y) <- user (W-x, H-y)
         ap.text_rot_block(
-            612 - 72, 792 - 700,
+            W - 72, H - 700,
             [
                 f"Scanned addendum for {inv_no}",
                 "Filed copy - do not pay twice",

@@ -12,15 +12,23 @@ heuristics across pages").  The reference repo contains no code to
 cite (``/root/reference/README.md:1``).
 """
 
-# Page geometry (US Letter, the only MediaBox the synth writer emits).
+# Page geometry: the DEFAULT /MediaBox (US Letter) when a page
+# declares none; pages carry their own (w, h) from /MediaBox since
+# r5 (EUR invoices are A4), and every geometric cut below derives
+# from the page dims via the FRAC constants.
 PAGE_W = 612.0
 PAGE_H = 792.0
 
-# Header/footer zones: top/bottom 8% of page height (y >= 728.64 /
-# y <= 63.36 on US Letter).  Body copy conventionally starts around
-# y=700–720, so a 15% zone would swallow real content.
-TOP_ZONE_Y = 0.92 * PAGE_H  # y >= this → header zone
-BOT_ZONE_Y = 0.08 * PAGE_H  # y <= this → footer zone
+# Header/footer zones: top/bottom 8% of PAGE height (y >= 728.64 /
+# y <= 63.36 on US Letter, 774.5 / 67.4 on A4).  Body copy
+# conventionally starts around y=700–720 on Letter, so a 15% zone
+# would swallow real content.
+TOP_ZONE_FRAC = 0.92  # y >= this * page_h → header zone
+BOT_ZONE_FRAC = 0.08  # y <= this * page_h → footer zone
+# Letter-page absolute cuts (legacy name, kept for tests/tools that
+# reason about the default geometry)
+TOP_ZONE_Y = TOP_ZONE_FRAC * PAGE_H
+BOT_ZONE_Y = BOT_ZONE_FRAC * PAGE_H
 
 # Line clustering: two glyph runs belong to the same line iff their
 # baseline y differs by no more than this (points).
@@ -54,8 +62,9 @@ BOILER_MIN_PAGES = 2
 BOILER_FRAC = 0.6
 
 # Two-column detection: body items must all lie strictly left
-# (end_x < COL_SPLIT_X) or start right (x >= COL_SPLIT_X), with at
-# least COL_MIN_SIDE items per side and COL_MIN_TOTAL body items.
+# (end_x < page_w/2) or start right (x >= page_w/2), with at least
+# COL_MIN_SIDE items per side and COL_MIN_TOTAL body items.
+# COL_SPLIT_X is the Letter-page absolute split (legacy name).
 COL_SPLIT_X = PAGE_W / 2.0
 COL_MIN_SIDE = 2
 COL_MIN_TOTAL = 6

@@ -828,12 +828,40 @@ def _pages_node_rotate(objs: dict[int, str]) -> int:
     return 0
 
 
-def _rotate_items(runs, vrules, hrules, images, k):
+_ORACLE_DEFAULT_BOX = (0.0, 0.0, spec.PAGE_W, spec.PAGE_H)
+
+
+def _mediabox_oracle(body: str, default):
+    """(x0, y0, w, h) from /MediaBox — inheritable; malformed or
+    degenerate (w<=0 or h<=0) degrades to the inherited default.
+    Independent twin of pdfparse._mediabox_of."""
+    m = re.search(
+        r"/MediaBox\s*\[\s*([-+0-9.]+)\s+([-+0-9.]+)\s+"
+        r"([-+0-9.]+)\s+([-+0-9.]+)\s*\]", body,
+    )
+    if not m:
+        return default
+    try:
+        x0, y0, x1, y1 = (float(m.group(i)) for i in (1, 2, 3, 4))
+    except ValueError:
+        return default
+    if x1 - x0 <= 0 or y1 - y0 <= 0:
+        return default
+    return (x0, y0, x1 - x0, y1 - y0)
+
+
+def _pages_node_mediabox(objs: dict[int, str]):
+    for body in objs.values():
+        if "/Type /Pages" in body:
+            return _mediabox_oracle(body, _ORACLE_DEFAULT_BOX)
+    return _ORACLE_DEFAULT_BOX
+
+
+def _rotate_items(runs, vrules, hrules, images, k, W, H):
     """Rotate one page's interpreted items ``k`` quarter turns
     clockwise into the display frame (run quadrants decrease by k;
-    odd k swaps the h/v ruling families) — twin of
+    odd k swaps the h/v ruling families AND the page dims) — twin of
     pdfparse._rotate_page."""
-    W, H = spec.PAGE_W, spec.PAGE_H
     if k == 1:
         pt = lambda x, y: (y, W - x)  # noqa: E731
     elif k == 2:
@@ -1112,21 +1140,18 @@ def _end_x(run) -> float:
     return x + spec.CHAR_W_FACTOR * size * len(txt)
 
 
-def _rot_lines(runs, quad):
+def _rot_lines(runs, quad, W, H):
     """Rotated-quadrant runs clustered in their reading frame (the
     rigid transform onto an upright page; mirrors engine
     rotated_lines): q=1 (y, W-x); q=2 (W-x, H-y); q=3 (H-y, x).
     No rulings in rotated frames."""
     sel = [r for r in runs if r[4] == quad]
     if quad == 1:
-        tr = [(r[1], spec.PAGE_W - r[0], r[2], r[3], 0) for r in sel]
+        tr = [(r[1], W - r[0], r[2], r[3], 0) for r in sel]
     elif quad == 2:
-        tr = [
-            (spec.PAGE_W - r[0], spec.PAGE_H - r[1], r[2], r[3], 0)
-            for r in sel
-        ]
+        tr = [(W - r[0], H - r[1], r[2], r[3], 0) for r in sel]
     else:
-        tr = [(spec.PAGE_H - r[1], r[0], r[2], r[3], 0) for r in sel]
+        tr = [(H - r[1], r[0], r[2], r[3], 0) for r in sel]
     return _lines_of(tr, [])
 
 
@@ -1167,18 +1192,27 @@ def _lines_of(runs, vrules):
     return lines
 
 
-def _order_page(lines, images, rot_lines=()):
-    """items: (y, x, end_x, is_media, text, ref) in reading order;
-    rotated-quadrant lines (already clustered in their reading frames,
-    quadrant-ascending) follow the upright flow."""
-    items = [(y, x, ex, False, t, "") for (y, x, ex, t) in lines]
-    items += [(y, x, x + w, True, "", ref) for (x, y, w, _h, ref) in images]
-    header = [it for it in items if it[0] >= spec.TOP_ZONE_Y]
-    footer = [it for it in items if it[0] <= spec.BOT_ZONE_Y]
-    body = [it for it in items if spec.BOT_ZONE_Y < it[0] < spec.TOP_ZONE_Y]
+def _order_page(lines, images, rot_zoned=(), W=spec.PAGE_W, H=spec.PAGE_H):
+    """items: (y, x, end_x, is_media, text, ref, in_zone) in reading
+    order; rotated-quadrant lines (already clustered in their reading
+    frames with frame-relative in_zone, quadrant-ascending) follow the
+    upright flow.  Zone cuts and the column split derive from the
+    page's /MediaBox dims."""
+    top_y = spec.TOP_ZONE_FRAC * H
+    bot_y = spec.BOT_ZONE_FRAC * H
+    zone = lambda y: y >= top_y or y <= bot_y  # noqa: E731
+    items = [(y, x, ex, False, t, "", zone(y)) for (y, x, ex, t) in lines]
+    items += [
+        (y, x, x + w, True, "", ref, zone(y))
+        for (x, y, w, _h, ref) in images
+    ]
+    header = [it for it in items if it[0] >= top_y]
+    footer = [it for it in items if it[0] <= bot_y]
+    body = [it for it in items if bot_y < it[0] < top_y]
     td = lambda seq: sorted(seq, key=lambda it: (-it[0], it[1]))  # noqa: E731
-    left = [it for it in body if it[2] < spec.COL_SPLIT_X]
-    right = [it for it in body if it[1] >= spec.COL_SPLIT_X]
+    split = W / 2.0
+    left = [it for it in body if it[2] < split]
+    right = [it for it in body if it[1] >= split]
     if (
         len(body) >= spec.COL_MIN_TOTAL
         and len(left) >= spec.COL_MIN_SIDE
@@ -1188,7 +1222,9 @@ def _order_page(lines, images, rot_lines=()):
         mid = td(left) + td(right)
     else:
         mid = td(body)
-    tail = [(y, x, ex, False, t, "") for (y, x, ex, t) in rot_lines]
+    tail = [
+        (y, x, ex, False, t, "", z) for (y, x, ex, t, z) in rot_zoned
+    ]
     return td(header) + mid + td(footer) + tail
 
 
@@ -1302,17 +1338,32 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                     xobjs[em.group(1)] = _unesc(nm.group(1))
         fonts = _font_tables(body, objs, streams)
         runs, vrules, hrules, images = _interpret(content, xobjs, fonts)
+        x0, y0, W, H = _mediabox_oracle(body, _pages_node_mediabox(objs))
+        if x0 or y0:
+            runs = [(x - x0, y - y0, *r) for (x, y, *r) in runs]
+            vrules = [(x - x0, y - y0, ln) for (x, y, ln) in vrules]
+            hrules = [(x - x0, y - y0, ln) for (x, y, ln) in hrules]
+            images = [
+                (x - x0, y - y0, *im) for (x, y, *im) in images
+            ]
         k = _rotate_quarter(body, _pages_node_rotate(objs))
         if k:
             runs, vrules, hrules, images = _rotate_items(
-                runs, vrules, hrules, images, k
+                runs, vrules, hrules, images, k, W, H
             )
+            if k % 2:
+                W, H = H, W
         rot = []
         if any(r[4] for r in runs):
             for quad in (1, 2, 3):
-                rot.extend(_rot_lines(runs, quad))
+                fh = W if quad % 2 else H
+                ft, fb = spec.TOP_ZONE_FRAC * fh, spec.BOT_ZONE_FRAC * fh
+                rot.extend(
+                    (y, x, ex, t, y >= ft or y <= fb)
+                    for (y, x, ex, t) in _rot_lines(runs, quad, W, H)
+                )
         per_page.append(
-            _order_page(_lines_of(runs, vrules), images, rot)
+            _order_page(_lines_of(runs, vrules), images, rot, W, H)
         )
 
     n_pages = len(per_page)
@@ -1320,12 +1371,11 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     page_seen: dict[str, set[int]] = {}
     zoned: dict[str, bool] = {}
     for pi, items in enumerate(per_page):
-        for (y, _x, _ex, is_media, text, _ref) in items:
+        for (_y, _x, _ex, is_media, text, _ref, in_zone) in items:
             if is_media:
                 continue
             key = _norm(text)
             page_seen.setdefault(key, set()).add(pi)
-            in_zone = y >= spec.TOP_ZONE_Y or y <= spec.BOT_ZONE_Y
             zoned[key] = zoned.get(key, True) and in_zone
     drop: set[str] = set()
     if n_pages >= spec.BOILER_MIN_PAGES:
@@ -1336,7 +1386,7 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
 
     out = []
     for items in per_page:
-        for (_y, _x, _ex, is_media, text, ref) in items:
+        for (_y, _x, _ex, is_media, text, ref, _z) in items:
             if is_media:
                 out.append(("media", "", ref))
             elif _norm(text) not in drop:

@@ -1351,6 +1351,68 @@ def test_v5_encrypt_dict_without_O_still_opens():
     assert any("INV-2" in s[1] for s in e), e
 
 
+def test_mediabox_page_sizes():
+    """Per-page /MediaBox drives the layout geometry (r5): zone cuts
+    are fractions of the page height, so a repeated y=760 header is
+    boilerplate on US Letter (cut 728.6) but BODY text on A4 (cut
+    774.5); origin-shifted boxes translate; /Pages-node inheritance
+    works; malformed boxes degrade to Letter.  Engine ≡ oracle on
+    every shape."""
+    from tests.oracle import oracle_extract
+
+    def three_pages(size):
+        pages = []
+        for p in (1, 2, 3):
+            pg = PageBuilder(size=size)
+            pg.text(72, 760, "MegaCorp - Statement")  # the probe line
+            pg.text(72, 700, f"Invoice INV-{p} total: ${p}.00")
+            pages.append(pg)
+        return pages
+
+    def spans_of(doc):
+        e, _ = extract_doc([("pdf", doc, "", 0)])
+        o, _ = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o
+        return e
+
+    letter = spans_of(build_pdf(three_pages((612.0, 792.0))))
+    a4 = spans_of(build_pdf(three_pages((595.28, 841.89))))
+    assert not any("MegaCorp" in s[1] for s in letter)  # header-zone boiler
+    assert sum("MegaCorp" in s[1] for s in a4) == 3     # body text on A4
+
+    # inheritance: the same A4 box on the /Pages node, none per page
+    a4_inh = spans_of(
+        build_pdf(three_pages((595.28, 841.89)), inherit_mediabox=True)
+    )
+    assert a4_inh == a4
+
+    # origin-shifted box: content written at +20/+40 normalizes back
+    base_pg = PageBuilder()
+    base_pg.text(72, 700, "Invoice INV-7 total: $9.00")
+    base = spans_of(build_pdf([base_pg]))
+    off_pg = PageBuilder(media_origin=(20.0, 40.0))
+    off_pg.text(92, 740, "Invoice INV-7 total: $9.00")
+    assert spans_of(build_pdf([off_pg])) == base
+
+    # malformed box (x1 < x0) degrades to the Letter default
+    import re as _re
+
+    bad = _re.sub(
+        r"/MediaBox \[[^\]]*\]", "/MediaBox [0 0 -612 792]",
+        build_pdf([three_pages((612.0, 792.0))[0]]),
+    )
+    good = build_pdf([three_pages((612.0, 792.0))[0]])
+    assert spans_of(bad) == spans_of(good)
+
+    # rotated A4: /Rotate 90 swaps the display dims (841.89 x 595.28);
+    # display (72, 500) <- user (W - 500, 72) per the k=1 inverse
+    rp = PageBuilder(rotate=90, size=(595.28, 841.89))
+    rp.text_rot(595.28 - 500, 72, "Sideways scan INV-5 total: $3.00",
+                quad=1)
+    rot_spans = spans_of(build_pdf([rp]))
+    assert any("INV-5" in s[1] for s in rot_spans), rot_spans
+
+
 def test_v4_encrypt_dict_alphabetical_key_order():
     """Acrobat writes encrypt-dict keys alphabetically, so the /CF
     crypt-filter sub-dict (whose /Length 16 is BYTES) precedes the

@@ -859,6 +859,15 @@ def build_pdf(
     kids = " ".join(f"{n} 0 R" for n in page_nums)
     pages_box = ""
     if inherit_mediabox and pages:
+        if any(
+            (pg.size, pg.media_origin)
+            != (pages[0].size, pages[0].media_origin)
+            for pg in pages
+        ):
+            raise ValueError(
+                "inherit_mediabox requires every page to share one "
+                "size/media_origin (the /Pages box applies to all)"
+            )
         bx, by = pages[0].media_origin
         bw, bh = pages[0].size
         pages_box = (

@@ -25,10 +25,6 @@ PAGE_H = 792.0
 # would swallow real content.
 TOP_ZONE_FRAC = 0.92  # y >= this * page_h → header zone
 BOT_ZONE_FRAC = 0.08  # y <= this * page_h → footer zone
-# Letter-page absolute cuts (legacy name, kept for tests/tools that
-# reason about the default geometry)
-TOP_ZONE_Y = TOP_ZONE_FRAC * PAGE_H
-BOT_ZONE_Y = BOT_ZONE_FRAC * PAGE_H
 
 # Line clustering: two glyph runs belong to the same line iff their
 # baseline y differs by no more than this (points).
@@ -64,8 +60,6 @@ BOILER_FRAC = 0.6
 # Two-column detection: body items must all lie strictly left
 # (end_x < page_w/2) or start right (x >= page_w/2), with at least
 # COL_MIN_SIDE items per side and COL_MIN_TOTAL body items.
-# COL_SPLIT_X is the Letter-page absolute split (legacy name).
-COL_SPLIT_X = PAGE_W / 2.0
 COL_MIN_SIDE = 2
 COL_MIN_TOTAL = 6
 

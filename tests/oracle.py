@@ -1318,6 +1318,10 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     _expand_pdf15(objs, streams)
 
     per_page = []
+    # inheritable page attributes resolve once per document, not per
+    # page (the /Pages scan is O(objs))
+    inherited_box = _pages_node_mediabox(objs)
+    inherited_rot = _pages_node_rotate(objs)
     for pn in _page_object_numbers(objs):
         body = objs.get(pn, "")
         am = re.search(r"/Contents\s*\[([^\]]*)\]", body)
@@ -1338,7 +1342,7 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                     xobjs[em.group(1)] = _unesc(nm.group(1))
         fonts = _font_tables(body, objs, streams)
         runs, vrules, hrules, images = _interpret(content, xobjs, fonts)
-        x0, y0, W, H = _mediabox_oracle(body, _pages_node_mediabox(objs))
+        x0, y0, W, H = _mediabox_oracle(body, inherited_box)
         if x0 or y0:
             runs = [(x - x0, y - y0, *r) for (x, y, *r) in runs]
             vrules = [(x - x0, y - y0, ln) for (x, y, ln) in vrules]
@@ -1346,7 +1350,7 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
             images = [
                 (x - x0, y - y0, *im) for (x, y, *im) in images
             ]
-        k = _rotate_quarter(body, _pages_node_rotate(objs))
+        k = _rotate_quarter(body, inherited_rot)
         if k:
             runs, vrules, hrules, images = _rotate_items(
                 runs, vrules, hrules, images, k, W, H

@@ -138,7 +138,8 @@ def rotated_lines(page_idx: int, page: Page, quad: int) -> list[Line]:
         tr = [(page.h - r.y, r.x) for r in sel]
     sub = Page(
         runs=[
-            type(r)(x=rx, y=ry, size=r.size, text=r.text, rot=0)
+            type(r)(x=rx, y=ry, size=r.size, text=r.text, rot=0,
+                    adv=r.adv)
             for r, (rx, ry) in zip(sel, tr)
         ],
         rules=[],

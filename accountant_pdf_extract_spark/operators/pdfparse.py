@@ -151,9 +151,16 @@ class Run:
     # snapped to 90°): 0 upright, 1 = 90° CCW, 2 = 180°, 3 = 270°.
     # Layout clusters each quadrant in its own reading frame.
     rot: int = 0
+    # device-frame baseline advance length set by the tokenizer —
+    # carries Tc/Tw char/word spacing, which the fixed-width fallback
+    # below cannot see.  None only for synthetic sub-runs built
+    # outside the tokenizer.
+    adv: float | None = None
 
     @property
     def end_x(self) -> float:
+        if self.adv is not None:
+            return self.x + self.adv
         return self.x + spec.CHAR_W_FACTOR * self.size * len(self.text)
 
 
@@ -821,7 +828,8 @@ def _rotate_page(pg: Page, k: int) -> Page:
     else:
         pt = lambda x, y: (H - y, x)  # noqa: E731
     runs = [
-        Run(x=px, y=py, size=r.size, text=r.text, rot=(r.rot - k) % 4)
+        Run(x=px, y=py, size=r.size, text=r.text, rot=(r.rot - k) % 4,
+            adv=r.adv)  # rigid transform — advance length is invariant
         for r in pg.runs
         for px, py in (pt(r.x, r.y),)
     ]
@@ -1281,6 +1289,8 @@ def _parse_content(
     size = 10.0
     tz = 1.0  # Tz horizontal scaling (percent/100); TEXT STATE — it
     # persists across BT/ET like Tf size, unlike the per-object Tm
+    tc = 0.0  # Tc character spacing (text-space units; §9.3.2)
+    tw = 0.0  # Tw word spacing — spaces only (§9.3.3)
     leading = 12.0
     # full text matrix model (ISO 32000-1 §9.4.2): Tlm is the line
     # matrix, Tm the current text matrix; Td/TD/T* compose an
@@ -1337,11 +1347,20 @@ def _parse_content(
                 q = 0 if a >= 0 else 2
             else:
                 q = 1 if b > 0 else 3
-            runs.append(Run(x=tm[4], y=tm[5], size=eff, text=txt, rot=q))
             # advance along the baseline direction: text-space width
             # composed through the matrix (device displacement =
-            # w·(a, b))
-            w = spec.CHAR_W_FACTOR * size * tz * len(txt)
+            # w·(a, b)).  Per ISO 32000-1 §9.3.2-3 each glyph adds Tc
+            # and each space adds Tw, all scaled by Tz — applied over
+            # the DECODED text, the subset's width model since r4
+            # (a ToUnicode code mapping to "ffi" advances 3 chars).
+            w = (
+                (spec.CHAR_W_FACTOR * size + tc) * len(txt)
+                + tw * txt.count(" ")
+            ) * tz
+            runs.append(Run(
+                x=tm[4], y=tm[5], size=eff, text=txt, rot=q,
+                adv=w * mag,
+            ))
             tm = (a, b, tm[2], tm[3], tm[4] + w * a, tm[5] + w * b)
 
     # Dispatch on m.lastindex (the highest-numbered group that
@@ -1421,6 +1440,22 @@ def _parse_content(
             elif op == "Tz":
                 if nums:
                     tz = abs(nums[-1]) / 100.0
+            elif op == "Tc":
+                if nums:
+                    tc = nums[-1]
+            elif op == "Tw":
+                if nums:
+                    tw = nums[-1]
+            elif op == '"':
+                # aw ac (s) "  ==  aw Tw  ac Tc  (s) '  (§9.4.3)
+                if len(nums) >= 2:
+                    tw, tc = nums[-2], nums[-1]
+                a, b_, c_, d, e, f = tlm
+                tlm = tm = (
+                    a, b_, c_, d, -leading * c_ + e, -leading * d + f
+                )
+                if strings:
+                    emit(strings[-1])
             elif op == "Tm":
                 if len(nums) >= 6:
                     tlm = tm = tuple(nums[-6:])

@@ -237,9 +237,35 @@ class PageBuilder:
     size: tuple[float, float] = (612.0, 792.0)
     media_origin: tuple[float, float] = (0.0, 0.0)
 
-    def text(self, x: float, y: float, s: str, size: float = 10.0) -> None:
+    def text(self, x: float, y: float, s: str, size: float = 10.0,
+             char_space: float = 0.0, word_space: float = 0.0) -> None:
+        """One text run; optional Tc/Tw spacing is scoped to the run
+        (reset inside the same BT — Tc/Tw are TEXT STATE and would
+        otherwise leak across pages like Tz)."""
+        sp = ""
+        reset = ""
+        if char_space:
+            sp += f"{_n(char_space)} Tc "
+            reset += "0 Tc "
+        if word_space:
+            sp += f"{_n(word_space)} Tw "
+            reset += "0 Tw "
         self.ops.append(
-            f"BT /F1 {_n(size)} Tf {_n(x)} {_n(y)} Td ({_esc(s)}) Tj ET"
+            f"BT /F1 {_n(size)} Tf {sp}{_n(x)} {_n(y)} Td "
+            f"({_esc(s)}) Tj {reset}ET"
+        )
+
+    def text_quote(self, x: float, y: float, s: str,
+                   word_space: float = 0.0, char_space: float = 0.0,
+                   size: float = 10.0, leading: float = 12.0) -> None:
+        """Show a line via the `"` operator (aw ac (s) " — §9.4.3,
+        the justified-line idiom): sets word+char spacing, moves one
+        leading down from the Td anchor, shows.  Anchored so the text
+        lands AT ``y``; spacing reset afterwards (text state)."""
+        self.ops.append(
+            f"BT /F1 {_n(size)} Tf {_n(leading)} TL "
+            f"{_n(x)} {_n(y + leading)} Td "
+            f'{_n(word_space)} {_n(char_space)} ({_esc(s)}) " 0 Tw 0 Tc ET'
         )
 
     def text_hex(self, x: float, y: float, codes: str,

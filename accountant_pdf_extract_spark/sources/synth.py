@@ -142,7 +142,10 @@ def make_invoice_pdf(
     pg = PageBuilder(size=(W, H))
     pg.text(72, H - 32, f"{company} - Statement")
     pg.text(72, 30, f"Page 1 of {n_pages}")
-    pg.text(72, 700, "INVOICE", size=14)
+    # letter-spaced title on a deterministic subset (Tc in the wild
+    # corpus; keyed off drawn values — no rng draw)
+    pg.text(72, 700, "INVOICE", size=14,
+            char_space=0.8 if (style + n_pages) % 4 == 1 else 0.0)
     pg.text(72, 676, f"Invoice No: {inv_no}")
     pg.text(72, 658, f"Date: {_fmt_date(base, style)}")
     pg.text(72, 640, f"Due: {_fmt_date(due, style)}")
@@ -182,6 +185,11 @@ def make_invoice_pdf(
         pg.vrule(440, y - 6, top_y - (y - 6))
     y -= 24
     pg.text(72, y, enc(f"Total: {_fmt_amount(abs(total), ccy, neg=total < 0)}"))
+    # justified closing line via the `"` operator (sets Tw+Tc) on a
+    # deterministic subset — exercises the quote idiom in the corpus
+    if int(total * 100) % 5 == 1:
+        pg.text_quote(72, y - 20, "Thank you for your business",
+                      word_space=2.5, char_space=0.2)
     pages.append(pg)
 
     for p in range(2, n_pages + 1):

@@ -869,8 +869,8 @@ def _rotate_items(runs, vrules, hrules, images, k, W, H):
     else:
         pt = lambda x, y: (H - y, x)  # noqa: E731
     r2 = [
-        (*pt(x, y), eff, txt, (q - k) % 4)
-        for (x, y, eff, txt, q) in runs
+        (*pt(x, y), eff, txt, (q - k) % 4, adv)
+        for (x, y, eff, txt, q, adv) in runs
     ]
     nh, nv = [], []
     for (x, y, ln) in hrules:
@@ -966,6 +966,8 @@ class _TextState:
     def __init__(self) -> None:
         self.size = 10.0
         self.tz = 1.0     # Tz percent/100 — persists across BT
+        self.tc = 0.0     # Tc char spacing — text state, like Tz
+        self.tw = 0.0     # Tw word spacing (spaces only)
         self.leading = 12.0
         # full text/line matrices (a, b, c, d, e, f) — ISO 32000-1
         # §9.4.2; Td/TD/T* compose unscaled text-space translations
@@ -1033,8 +1035,13 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
                 q = 0 if a >= 0 else 2
             else:
                 q = 1 if b > 0 else 3
-            runs.append((st.tm[4], st.tm[5], eff, txt, q))
-            w = spec.CHAR_W_FACTOR * st.size * st.tz * len(txt)
+            # §9.3.2-3: each decoded char adds Tc, each space adds
+            # Tw, the sum scaled by Tz (decoded-text width model)
+            w = (
+                (spec.CHAR_W_FACTOR * st.size + st.tc) * len(txt)
+                + st.tw * txt.count(" ")
+            ) * st.tz
+            runs.append((st.tm[4], st.tm[5], eff, txt, q, w * mag))
             st.tm = (
                 a, b, st.tm[2], st.tm[3],
                 st.tm[4] + w * a, st.tm[5] + w * b,
@@ -1082,6 +1089,10 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             st.leading = nums[-1]
         elif op == "Tz" and nums:
             st.tz = abs(nums[-1]) / 100.0
+        elif op == "Tc" and nums:
+            st.tc = nums[-1]
+        elif op == "Tw" and nums:
+            st.tw = nums[-1]
         elif op == "Td" and len(nums) >= 2:
             st.translate(nums[-2], nums[-1])
         elif op == "TD" and len(nums) >= 2:
@@ -1097,6 +1108,13 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             if strs:
                 advance(strs[-1])
         elif op == "'":
+            st.translate(0.0, -st.leading)
+            if strs:
+                advance(strs[-1])
+        elif op == '"':
+            # aw ac (s) "  ==  aw Tw  ac Tc  (s) '
+            if len(nums) >= 2:
+                st.tw, st.tc = nums[-2], nums[-1]
             st.translate(0.0, -st.leading)
             if strs:
                 advance(strs[-1])
@@ -1137,6 +1155,8 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
 
 def _end_x(run) -> float:
     x, _y, size, txt = run[:4]
+    if len(run) > 5 and run[5] is not None:
+        return x + run[5]  # tokenizer advance (carries Tc/Tw)
     return x + spec.CHAR_W_FACTOR * size * len(txt)
 
 
@@ -1147,11 +1167,11 @@ def _rot_lines(runs, quad, W, H):
     No rulings in rotated frames."""
     sel = [r for r in runs if r[4] == quad]
     if quad == 1:
-        tr = [(r[1], W - r[0], r[2], r[3], 0) for r in sel]
+        tr = [(r[1], W - r[0], r[2], r[3], 0, r[5]) for r in sel]
     elif quad == 2:
-        tr = [(W - r[0], H - r[1], r[2], r[3], 0) for r in sel]
+        tr = [(W - r[0], H - r[1], r[2], r[3], 0, r[5]) for r in sel]
     else:
-        tr = [(H - r[1], r[0], r[2], r[3], 0) for r in sel]
+        tr = [(H - r[1], r[0], r[2], r[3], 0, r[5]) for r in sel]
     return _lines_of(tr, [])
 
 

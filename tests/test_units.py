@@ -653,7 +653,7 @@ def _oracle_content(content, xobjs=None):
     from tests import oracle
 
     runs, _v, _h, images = oracle._interpret(content, xobjs or {})
-    return [t for _x, _y, _s, t, _q in runs], [ref for *_a, ref in images]
+    return [r[3] for r in runs], [ref for *_a, ref in images]
 
 
 def test_operand_lifetimes_engine_equals_oracle():
@@ -1349,6 +1349,62 @@ def test_v5_encrypt_dict_without_O_still_opens():
     o, _ = oracle_extract([("pdf", doc2, "", 0)])
     assert e == o
     assert any("INV-2" in s[1] for s in e), e
+
+
+def test_char_word_spacing_ops():
+    """Tc/Tw/`\"` (ISO 32000-1 §9.3.2-3, §9.4.3): per-char and
+    per-space advances widen the run's true end_x, which drives the
+    gap classifier — a Tw-justified left cell can close what the
+    fixed-width model calls a tab gap.  Spacing is text STATE
+    (persists until changed); the writer scopes it per run.  Engine ≡
+    oracle on every shape."""
+    from tests.oracle import oracle_extract
+
+    def spans_of(doc):
+        e, _ = extract_doc([("pdf", doc, "", 0)])
+        o, _ = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o
+        return e
+
+    # fixed-width: "leftcell" ends at 72+8*5=112; next run at 145 →
+    # gap 33 > TAB_GAP_PTS(18) → tab.  With Tc 4 the run really ends
+    # at 72 + (5+4)*8 = 144 → gap 1 < 0.25*size → direct concat.
+    plain = PageBuilder()
+    plain.text(72, 700, "leftcell")
+    plain.text(145, 700, "right")
+    assert "leftcell\tright" in spans_of(build_pdf([plain]))[0][1]
+
+    tight = PageBuilder()
+    tight.text(72, 700, "leftcell", char_space=4.0)
+    tight.text(145, 700, "right")
+    assert "leftcellright" in spans_of(build_pdf([tight]))[0][1]
+
+    mid = PageBuilder()
+    mid.text(72, 700, "left cell", word_space=11.0)  # 36+11+... end 130
+    mid.text(145, 700, "right")
+    # ends at 72 + 0.5*10*9 + 11 = 128 → gap 17: space, not tab
+    assert "left cell right" in spans_of(build_pdf([mid]))[0][1]
+
+    # `"` operator: lands one leading below, sets Tw+Tc
+    q = PageBuilder()
+    q.text(72, 700, "Invoice INV-3 total: $2.00")
+    q.text_quote(72, 660, "Thank you for your business",
+                 word_space=2.5, char_space=0.2)
+    got = spans_of(build_pdf([q]))
+    assert any("Thank you for your business" in s[1] for s in got), got
+
+    # text state persists across BT inside one content stream: raw
+    # ops (writer-independent) — second BT block inherits Tc 3.5
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _parse_content,
+    )
+
+    pg = _parse_content(
+        "BT /F1 10 Tf 3.5 Tc 72 700 Td (leftcell) Tj ET "
+        "BT /F1 10 Tf 72 680 Td (leftcell) Tj ET",
+        {}, {},
+    )
+    assert pg.runs[0].adv == pg.runs[1].adv == (5 + 3.5) * 8
 
 
 def test_mediabox_page_sizes():

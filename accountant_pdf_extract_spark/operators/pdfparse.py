@@ -1314,7 +1314,7 @@ def _parse_content(
     cur_map: dict[int, str] | None = None
     cur_cid = False
 
-    def emit(txt: str) -> None:
+    def decode(txt: str) -> str:
         # custom-encoded fonts: map raw codes through the current
         # font's /Differences + /ToUnicode table (identity for
         # unmapped codes / identity-encoded fonts).  Everything
@@ -1322,20 +1322,29 @@ def _parse_content(
         # DECODED text — the spec'd rule (FIXTURES.md §1.1).
         # str.translate takes exactly our {ordinal: str} map and runs
         # at C speed (the per-char genexpr was 12% of kernel time).
-        nonlocal tm
         if cur_cid:
             # composite font: bytes pair into 2-byte codes (a dangling
             # odd byte is malformed and dropped), text comes from the
             # ToUnicode map with chr(code) as the deterministic default
-            txt = "".join(
+            return "".join(
                 cur_map.get(c, chr(c)) if cur_map else chr(c)
                 for c in (
                     (ord(txt[i]) << 8) | ord(txt[i + 1])
                     for i in range(0, len(txt) - 1, 2)
                 )
             )
-        elif cur_map:
-            txt = txt.translate(cur_map)
+        if cur_map:
+            return txt.translate(cur_map)
+        return txt
+
+    def emit(txt: str, tj_w: float | None = None) -> None:
+        # ``tj_w``: precomputed text-space advance (Tz-scaled) for TJ
+        # arrays, whose kern numbers displace the cursor per element;
+        # the text then arrives PRE-DECODED (synthetic kern spaces
+        # must not pass through the font map).
+        nonlocal tm
+        if tj_w is None:
+            txt = decode(txt)
         if txt:
             # effective glyph size = Tf size x |(a,b)| x Tz (real PDFs
             # often set Tf 1 and scale via the text matrix; the basis-
@@ -1353,7 +1362,7 @@ def _parse_content(
             # and each space adds Tw, all scaled by Tz — applied over
             # the DECODED text, the subset's width model since r4
             # (a ToUnicode code mapping to "ffi" advances 3 chars).
-            w = (
+            w = tj_w if tj_w is not None else (
                 (spec.CHAR_W_FACTOR * size + tc) * len(txt)
                 + tw * txt.count(" ")
             ) * tz
@@ -1465,13 +1474,27 @@ def _parse_content(
                     a, b_, c_, d, -leading * c_ + e, -leading * d + f
                 )
             elif op == "TJ":
+                # element-wise advance (§9.4.3): each shown string
+                # adds its glyph widths (+Tc, +Tw per space), each
+                # kern number v adds -v/1000 x Tfs; a kern beyond
+                # TJ_SPACE_THRESH ALSO renders as a synthetic space
+                # in the text (inter-word kerning), which carries no
+                # glyph width of its own — the kern IS its width.
                 buf: list[str] = []
+                tj_w = 0.0
                 for is_str, val in tj_parts:
                     if is_str:
-                        buf.append(str(val))
-                    elif float(val) <= spec.TJ_SPACE_THRESH:  # type: ignore[arg-type]
-                        buf.append(" ")
-                emit("".join(buf))
+                        s = decode(str(val))
+                        buf.append(s)
+                        tj_w += (
+                            spec.CHAR_W_FACTOR * size + tc
+                        ) * len(s) + tw * s.count(" ")
+                    else:
+                        v = float(val)
+                        tj_w -= v / 1000.0 * size
+                        if v <= spec.TJ_SPACE_THRESH:
+                            buf.append(" ")
+                emit("".join(buf), tj_w=tj_w * tz)
                 tj_parts = []
             elif op == "re":
                 if len(nums) >= 4:

@@ -1011,7 +1011,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
         r"|([-+]?\d*\.?\d+)|([A-Za-z'\"*]+)|<([0-9A-Fa-f\s]*)>"
     )
 
-    def advance(txt: str) -> None:
+    def fdecode(txt: str) -> str:
         # decode through the current font's code table (identity for
         # unmapped codes); advance width uses the DECODED length
         if cur_cid:
@@ -1024,9 +1024,16 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
                 else:
                     pairs.append(chr(code))
                 i += 2
-            txt = "".join(pairs)
-        elif cur_font:
-            txt = "".join(cur_font.get(ord(c), c) for c in txt)
+            return "".join(pairs)
+        if cur_font:
+            return "".join(cur_font.get(ord(c), c) for c in txt)
+        return txt
+
+    def advance(txt: str, tj_w=None) -> None:
+        # tj_w: precomputed Tz-scaled advance for TJ (text arrives
+        # pre-decoded; kern numbers displace the cursor per element)
+        if tj_w is None:
+            txt = fdecode(txt)
         if txt:
             a, b = st.tm[0], st.tm[1]
             mag = (a * a + b * b) ** 0.5
@@ -1037,7 +1044,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
                 q = 1 if b > 0 else 3
             # §9.3.2-3: each decoded char adds Tc, each space adds
             # Tw, the sum scaled by Tz (decoded-text width model)
-            w = (
+            w = tj_w if tj_w is not None else (
                 (spec.CHAR_W_FACTOR * st.size + st.tc) * len(txt)
                 + st.tw * txt.count(" ")
             ) * st.tz
@@ -1120,12 +1127,19 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
                 advance(strs[-1])
         elif op == "TJ":
             parts = []
+            w = 0.0
             for t, v in tj_parts:
                 if t == "str":
-                    parts.append(v)
-                elif v <= spec.TJ_SPACE_THRESH:
-                    parts.append(" ")
-            advance("".join(parts))
+                    s = fdecode(v)
+                    parts.append(s)
+                    w += (
+                        spec.CHAR_W_FACTOR * st.size + st.tc
+                    ) * len(s) + st.tw * s.count(" ")
+                else:
+                    w -= v / 1000.0 * st.size
+                    if v <= spec.TJ_SPACE_THRESH:
+                        parts.append(" ")
+            advance("".join(parts), tj_w=w * st.tz)
             tj_parts = []
         elif op == "re" and len(nums) >= 4:
             rx, ry, rw, rh = nums[-4:]

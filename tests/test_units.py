@@ -1407,6 +1407,44 @@ def test_char_word_spacing_ops():
     assert pg.runs[0].adv == pg.runs[1].adv == (5 + 3.5) * 8
 
 
+def test_tj_kern_advance():
+    """TJ kern numbers displace the cursor element-wise (§9.4.3:
+    -v/1000 x Tfs each, Tz-scaled); an inter-word kern beyond
+    TJ_SPACE_THRESH renders as a synthetic space that carries the
+    KERN's width, not a phantom glyph width.  Engine ≡ oracle, and a
+    following Tj lands at the kern-adjusted x."""
+    from tests.oracle import _interpret
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _parse_content,
+    )
+
+    content = (
+        "BT /F1 10 Tf 72 700 Td "
+        "[(Total) -250 (due:) -50 (now)] TJ (X) Tj ET"
+    )
+    pg = _parse_content(content, {}, {})
+    runs, *_ = _interpret(content, {}, {})
+    # 12 glyphs x 5 + (2.5 + 0.5) kern = 63; only -250 makes a space
+    assert [(r.x, r.text, r.adv) for r in pg.runs] == [
+        (72.0, "Total due:now", 63.0),
+        (135.0, "X", 5.0),
+    ]
+    assert [(r[0], r[3], r[5]) for r in runs] == [
+        (72.0, "Total due:now", 63.0),
+        (135.0, "X", 5.0),
+    ]
+    # whole-doc equality through the writer path
+    from tests.oracle import oracle_extract
+
+    pg2 = PageBuilder()
+    pg2.text_tj(72, 700, ["Amount", -300.0, "USD", -40.0, "42.00"])
+    pg2.text(240, 700, "right-cell")
+    doc = build_pdf([pg2])
+    e, _ = extract_doc([("pdf", doc, "", 0)])
+    o, _ = oracle_extract([("pdf", doc, "", 0)])
+    assert e == o
+
+
 def test_mediabox_page_sizes():
     """Per-page /MediaBox drives the layout geometry (r5): zone cuts
     are fractions of the page height, so a repeated y=760 header is

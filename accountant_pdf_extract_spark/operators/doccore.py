@@ -6,7 +6,8 @@ Pure Python/numpy — no Spark imports — so the same function serves the
 synth round-trip property tests.  The semantics it implements are the
 north-rule invariant (``BASELINE.json:15``): output spans are
 ``(kind, text, media_ref, order)`` with ``order`` the dense 0-based
-reading-order rank; kinds ``text``/``media`` survive, plus ``form``
+reading-order rank; kinds ``text``/``media`` survive, plus ``annot``,
+``form``
 spans (value, field name) for AcroForm field values and
 ``attachment`` spans (content, filename) for PDF embedded files —
 the ZUGFeRD/Factur-X hybrid-invoice shape.
@@ -49,7 +50,7 @@ def extract_doc(
                 # §1.1); a stray non-latin-1 char must degrade to '?'
                 # for that char only — never drop the whole document
                 # (the oracle applies the same replacement).
-                pages, forms, attachments = parse_pdf_full(
+                pages, forms, attachments, annots = parse_pdf_full(
                     text.encode("latin-1", errors="replace")
                 )
                 for it in pdf_to_items(pages):
@@ -57,11 +58,15 @@ def extract_doc(
                         out.append(("media", "", it.media_ref))
                     else:
                         out.append(("text", it.text, ""))
-                # AcroForm field values trail the page items (value in
-                # text, field name in media_ref), then embedded files
-                # (ZUGFeRD-style; content in text, filename in
-                # media_ref); neither feeds field extraction — the
-                # document text rules stay payload-only
+                # markup-annotation notes trail the page items
+                # (contents in text, subtype in media_ref), then
+                # AcroForm field values (value in text, field name in
+                # media_ref), then embedded files (ZUGFeRD-style;
+                # content in text, filename in media_ref); none feed
+                # field extraction — the document text rules stay
+                # payload-only
+                for subtype, contents in annots:
+                    out.append(("annot", contents, subtype))
                 for name, value in forms:
                     out.append(("form", value, name))
                 for name, content in attachments:

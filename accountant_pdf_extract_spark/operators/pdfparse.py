@@ -649,6 +649,13 @@ def _attachments(
 
 _FIELDS_ARR_RE = re.compile(rb"/Fields\s*\[([^\]]*)\]")
 _FT_TXCH_RE = re.compile(rb"/FT\s*/(?:Tx|Ch)\b")
+# markup annotations (ISO 32000-1 §12.5): per-page /Annots array of
+# refs; only note-bearing subtypes carry extractable /Contents text
+_ANNOTS_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
+_ANNOT_SUBTYPE_RE = re.compile(rb"/Subtype\s*/(Text|FreeText)\b")
+_ANNOT_CONTENTS_RE = re.compile(
+    rb"/Contents\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))", re.S
+)
 _T_STR_RE = re.compile(
     rb"/T\s*(\((?:[^()\\]|\\[\s\S])*\)|<[0-9A-Fa-f\s]*>)"
 )
@@ -1053,10 +1060,18 @@ def parse_pdf(data: bytes) -> list[Page]:
 
 def parse_pdf_full(
     data: bytes,
-) -> tuple[list[Page], list[tuple[str, str]], list[tuple[str, str]]]:
-    """Pages, AcroForm field values (name, value), and embedded-file
+) -> tuple[
+    list[Page],
+    list[tuple[str, str]],
+    list[tuple[str, str]],
+    list[tuple[str, str]],
+]:
+    """Pages, AcroForm field values (name, value), embedded-file
     attachments (filename, content) — the ZUGFeRD/Factur-X
-    hybrid-invoice shape rides /EmbeddedFiles."""
+    hybrid-invoice shape rides /EmbeddedFiles — and markup
+    annotations (subtype, contents) in page-then-/Annots order
+    (sticky notes / free-text comments; §12.5 /Text and /FreeText
+    with a direct /Annots array; appearance streams out of subset)."""
     # ---- standard security (RC4 / AES, empty user password) ---------
     fkey: bytes | None = None
     cipher = ""
@@ -1066,7 +1081,7 @@ def parse_pdf_full(
         enc_num = enc_ref
         fc = _encryption_key(data, enc_num)
         if fc is None:
-            return [], [], []  # unreadable (bad pw / unknown filter)
+            return [], [], [], []  # unreadable (bad pw/unknown filter)
         fkey, cipher = fc
         from accountant_pdf_extract_spark.functions.pdfcrypt import (
             aes_decrypt_value,
@@ -1220,6 +1235,7 @@ def parse_pdf_full(
         ]
 
     pages: list[Page] = []
+    annots: list[tuple[str, str]] = []
     font_cache: dict[int, tuple[bool, dict[int, str]]] = {}
     for pn in page_nums:
         body = objs.get(pn, b"")
@@ -1256,6 +1272,20 @@ def parse_pdf_full(
                     font_maps[fe.group(1).decode("latin-1")] = (
                         is_cid, fmap
                     )
+        am2 = _ANNOTS_RE.search(body)
+        if am2:
+            for r in _REF_RE.finditer(am2.group(1)):
+                ad = objs.get(int(r.group(1)), b"")
+                sm2 = _ANNOT_SUBTYPE_RE.search(ad)
+                if sm2 is None:  # /Link, /Widget, ... — no note text
+                    continue
+                cm2 = _ANNOT_CONTENTS_RE.search(ad)
+                if cm2 is None:
+                    continue
+                annots.append((
+                    sm2.group(1).decode(),
+                    _text_string(_string_value(cm2.group(1))),
+                ))
         pg = _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
         x0, y0, pg.w, pg.h = _mediabox_of(body, pages_box)
         if x0 or y0:
@@ -1274,7 +1304,7 @@ def parse_pdf_full(
         if k:
             pg = _rotate_page(pg, k)
         pages.append(pg)
-    return pages, _form_fields(objs), _attachments(objs, streams)
+    return pages, _form_fields(objs), _attachments(objs, streams), annots
 
 
 def _parse_content(

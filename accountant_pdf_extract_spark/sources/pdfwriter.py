@@ -51,6 +51,19 @@ def _text_str_obj(s: str) -> str:
     return f"({_esc(s)})"
 
 
+def _annot_obj(subtype: str, contents: str, i: int) -> str:
+    """A markup-annotation dict (§12.5.6.4/.6): /Text sticky note or
+    /FreeText comment with a /Contents text string (appearance
+    streams out of subset).  /Rect is stride-placed — extraction
+    reads only /Contents."""
+    y = 700 - 24 * i
+    return (
+        f"<< /Type /Annot /Subtype /{subtype} "
+        f"/Rect [500 {_n(y)} 540 {_n(y + 20)}] "
+        f"/Contents {_text_str_obj(contents)} >>"
+    )
+
+
 def _field_obj(name: str, value: str) -> str:
     """An AcroForm terminal text-field dict (§12.7.4.3)."""
     return (
@@ -236,6 +249,8 @@ class PageBuilder:
     # origin-relative by the caller)
     size: tuple[float, float] = (612.0, 792.0)
     media_origin: tuple[float, float] = (0.0, 0.0)
+    # markup annotations: (subtype, contents) — /Text or /FreeText
+    annots: list = field(default_factory=list)
 
     def text(self, x: float, y: float, s: str, size: float = 10.0,
              char_space: float = 0.0, word_space: float = 0.0) -> None:
@@ -254,6 +269,10 @@ class PageBuilder:
             f"BT /F1 {_n(size)} Tf {sp}{_n(x)} {_n(y)} Td "
             f"({_esc(s)}) Tj {reset}ET"
         )
+
+    def annot(self, subtype: str, contents: str) -> None:
+        """Attach a /Text (sticky-note) or /FreeText annotation."""
+        self.annots.append((subtype, contents))
 
     def text_quote(self, x: float, y: float, s: str,
                    word_space: float = 0.0, char_space: float = 0.0,
@@ -876,9 +895,16 @@ def build_pdf(
             "" if inherit_mediabox else
             f"/MediaBox [{_n(bx)} {_n(by)} {_n(bx + bw)} {_n(by + bh)}] "
         )
+        annots_entry = ""
+        if pg.annots:
+            arefs = " ".join(
+                f"{add(_annot_obj(st_, c, i))} 0 R"
+                for i, (st_, c) in enumerate(pg.annots)
+            )
+            annots_entry = f"/Annots [ {arefs} ] "
         page_num = add(
             f"<< /Type /Page /Parent 2 0 R {box_entry}"
-            f"{rot_entry}/Contents {stream_num} 0 R{res} >>"
+            f"{rot_entry}{annots_entry}/Contents {stream_num} 0 R{res} >>"
         )
         page_nums.append(page_num)
 

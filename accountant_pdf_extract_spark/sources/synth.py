@@ -190,6 +190,10 @@ def make_invoice_pdf(
     if int(total * 100) % 5 == 1:
         pg.text_quote(72, y - 20, "Thank you for your business",
                       word_space=2.5, char_space=0.2)
+    # sticky-note approval annotation on a deterministic subset —
+    # keyed off already-drawn values, no rng draw
+    if base.month % 3 == 1:
+        pg.annot("Text", f"Approved by {company} AP dept")
     pages.append(pg)
 
     for p in range(2, n_pages + 1):

@@ -1429,6 +1429,7 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
                 out.append(("media", "", ref))
             elif _norm(text) not in drop:
                 out.append(("text", text, ""))
+    out.extend(_annots_oracle(objs))
     out.extend(_forms_oracle(objs))
     out.extend(_attachments_oracle(objs, streams))
     return out
@@ -1442,6 +1443,32 @@ def _pdf_text_str(raw: str) -> str:
             "utf-16-be", errors="replace"
         )
     return raw
+
+
+def _annots_oracle(objs: dict[int, str]) -> list[tuple[str, str, str]]:
+    """Markup-annotation notes (ISO 32000-1 §12.5): per-page /Annots
+    refs → /Text or /FreeText dicts with a /Contents text string,
+    emitted as ("annot", contents, subtype) in page-then-array order —
+    independent twin of the engine's /Annots walk."""
+    out = []
+    for pn in _page_object_numbers(objs):
+        am = re.search(r"/Annots\s*\[([^\]]*)\]", objs.get(pn, ""))
+        if not am:
+            continue
+        for r in re.finditer(r"(\d+)\s+0\s+R", am.group(1)):
+            ad = objs.get(int(r.group(1)), "")
+            sm = re.search(r"/Subtype\s*/(Text|FreeText)\b", ad)
+            if sm is None:
+                continue
+            cm = re.search(r"/Contents\s*(" + _STR_TOK + r")", ad)
+            if cm is None:
+                continue
+            out.append((
+                "annot",
+                _pdf_text_str(_str_token(cm.group(1))),
+                sm.group(1),
+            ))
+    return out
 
 
 def _forms_oracle(objs: dict[int, str]) -> list[tuple[str, str, str]]:

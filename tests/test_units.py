@@ -1407,6 +1407,53 @@ def test_char_word_spacing_ops():
     assert pg.runs[0].adv == pg.runs[1].adv == (5 + 3.5) * 8
 
 
+def test_markup_annotations():
+    """Markup annotations (ISO 32000-1 §12.5): per-page /Annots →
+    /Text and /FreeText /Contents emitted as ("annot", contents,
+    subtype) after page items and BEFORE form spans; non-note
+    subtypes (/Link) and dangling refs skip; UTF-16BE contents
+    decode; encrypted docs decrypt annotation strings.  Engine ≡
+    oracle throughout."""
+    import re as _re
+
+    from tests.oracle import oracle_extract
+
+    def both(doc):
+        e, _ = extract_doc([("pdf", doc, "", 0)])
+        o, _ = oracle_extract([("pdf", doc, "", 0)])
+        assert e == o
+        return e
+
+    pg = PageBuilder()
+    pg.text(72, 700, "Invoice INV-1 total: $5.00")
+    pg.annot("Text", "Approved by AP dept")
+    pg.annot("FreeText", "Müller: pay via SEPA €")  # UTF-16BE hex
+    doc = build_pdf([pg], form_fields=[("Status", "PAID")])
+    spans = both(doc)
+    kinds = [s[0] for s in spans]
+    assert kinds == ["text", "annot", "annot", "form"], spans
+    assert spans[1][1:3] == ("Approved by AP dept", "Text")
+    assert spans[2][1:3] == ("Müller: pay via SEPA €", "FreeText")
+
+    # a /Link annotation (no note text) and a dangling ref both skip
+    linked = doc.replace("/Subtype /FreeText", "/Subtype /Link")
+    spans = both(linked)
+    assert [s[0] for s in spans] == ["text", "annot", "form"]
+    dangling = _re.sub(
+        r"/Annots \[ (\d+) 0 R", r"/Annots [ 999 0 R", doc, count=1
+    )
+    spans = both(dangling)
+    assert sum(s[0] == "annot" for s in spans) == 1
+
+    # encrypted: /Contents strings decrypt like every other string
+    enc = build_pdf([pg], encrypt="aes-128")
+    assert "Approved by AP dept" not in enc
+    spans = both(enc)
+    assert any(
+        s[0] == "annot" and s[1] == "Approved by AP dept" for s in spans
+    ), spans
+
+
 def test_tj_kern_advance():
     """TJ kern numbers displace the cursor element-wise (§9.4.3:
     -v/1000 x Tfs each, Tz-scaled); an inter-word kern beyond

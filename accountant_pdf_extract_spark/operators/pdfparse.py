@@ -30,8 +30,14 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _XOBJ_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
-_XOBJ_ENTRY_RE = re.compile(rb"/(Im\d+)\s+(\d+)\s+0\s+R")
+_XOBJ_ENTRY_RE = re.compile(rb"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R")
 _NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
+# Form XObjects (ISO 32000-1 §8.10): /Matrix maps form space to the
+# placement space (subset: scale + translate terms; b/c sheared or
+# rotated form matrices are out of subset, like rotated cm)
+_MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
+_FLOAT_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_FORM_MAX_DEPTH = 4  # page → form → form → form → form, then stop
 
 # PDF 1.5 structures (object streams + xref streams) and simple fonts
 _INT_KEY_RE = {
@@ -1053,6 +1059,147 @@ def _encryption_key(data: bytes, enc_num: int) -> tuple[bytes, str] | None:
     return fkey, cipher
 
 
+def _font_resources(
+    body: bytes,
+    objs: dict[int, bytes],
+    streams: dict[int, bytes],
+    font_cache: dict[int, tuple[bool, dict[int, str]]],
+) -> dict[str, tuple[bool, dict[int, str]]]:
+    """Resolve a /Resources /Font dict into name → (is_cid, map).
+    Every page (and form) of a doc references the same font objects —
+    each CMap/Differences table resolves once per doc via the cache."""
+    font_maps: dict[str, tuple[bool, dict[int, str]]] = {}
+    frm = _FONT_RES_RE.search(body)
+    if frm:
+        for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):
+            fnum = int(fe.group(2))
+            if fnum not in font_cache:
+                font_cache[fnum] = _font_map(
+                    objs.get(fnum, b""), objs, streams
+                )
+            is_cid, fmap = font_cache[fnum]
+            if fmap or is_cid:
+                font_maps[fe.group(1).decode("latin-1")] = (is_cid, fmap)
+    return font_maps
+
+
+def _xobj_resources(
+    body: bytes,
+    objs: dict[int, bytes],
+    streams: dict[int, bytes],
+    font_cache: dict[int, tuple[bool, dict[int, str]]],
+    form_cache: dict,
+    depth: int,
+) -> tuple[dict[str, str], dict[str, tuple["Page", tuple]]]:
+    """Resolve a /Resources /XObject dict: image entries (/Name target)
+    become name → media_ref; /Subtype /Form entries become name →
+    (pre-parsed fragment, matrix).  Fragments parse ONCE per
+    (object, depth) per doc; ``depth`` caps nesting (reference cycles
+    degrade by running out of depth, never recurse forever)."""
+    xobj_refs: dict[str, str] = {}
+    forms: dict[str, tuple[Page, tuple]] = {}
+    xm = _XOBJ_RE.search(body)
+    if not xm:
+        return xobj_refs, forms
+    for em in _XOBJ_ENTRY_RE.finditer(xm.group(1)):
+        name = em.group(1).decode("latin-1")
+        tnum = int(em.group(2))
+        target = objs.get(tnum, b"")
+        sm = _STREAM_RE.search(target)
+        tdict = target[: sm.start()] if sm else target
+        if b"/Subtype /Form" in tdict:
+            if depth <= 0:
+                continue  # past the nesting cap — skip the placement
+            key = (tnum, depth)
+            if key not in form_cache:
+                form_cache[key] = _form_fragment(
+                    tnum, tdict, objs, streams, font_cache, form_cache,
+                    depth,
+                )
+            forms[name] = form_cache[key]
+        else:
+            nm = _NAME_RE.search(tdict)
+            if nm:
+                xobj_refs[name] = _unescape(
+                    nm.group(1).decode("latin-1")
+                )
+    return xobj_refs, forms
+
+
+def _form_fragment(
+    tnum: int,
+    tdict: bytes,
+    objs: dict[int, bytes],
+    streams: dict[int, bytes],
+    font_cache: dict[int, tuple[bool, dict[int, str]]],
+    form_cache: dict,
+    depth: int,
+) -> tuple["Page", tuple]:
+    """Parse one Form XObject (ISO 32000-1 §8.10) into a Page fragment
+    in FORM SPACE plus its /Matrix (a, d, e, f) terms — ``Do``
+    instantiates it with the CTM composed on top.  Forms resolve their
+    OWN /Resources only (page-resource inheritance is out of subset;
+    the oracle mirrors).  /BBox clipping is out of subset — content
+    stays inside the box by construction in the writer."""
+    content = streams.get(tnum, b"").decode("latin-1")
+    mtx = (1.0, 1.0, 0.0, 0.0)
+    mm = _MATRIX_RE.search(tdict)
+    if mm:
+        v = [float(x) for x in _FLOAT_RE.findall(mm.group(1))]
+        if len(v) == 6:
+            mtx = (v[0], v[3], v[4], v[5])
+    fonts = _font_resources(tdict, objs, streams, font_cache)
+    xobj_refs, forms = _xobj_resources(
+        tdict, objs, streams, font_cache, form_cache, depth - 1
+    )
+    return _parse_content(content, xobj_refs, fonts, forms), mtx
+
+
+def _place_fragment(
+    frag: "Page",
+    mtx: tuple,
+    ctm: tuple,
+    runs: list,
+    rules: list,
+    images: list,
+) -> None:
+    """Instantiate a form fragment under CTM ∘ /Matrix (scale +
+    translate subset).  Sizes/advances scale directionally: an upright
+    run's glyph height is vertical (|D|) and its advance horizontal
+    (|A|); quadrant-1/3 runs swap the two."""
+    ma, md, me, mf = mtx
+    A = ctm[0] * ma
+    D = ctm[1] * md
+    E = ctm[0] * me + ctm[2]
+    F = ctm[1] * mf + ctm[3]
+    ax, ay = abs(A), abs(D)
+    for r in frag.runs:
+        horiz = r.rot % 2 == 0
+        runs.append(Run(
+            x=A * r.x + E,
+            y=D * r.y + F,
+            size=r.size * (ay if horiz else ax),
+            text=r.text,
+            rot=r.rot,
+            adv=None if r.adv is None else r.adv * (ax if horiz else ay),
+        ))
+    for rl in frag.rules:
+        rules.append(Rule(
+            horiz=rl.horiz,
+            x=A * rl.x + E,
+            y=D * rl.y + F,
+            length=rl.length * (ax if rl.horiz else ay),
+        ))
+    for im in frag.images:
+        images.append(Image(
+            x=A * im.x + E,
+            y=D * im.y + F,
+            w=im.w * A,
+            h=im.h * D,
+            media_ref=im.media_ref,
+        ))
+
+
 def parse_pdf(data: bytes) -> list[Page]:
     """Tokenize a PDF-subset byte stream into per-page primitives."""
     return parse_pdf_full(data)[0]
@@ -1237,6 +1384,7 @@ def parse_pdf_full(
     pages: list[Page] = []
     annots: list[tuple[str, str]] = []
     font_cache: dict[int, tuple[bool, dict[int, str]]] = {}
+    form_cache: dict = {}  # (objnum, depth) → (fragment, matrix)
     for pn in page_nums:
         body = objs.get(pn, b"")
         am = _CONTENTS_ARR_RE.search(body)
@@ -1246,32 +1394,10 @@ def parse_pdf_full(
         else:
             cm = _CONTENTS_RE.search(body)
             content = streams.get(int(cm.group(1)), b"") if cm else b""
-        xobj_refs: dict[str, str] = {}
-        xm = _XOBJ_RE.search(body)
-        if xm:
-            for em in _XOBJ_ENTRY_RE.finditer(xm.group(1)):
-                target = objs.get(int(em.group(2)), b"")
-                nm = _NAME_RE.search(target)
-                if nm:
-                    xobj_refs[em.group(1).decode("latin-1")] = _unescape(
-                        nm.group(1).decode("latin-1")
-                    )
-        font_maps: dict[str, tuple[bool, dict[int, str]]] = {}
-        frm = _FONT_RES_RE.search(body)
-        if frm:
-            for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):
-                fnum = int(fe.group(2))
-                # every page of a doc references the same font objects
-                # — resolve each CMap/Differences table once per doc
-                if fnum not in font_cache:
-                    font_cache[fnum] = _font_map(
-                        objs.get(fnum, b""), objs, streams
-                    )
-                is_cid, fmap = font_cache[fnum]
-                if fmap or is_cid:
-                    font_maps[fe.group(1).decode("latin-1")] = (
-                        is_cid, fmap
-                    )
+        xobj_refs, form_frags = _xobj_resources(
+            body, objs, streams, font_cache, form_cache, _FORM_MAX_DEPTH
+        )
+        font_maps = _font_resources(body, objs, streams, font_cache)
         am2 = _ANNOTS_RE.search(body)
         if am2:
             for r in _REF_RE.finditer(am2.group(1)):
@@ -1286,7 +1412,9 @@ def parse_pdf_full(
                     sm2.group(1).decode(),
                     _text_string(_string_value(cm2.group(1))),
                 ))
-        pg = _parse_content(content.decode("latin-1"), xobj_refs, font_maps)
+        pg = _parse_content(
+            content.decode("latin-1"), xobj_refs, font_maps, form_frags
+        )
         x0, y0, pg.w, pg.h = _mediabox_of(body, pages_box)
         if x0 or y0:
             # normalize a shifted origin so layout sees (0,0)-anchored
@@ -1311,6 +1439,7 @@ def _parse_content(
     content: str,
     xobj_refs: dict[str, str],
     font_maps: dict[str, tuple[bool, dict[int, str]]] | None = None,
+    forms: dict[str, tuple[Page, tuple]] | None = None,
 ) -> Page:
     runs: list[Run] = []
     rules: list[Rule] = []
@@ -1543,14 +1672,24 @@ def _parse_content(
                 ctm = stack.pop() if stack else (1.0, 1.0, 0.0, 0.0)
             elif op == "Do":
                 if names:
-                    ref = xobj_refs.get(names[-1])
-                    if ref:
-                        images.append(
-                            Image(
-                                x=ctm[2], y=ctm[3], w=ctm[0], h=ctm[1],
-                                media_ref=ref,
-                            )
+                    frag = forms.get(names[-1]) if forms else None
+                    if frag is not None:
+                        # Form XObject instantiation: splice the pre-
+                        # parsed fragment in content order at the Do
+                        # point, transformed by CTM ∘ /Matrix
+                        _place_fragment(
+                            frag[0], frag[1], ctm, runs, rules, images
                         )
+                    else:
+                        ref = xobj_refs.get(names[-1])
+                        if ref:
+                            images.append(
+                                Image(
+                                    x=ctm[2], y=ctm[3],
+                                    w=ctm[0], h=ctm[1],
+                                    media_ref=ref,
+                                )
+                            )
             # S, f, W, n etc. need no action beyond operand reset.
             # Operand stacks reset after every operator (q/Q preserve
             # the pending numbers; Do consumes its name).  The `if`

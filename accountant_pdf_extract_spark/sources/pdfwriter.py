@@ -251,6 +251,8 @@ class PageBuilder:
     media_origin: tuple[float, float] = (0.0, 0.0)
     # markup annotations: (subtype, contents) — /Text or /FreeText
     annots: list = field(default_factory=list)
+    # Form XObjects placed on this page (identity-deduped) -> /Fm{i+1}
+    forms: list = field(default_factory=list)
 
     def text(self, x: float, y: float, s: str, size: float = 10.0,
              char_space: float = 0.0, word_space: float = 0.0) -> None:
@@ -369,8 +371,42 @@ class PageBuilder:
         self.images.append(media_ref)
         self.ops.append(f"q {_n(w)} 0 0 {_n(h)} {_n(x)} {_n(y)} cm /Im{idx} Do Q")
 
+    def place_form(self, form: "FormXObject", x: float = 0.0,
+                   y: float = 0.0, sx: float = 1.0, sy: float = 1.0) -> None:
+        """Instantiate a Form XObject (ISO 32000-1 §8.10) at (x, y),
+        optionally scaled: ``q sx 0 0 sy x y cm /FmN Do Q``.  The SAME
+        FormXObject placed on several pages (identity dedup) serializes
+        as ONE shared stream object — the letterhead/stamp reuse shape
+        real PDFs carry."""
+        for i, f in enumerate(self.forms):
+            if f is form:
+                idx = i + 1
+                break
+        else:
+            self.forms.append(form)
+            idx = len(self.forms)
+        self.ops.append(
+            f"q {_n(sx)} 0 0 {_n(sy)} {_n(x)} {_n(y)} cm /Fm{idx} Do Q"
+        )
+
     def content(self) -> str:
         return "\n".join(self.ops) + "\n"
+
+
+@dataclass
+class FormXObject:
+    """A reusable content fragment (ISO 32000-1 §8.10 /Subtype /Form):
+    its own content stream + /Resources, placed on pages (or inside
+    other forms) via ``place_form``.  ``builder`` holds the local-space
+    ops (text/rules/images/nested forms); ``bbox`` is the mandatory
+    /BBox (clipping is out of subset — callers keep content inside);
+    ``matrix`` optionally emits a /Matrix (form space → placement
+    space, composed BEFORE the cm at the Do site; the parser subset
+    honors its scale + translate terms)."""
+
+    builder: PageBuilder = field(default_factory=lambda: PageBuilder())
+    bbox: tuple[float, float, float, float] = (0.0, 0.0, 612.0, 792.0)
+    matrix: tuple[float, float, float, float, float, float] | None = None
 
 
 def _lzw_encode(data: bytes) -> bytes:
@@ -525,6 +561,7 @@ def _stream_obj(
     compress: bool,
     lzw: bool = False,
     ascii_filter: str | None = None,
+    extra_dict: str = "",
 ) -> str:
     """A stream object body, plain / Flate / LZW / ASCII-family,
     marker-safe.
@@ -544,14 +581,14 @@ def _stream_obj(
     if ascii_filter == "hex":
         enc = _asciihex_encode(raw)
         return (
-            f"<< /Length {len(enc)} /Filter /ASCIIHexDecode >>\n"
+            f"<< {extra_dict}/Length {len(enc)} /Filter /ASCIIHexDecode >>\n"
             f"stream\n{enc}endstream"
         )
     if ascii_filter == "a85":
         enc = _ascii85_encode(zlib.compress(raw, 6))
         if "endstream" not in enc and "endobj" not in enc:
             return (
-                f"<< /Length {len(enc)} "
+                f"<< {extra_dict}/Length {len(enc)} "
                 "/Filter [ /ASCII85Decode /FlateDecode ] >>\n"
                 f"stream\n{enc}endstream"
             )
@@ -560,7 +597,7 @@ def _stream_obj(
         enc = _rle_encode(raw)
         if "endstream" not in enc and "endobj" not in enc:
             return (
-                f"<< /Length {len(enc)} /Filter /RunLengthDecode >>\n"
+                f"<< {extra_dict}/Length {len(enc)} /Filter /RunLengthDecode >>\n"
                 f"stream\n{enc}endstream"
             )
         compress = True  # marker collision: plain Flate fallback
@@ -568,12 +605,12 @@ def _stream_obj(
         comp = _lzw_encode(raw)
         if b"endstream" not in comp and b"endobj" not in comp:
             return (
-                f"<< /Length {len(comp)} /Filter /LZWDecode >>\n"
+                f"<< {extra_dict}/Length {len(comp)} /Filter /LZWDecode >>\n"
                 f"stream\n{comp.decode('latin-1')}endstream"
             )
         # marker collision in LZW output: fall through to Flate/plain
     if compress or lzw or not plain_ok:
-        body = _flate_body(raw)
+        body = _flate_body(raw, extra_dict=extra_dict)
         if body is not None:
             return body
         if not plain_ok:
@@ -581,7 +618,7 @@ def _stream_obj(
                 "page content embeds PDF structural markers in both "
                 "plain and compressed form"
             )
-    return f"<< /Length {len(raw)} >>\nstream\n{content}endstream"
+    return f"<< {extra_dict}/Length {len(raw)} >>\nstream\n{content}endstream"
 
 
 _WRITER_ESC_RE = re.compile(r"\\([\\()])")  # inverse of _esc
@@ -864,6 +901,49 @@ def build_pdf(
             )
         font_res = f" /Font << /F1 {font_num} 0 R >>"
 
+    # Form XObjects (§8.10): one stream object per DISTINCT form —
+    # identity-deduped across pages AND nesting levels, so a letterhead
+    # shared by every page serializes once (the real-world reuse
+    # shape).  A form's dict carries /BBox, optional /Matrix and its
+    # OWN /Resources (the font + nested image/form XObjects its content
+    # references; resource inheritance from the page is out of subset).
+    form_num_of: dict[int, int] = {}
+
+    def emit_form(fm: FormXObject, depth: int = 0) -> int:
+        if id(fm) in form_num_of:
+            return form_num_of[id(fm)]
+        if depth > 3:
+            raise ValueError("form nesting deeper than the subset's 4")
+        fb = fm.builder
+        entries = []
+        for i, ref in enumerate(fb.images, start=1):
+            im_num = add(
+                f"<< /Type /XObject /Subtype /Image /Name ({_esc(ref)}) "
+                f"/Width 100 /Height 100 >>"
+            )
+            entries.append(f"/Im{i} {im_num} 0 R")
+        for i, sub in enumerate(fb.forms, start=1):
+            entries.append(f"/Fm{i} {emit_form(sub, depth + 1)} 0 R")
+        res = ""
+        if entries or font_res:
+            xo = f" /XObject << {' '.join(entries)} >>" if entries else ""
+            res = f" /Resources <<{font_res}{xo} >>"
+        x0, y0, x1, y1 = fm.bbox
+        mtx = ""
+        if fm.matrix is not None:
+            mtx = " /Matrix [" + " ".join(_n(v) for v in fm.matrix) + "]"
+        extra = (
+            "/Type /XObject /Subtype /Form "
+            f"/BBox [{_n(x0)} {_n(y0)} {_n(x1)} {_n(y1)}]{mtx}{res} "
+        )
+        num = add(
+            _stream_obj(fb.content(), compress, lzw, ascii_filter,
+                        extra_dict=extra),
+            dict_only=False,
+        )
+        form_num_of[id(fm)] = num
+        return num
+
     page_nums: list[int] = []
     for pg in pages:
         stream_num = add(
@@ -877,6 +957,8 @@ def build_pdf(
                 f"/Width 100 /Height 100 >>"
             )
             xobj_entries.append(f"/Im{i} {im_num} 0 R")
+        for i, fm in enumerate(pg.forms, start=1):
+            xobj_entries.append(f"/Fm{i} {emit_form(fm)} 0 R")
         res = ""
         if xobj_entries or font_res:
             xo = (

@@ -982,7 +982,49 @@ class _TextState:
         )
 
 
-def _interpret(content: str, xobjs: dict[str, str], fonts=None):
+def _xobj_res_oracle(body: str, objs, streams, depth: int = 4):
+    """/Resources /XObject resolution: image entries (a /Name target)
+    → name: media_ref; /Subtype /Form entries → name: (interpreted
+    fragment, matrix (a, d, e, f)).  Depth caps nesting like the
+    engine (reference cycles run out of depth)."""
+    xobjs: dict[str, str] = {}
+    forms: dict[str, tuple] = {}
+    xm = re.search(r"/XObject\s*<<(.*?)>>", body, re.S)
+    if not xm:
+        return xobjs, forms
+    for em in re.finditer(
+        r"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R", xm.group(1)
+    ):
+        tnum = int(em.group(2))
+        tbody = objs.get(tnum, "")
+        sm = re.search(r"stream\r?\n", tbody)
+        tdict = tbody[: sm.start()] if sm else tbody
+        if "/Subtype /Form" in tdict:
+            if depth <= 0:
+                continue
+            mtx = (1.0, 1.0, 0.0, 0.0)
+            mm = re.search(r"/Matrix\s*\[([^\]]*)\]", tdict)
+            if mm:
+                v = [
+                    float(x)
+                    for x in re.findall(r"[-+]?\d*\.?\d+", mm.group(1))
+                ]
+                if len(v) == 6:
+                    mtx = (v[0], v[3], v[4], v[5])
+            sub_x, sub_f = _xobj_res_oracle(tdict, objs, streams, depth - 1)
+            sub_fonts = _font_tables(tdict, objs, streams)
+            forms[em.group(1)] = (
+                _interpret(streams.get(tnum, ""), sub_x, sub_fonts, sub_f),
+                mtx,
+            )
+        else:
+            nm = re.search(r"/Name\s*\(((?:[^()\\]|\\.)*)\)", tdict)
+            if nm:
+                xobjs[em.group(1)] = _unesc(nm.group(1))
+    return xobjs, forms
+
+
+def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
     """Returns (runs, vrules, hrules, images); runs = (x, y, size, txt)."""
     # inline images (BI..ID..EI) stripped before lexing, same
     # whitespace-boundary EI heuristic as the engine
@@ -1155,9 +1197,37 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None):
             ctm = saved.pop() if saved else [1.0, 1.0, 0.0, 0.0]
         elif op == "Do":
             if names_l:
-                ref = xobjs.get(names_l[-1], "")
-                if ref:  # falsy (empty /Name) never emits, like engine
-                    images.append((ctm[2], ctm[3], ctm[0], ctm[1], ref))
+                frag = forms.get(names_l[-1]) if forms else None
+                if frag is not None:
+                    # form instantiation under CTM ∘ /Matrix (scale +
+                    # translate subset); sizes/advances scale
+                    # directionally per baseline quadrant, like engine
+                    (fr, fvr, fhr, fim), (ma, md, me, mf) = frag
+                    A, D = ctm[0] * ma, ctm[1] * md
+                    E = ctm[0] * me + ctm[2]
+                    F = ctm[1] * mf + ctm[3]
+                    ax, ay = abs(A), abs(D)
+                    for (x, y, sz, txt, q, adv) in fr:
+                        horiz = q % 2 == 0
+                        runs.append((
+                            A * x + E, D * y + F,
+                            sz * (ay if horiz else ax), txt, q,
+                            adv * (ax if horiz else ay),
+                        ))
+                    for (x, y, ln) in fvr:
+                        vrules.append((A * x + E, D * y + F, ln * ay))
+                    for (x, y, ln) in fhr:
+                        hrules.append((A * x + E, D * y + F, ln * ax))
+                    for (x, y, w, h, ref) in fim:
+                        images.append(
+                            (A * x + E, D * y + F, w * A, h * D, ref)
+                        )
+                else:
+                    ref = xobjs.get(names_l[-1], "")
+                    if ref:  # falsy (empty /Name) never emits
+                        images.append(
+                            (ctm[2], ctm[3], ctm[0], ctm[1], ref)
+                        )
         # engine operand lifetimes after every operator:
         if op not in ("q", "Q"):
             nums = []
@@ -1365,17 +1435,11 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
         else:
             cm = re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
             content = streams.get(int(cm.group(1)), "") if cm else ""
-        xobjs = {}
-        xm = re.search(r"/XObject\s*<<(.*?)>>", body, re.S)
-        if xm:
-            for em in re.finditer(r"/(Im\d+)\s+(\d+)\s+0\s+R", xm.group(1)):
-                nm = re.search(
-                    r"/Name\s*\(((?:[^()\\]|\\.)*)\)", objs.get(int(em.group(2)), "")
-                )
-                if nm:
-                    xobjs[em.group(1)] = _unesc(nm.group(1))
+        xobjs, forms = _xobj_res_oracle(body, objs, streams)
         fonts = _font_tables(body, objs, streams)
-        runs, vrules, hrules, images = _interpret(content, xobjs, fonts)
+        runs, vrules, hrules, images = _interpret(
+            content, xobjs, fonts, forms
+        )
         x0, y0, W, H = _mediabox_oracle(body, inherited_box)
         if x0 or y0:
             runs = [(x - x0, y - y0, *r) for (x, y, *r) in runs]

@@ -2567,3 +2567,112 @@ def test_vrule_tolerance_symmetric():
     pg.vrule(85, 101, 9)    # rule spans y=101..110, baseline y=100
     out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
     assert [t for _, t, _, _ in out] == ["A\tB"]
+
+
+# ---- Form XObjects (ISO 32000-1 §8.10) --------------------------------
+
+
+def test_form_xobject_letterhead_equals_inline():
+    """A letterhead emitted as ONE shared /Subtype /Form placed per
+    page extracts byte-identically to the same ops written inline —
+    including the boilerplate strip across ≥3 pages."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import FormXObject
+
+    def build(as_form: bool) -> bytes:
+        lh = FormXObject(bbox=(0, 0, 468, 40))
+        lh.builder.text(0, 20, "Acme Corp - Statement", size=12)
+        lh.builder.hrule(0, 10, 468)
+        pages = []
+        for p in range(3):
+            pg = PageBuilder()
+            if as_form:
+                pg.place_form(lh, 72, 720)
+            else:
+                pg.text(72, 740, "Acme Corp - Statement", size=12)
+                pg.hrule(72, 730, 468)
+            pg.text(72, 650, f"Body line page {p + 1}")
+            pages.append(pg)
+        return _pdf(*pages)
+
+    inline_out, _ = extract_doc([("pdf", build(False).decode("latin-1"), "", 0)])
+    form_out, _ = extract_doc([("pdf", build(True).decode("latin-1"), "", 0)])
+    assert form_out == inline_out
+    # the in-zone repeated letterhead was boilerplate-stripped
+    assert all("Acme Corp" not in t for _, t, _, _ in form_out)
+    assert [t for _, t, _, _ in form_out] == [
+        "Body line page 1", "Body line page 2", "Body line page 3",
+    ]
+
+
+def test_form_xobject_scaled_and_nested():
+    """Nested form placed with a scaling cm: positions compose
+    CTM ∘ /Matrix and the glyph size scales with the vertical term."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import FormXObject
+
+    stamp = FormXObject(bbox=(0, 0, 100, 30))
+    stamp.builder.text(0, 0, "ORIGINAL")
+    outer = FormXObject(bbox=(0, 0, 468, 60))
+    outer.builder.text(0, 40, "Outer header")
+    outer.builder.place_form(stamp, 300, 0, sx=2.0, sy=2.0)
+    pg = PageBuilder()
+    pg.place_form(outer, 72, 700)
+    pages = parse_pdf(_pdf(pg))
+    runs = {r.text: r for r in pages[0].runs}
+    assert runs["Outer header"].x == 72 and runs["Outer header"].y == 740
+    st = runs["ORIGINAL"]
+    assert (st.x, st.y) == (372, 700)
+    assert st.size == 20.0  # 10pt × sy 2
+    assert st.adv is not None and abs(st.adv - 2 * 8 * 0.5 * 10) < 1e-9
+
+
+def test_form_xobject_matrix_composes_with_cm():
+    """A /Matrix on the form dict composes BEFORE the cm at the Do
+    site: [2 0 0 2 10 5] under a half-scale placement lands text at
+    identity scale, offset by the half-scaled matrix translation."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import FormXObject
+
+    fm = FormXObject(bbox=(0, 0, 200, 20), matrix=(2, 0, 0, 2, 10, 5))
+    fm.builder.text(4, 0, "Matrix text")
+    pg = PageBuilder()
+    pg.place_form(fm, 50, 700, sx=0.5, sy=0.5)
+    pages = parse_pdf(_pdf(pg))
+    r = pages[0].runs[0]
+    # x = 0.5·(2·4 + 10) + 50 = 59 ; y = 0.5·(2·0 + 5) + 700 = 702.5
+    assert (r.x, r.y, r.size) == (59.0, 702.5, 10.0)
+
+
+def test_form_xobject_rotated_text_inside_form():
+    """Rotated (quad-1) text inside a form keeps its quadrant; size
+    and advance scale directionally (height is horizontal for a
+    vertical baseline)."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import FormXObject
+
+    fm = FormXObject(bbox=(0, 0, 100, 100))
+    fm.builder.text_rot(10, 10, "PAID", quad=1, size=24)
+    pg = PageBuilder()
+    pg.place_form(fm, 500, 300, sx=3.0, sy=1.0)
+    pages = parse_pdf(_pdf(pg))
+    r = pages[0].runs[0]
+    assert r.rot == 1
+    assert (r.x, r.y) == (530.0, 310.0)
+    assert r.size == 72.0  # glyph height extends along x: 24 × sx 3
+    assert r.adv is not None and abs(r.adv - 4 * 0.5 * 24 * 1.0) < 1e-9
+
+
+def test_form_xobject_shared_object_parses_once():
+    """The same FormXObject on N pages serializes as ONE stream object
+    (writer dedup) and the engine caches the parsed fragment per doc."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import FormXObject
+
+    lh = FormXObject(bbox=(0, 0, 468, 20))
+    lh.builder.text(0, 0, "Shared letterhead")
+    pages = []
+    for _ in range(4):
+        pg = PageBuilder()
+        pg.place_form(lh, 72, 720)
+        pages.append(pg)
+    pdf = _pdf(*pages)
+    assert pdf.count(b"/Subtype /Form") == 1
+    parsed = parse_pdf(pdf)
+    assert len(parsed) == 4
+    assert all(p.runs and p.runs[0].text == "Shared letterhead" for p in parsed)

@@ -38,6 +38,11 @@ _NAME_RE = re.compile(rb"/Name\s*\(((?:[^()\\]|\\.)*)\)")
 _MATRIX_RE = re.compile(rb"/Matrix\s*\[([^\]]*)\]")
 _FLOAT_RE = re.compile(rb"[-+]?\d*\.?\d+")
 _FORM_MAX_DEPTH = 4  # page → form → form → form → form, then stop
+# Optional content (ISO 32000-1 §8.11): the catalog /OCProperties
+# default config's /OFF array lists hidden OCGs; page/form resources
+# map BDC property names to OCG objects via /Properties
+_PROPS_RE = re.compile(rb"/Properties\s*<<(.*?)>>", re.S)
+_OFF_RE = re.compile(rb"/OFF\s*\[([^\]]*)\]")
 
 # PDF 1.5 structures (object streams + xref streams) and simple fonts
 _INT_KEY_RE = {
@@ -1083,6 +1088,20 @@ def _font_resources(
     return font_maps
 
 
+def _hidden_props(body: bytes, off_ocgs: set[int]) -> set[str]:
+    """BDC property names (/Properties entries) whose OCG is in the
+    catalog's default-config /OFF set — content inside their
+    ``/OC /name BDC … EMC`` brackets is hidden (§8.11.3)."""
+    hidden: set[str] = set()
+    if off_ocgs:
+        pm = _PROPS_RE.search(body)
+        if pm:
+            for em in _XOBJ_ENTRY_RE.finditer(pm.group(1)):
+                if int(em.group(2)) in off_ocgs:
+                    hidden.add(em.group(1).decode("latin-1"))
+    return hidden
+
+
 def _xobj_resources(
     body: bytes,
     objs: dict[int, bytes],
@@ -1090,6 +1109,7 @@ def _xobj_resources(
     font_cache: dict[int, tuple[bool, dict[int, str]]],
     form_cache: dict,
     depth: int,
+    off_ocgs: set[int] = frozenset(),
 ) -> tuple[dict[str, str], dict[str, tuple["Page", tuple]]]:
     """Resolve a /Resources /XObject dict: image entries (/Name target)
     become name → media_ref; /Subtype /Form entries become name →
@@ -1114,7 +1134,7 @@ def _xobj_resources(
             if key not in form_cache:
                 form_cache[key] = _form_fragment(
                     tnum, tdict, objs, streams, font_cache, form_cache,
-                    depth,
+                    depth, off_ocgs,
                 )
             forms[name] = form_cache[key]
         else:
@@ -1134,6 +1154,7 @@ def _form_fragment(
     font_cache: dict[int, tuple[bool, dict[int, str]]],
     form_cache: dict,
     depth: int,
+    off_ocgs: set[int] = frozenset(),
 ) -> tuple["Page", tuple]:
     """Parse one Form XObject (ISO 32000-1 §8.10) into a Page fragment
     in FORM SPACE plus its /Matrix (a, d, e, f) terms — ``Do``
@@ -1150,9 +1171,10 @@ def _form_fragment(
             mtx = (v[0], v[3], v[4], v[5])
     fonts = _font_resources(tdict, objs, streams, font_cache)
     xobj_refs, forms = _xobj_resources(
-        tdict, objs, streams, font_cache, form_cache, depth - 1
+        tdict, objs, streams, font_cache, form_cache, depth - 1, off_ocgs
     )
-    return _parse_content(content, xobj_refs, fonts, forms), mtx
+    hidden = _hidden_props(tdict, off_ocgs)
+    return _parse_content(content, xobj_refs, fonts, forms, hidden), mtx
 
 
 def _place_fragment(
@@ -1385,6 +1407,17 @@ def parse_pdf_full(
     annots: list[tuple[str, str]] = []
     font_cache: dict[int, tuple[bool, dict[int, str]]] = {}
     form_cache: dict = {}  # (objnum, depth) → (fragment, matrix)
+    # optional-content default config (§8.11.4.3): OCGs in the /OFF
+    # array are hidden; /OFF is an /OCProperties-only key in subset,
+    # so the catalog-scoped search is unambiguous
+    off_ocgs: set[int] = set()
+    cat_body = _catalog(objs)
+    if b"/OCProperties" in cat_body:
+        om = _OFF_RE.search(cat_body)
+        if om:
+            off_ocgs = {
+                int(r.group(1)) for r in _REF_RE.finditer(om.group(1))
+            }
     for pn in page_nums:
         body = objs.get(pn, b"")
         am = _CONTENTS_ARR_RE.search(body)
@@ -1395,9 +1428,11 @@ def parse_pdf_full(
             cm = _CONTENTS_RE.search(body)
             content = streams.get(int(cm.group(1)), b"") if cm else b""
         xobj_refs, form_frags = _xobj_resources(
-            body, objs, streams, font_cache, form_cache, _FORM_MAX_DEPTH
+            body, objs, streams, font_cache, form_cache, _FORM_MAX_DEPTH,
+            off_ocgs,
         )
         font_maps = _font_resources(body, objs, streams, font_cache)
+        hidden = _hidden_props(body, off_ocgs)
         am2 = _ANNOTS_RE.search(body)
         if am2:
             for r in _REF_RE.finditer(am2.group(1)):
@@ -1413,7 +1448,8 @@ def parse_pdf_full(
                     _text_string(_string_value(cm2.group(1))),
                 ))
         pg = _parse_content(
-            content.decode("latin-1"), xobj_refs, font_maps, form_frags
+            content.decode("latin-1"), xobj_refs, font_maps, form_frags,
+            hidden,
         )
         x0, y0, pg.w, pg.h = _mediabox_of(body, pages_box)
         if x0 or y0:
@@ -1440,6 +1476,7 @@ def _parse_content(
     xobj_refs: dict[str, str],
     font_maps: dict[str, tuple[bool, dict[int, str]]] | None = None,
     forms: dict[str, tuple[Page, tuple]] | None = None,
+    hidden_props: set[str] | None = None,
 ) -> Page:
     runs: list[Run] = []
     rules: list[Rule] = []
@@ -1472,6 +1509,13 @@ def _parse_content(
     font_maps = font_maps or {}
     cur_map: dict[int, str] | None = None
     cur_cid = False
+    # optional-content suppression (§8.11.3): inside a hidden-OCG
+    # ``/OC /name BDC … EMC`` bracket nothing is APPENDED, but text
+    # state still advances (a visible show after the bracket lands
+    # where the hidden glyphs would have ended)
+    hidden = hidden_props or ()
+    mc_depth = 0  # marked-content nesting (BMC/BDC vs EMC)
+    sup_from = 0  # depth where suppression began; 0 = visible
 
     def decode(txt: str) -> str:
         # custom-encoded fonts: map raw codes through the current
@@ -1525,10 +1569,11 @@ def _parse_content(
                 (spec.CHAR_W_FACTOR * size + tc) * len(txt)
                 + tw * txt.count(" ")
             ) * tz
-            runs.append(Run(
-                x=tm[4], y=tm[5], size=eff, text=txt, rot=q,
-                adv=w * mag,
-            ))
+            if not sup_from:
+                runs.append(Run(
+                    x=tm[4], y=tm[5], size=eff, text=txt, rot=q,
+                    adv=w * mag,
+                ))
             tm = (a, b, tm[2], tm[3], tm[4] + w * a, tm[5] + w * b)
 
     # Dispatch on m.lastindex (the highest-numbered group that
@@ -1656,7 +1701,7 @@ def _parse_content(
                 emit("".join(buf), tj_w=tj_w * tz)
                 tj_parts = []
             elif op == "re":
-                if len(nums) >= 4:
+                if len(nums) >= 4 and not sup_from:
                     rx, ry, rw, rh = nums[-4:]
                     if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
                         rules.append(Rule(horiz=True, x=rx, y=ry, length=rw))
@@ -1670,8 +1715,20 @@ def _parse_content(
                 stack.append(ctm)
             elif op == "Q":
                 ctm = stack.pop() if stack else (1.0, 1.0, 0.0, 0.0)
+            elif op == "BDC" or op == "BMC":
+                mc_depth += 1
+                if (
+                    op == "BDC" and not sup_from and names
+                    and names[-1] in hidden
+                ):
+                    sup_from = mc_depth
+            elif op == "EMC":
+                if sup_from == mc_depth:
+                    sup_from = 0
+                if mc_depth:
+                    mc_depth -= 1
             elif op == "Do":
-                if names:
+                if names and not sup_from:
                     frag = forms.get(names[-1]) if forms else None
                     if frag is not None:
                         # Form XObject instantiation: splice the pre-

@@ -253,6 +253,8 @@ class PageBuilder:
     annots: list = field(default_factory=list)
     # Form XObjects placed on this page (identity-deduped) -> /Fm{i+1}
     forms: list = field(default_factory=list)
+    # optional-content layers referenced by BDC brackets -> /MC{i+1}
+    layers: list = field(default_factory=list)
 
     def text(self, x: float, y: float, s: str, size: float = 10.0,
              char_space: float = 0.0, word_space: float = 0.0) -> None:
@@ -389,8 +391,37 @@ class PageBuilder:
             f"q {_n(sx)} 0 0 {_n(sy)} {_n(x)} {_n(y)} cm /Fm{idx} Do Q"
         )
 
+    def begin_layer(self, layer: "OCGLayer") -> None:
+        """Open an optional-content bracket (ISO 32000-1 §8.11.3):
+        ``/OC /MCn BDC`` — ops until the matching ``end_layer`` belong
+        to ``layer``; a layer in the document's /OFF config is hidden
+        (extraction drops its content)."""
+        for i, l in enumerate(self.layers):
+            if l is layer:
+                idx = i + 1
+                break
+        else:
+            self.layers.append(layer)
+            idx = len(self.layers)
+        self.ops.append(f"/OC /MC{idx} BDC")
+
+    def end_layer(self) -> None:
+        self.ops.append("EMC")
+
     def content(self) -> str:
         return "\n".join(self.ops) + "\n"
+
+
+@dataclass
+class OCGLayer:
+    """An optional-content group (§8.11): pages bracket ops with
+    ``begin_layer``/``end_layer``; ``off=True`` lists the OCG in the
+    default config's /OFF array — viewers (and extraction) hide it.
+    Identity-deduped: the SAME OCGLayer used across pages/forms
+    serializes as one /Type /OCG object."""
+
+    label: str
+    off: bool = False
 
 
 @dataclass
@@ -901,6 +932,29 @@ def build_pdf(
             )
         font_res = f" /Font << /F1 {font_num} 0 R >>"
 
+    # Optional-content groups (§8.11): one /Type /OCG object per
+    # DISTINCT layer (identity dedup across pages and forms); the
+    # catalog /OCProperties lists them all, hidden ones in /D /OFF.
+    ocg_num_of: dict[int, int] = {}
+    ocg_order: list[OCGLayer] = []
+
+    def _layer_num(layer: OCGLayer) -> int:
+        if id(layer) not in ocg_num_of:
+            ocg_num_of[id(layer)] = add(
+                f"<< /Type /OCG /Name ({_esc(layer.label)}) >>"
+            )
+            ocg_order.append(layer)
+        return ocg_num_of[id(layer)]
+
+    def _props_res(layers: list) -> str:
+        if not layers:
+            return ""
+        entries = " ".join(
+            f"/MC{i} {_layer_num(l)} 0 R"
+            for i, l in enumerate(layers, start=1)
+        )
+        return f" /Properties << {entries} >>"
+
     # Form XObjects (§8.10): one stream object per DISTINCT form —
     # identity-deduped across pages AND nesting levels, so a letterhead
     # shared by every page serializes once (the real-world reuse
@@ -925,9 +979,10 @@ def build_pdf(
         for i, sub in enumerate(fb.forms, start=1):
             entries.append(f"/Fm{i} {emit_form(sub, depth + 1)} 0 R")
         res = ""
-        if entries or font_res:
+        props = _props_res(fb.layers)
+        if entries or font_res or props:
             xo = f" /XObject << {' '.join(entries)} >>" if entries else ""
-            res = f" /Resources <<{font_res}{xo} >>"
+            res = f" /Resources <<{font_res}{xo}{props} >>"
         x0, y0, x1, y1 = fm.bbox
         mtx = ""
         if fm.matrix is not None:
@@ -960,12 +1015,13 @@ def build_pdf(
         for i, fm in enumerate(pg.forms, start=1):
             xobj_entries.append(f"/Fm{i} {emit_form(fm)} 0 R")
         res = ""
-        if xobj_entries or font_res:
+        props = _props_res(pg.layers)
+        if xobj_entries or font_res or props:
             xo = (
                 f" /XObject << {' '.join(xobj_entries)} >>"
                 if xobj_entries else ""
             )
-            res = f" /Resources <<{font_res}{xo} >>"
+            res = f" /Resources <<{font_res}{xo}{props} >>"
         # /Rotate: display rotation in degrees clockwise (ISO 32000-1
         # §7.7.3.3, Table 30) — the scanned-sideways/upside-down shape
         rot_entry = f"/Rotate {pg.rotate} " if pg.rotate else ""
@@ -1057,6 +1113,19 @@ def build_pdf(
         catalog_extra += (
             " /Names << /EmbeddedFiles "
             f"<< /Names [ {' '.join(entries)} ] >> >>"
+        )
+    if ocg_order:
+        # /OCProperties default config (§8.11.4.3): every OCG in
+        # /OCGs, hidden ones additionally in /D /OFF
+        all_refs = " ".join(
+            f"{ocg_num_of[id(l)]} 0 R" for l in ocg_order
+        )
+        off_refs = " ".join(
+            f"{ocg_num_of[id(l)]} 0 R" for l in ocg_order if l.off
+        )
+        catalog_extra += (
+            f" /OCProperties << /OCGs [ {all_refs} ] "
+            f"/D << /OFF [ {off_refs} ] >> >>"
         )
     if catalog_extra:
         objs[catalog_num - 1] = (

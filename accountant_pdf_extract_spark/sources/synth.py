@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
 from accountant_pdf_extract_spark.sources.pdfwriter import (
+    FormXObject,
     PageBuilder,
     SimpleFont,
     build_pdf,
@@ -139,8 +140,30 @@ def make_invoice_pdf(
 
     pages: list[PageBuilder] = []
 
+    # ~1/4 of docs carry the per-page header as ONE shared letterhead
+    # Form XObject (§8.10) placed on every page — the real-world
+    # reusable-asset shape; keyed off already-drawn values, no rng
+    # draw.  The form places the same run at the same device position
+    # as the inline header, so the extracted spans are byte-identical
+    # either way (test_form_xobject_letterhead_equals_inline pins it).
+    # Half the form docs carry an explicit identity /Matrix,
+    # exercising the matrix parse path in the wild corpus.
+    lh_form: FormXObject | None = None
+    if (style + len(company)) % 4 == 0:
+        lh_form = FormXObject(
+            bbox=(0.0, 0.0, 468.0, 16.0),
+            matrix=(1, 0, 0, 1, 0, 0) if n_pages % 2 else None,
+        )
+        lh_form.builder.text(0, 0, f"{company} - Statement")
+
+    def _header(pg: PageBuilder) -> None:
+        if lh_form is not None:
+            pg.place_form(lh_form, 72, H - 32)
+        else:
+            pg.text(72, H - 32, f"{company} - Statement")
+
     pg = PageBuilder(size=(W, H))
-    pg.text(72, H - 32, f"{company} - Statement")
+    _header(pg)
     pg.text(72, 30, f"Page 1 of {n_pages}")
     # letter-spaced title on a deterministic subset (Tc in the wild
     # corpus; keyed off drawn values — no rng draw)
@@ -154,10 +177,15 @@ def make_invoice_pdf(
     # keyed off already-drawn values (style x due-day), no rng draw;
     # exercises the full-Tm rotated path in the wild corpus
     if (style + due.day) % 5 == 2:
-        pg.text_rot(
-            540, 300, "PAID" if style % 2 == 0 else "COPY",
-            quad=1, size=24,
-        )
+        label = "PAID" if style % 2 == 0 else "COPY"
+        if lh_form is not None:
+            # on letterhead-form docs the stamp rides its OWN form —
+            # two Form XObjects on one page, rotated text inside one
+            st_form = FormXObject(bbox=(0.0, 0.0, 40.0, 120.0))
+            st_form.builder.text_rot(0, 0, label, quad=1, size=24)
+            pg.place_form(st_form, 540, 300)
+        else:
+            pg.text_rot(540, 300, label, quad=1, size=24)
 
     n_rows = int(rng.integers(2, 6))
     y = 580.0
@@ -198,7 +226,7 @@ def make_invoice_pdf(
 
     for p in range(2, n_pages + 1):
         pg = PageBuilder(size=(W, H))
-        pg.text(72, H - 32, f"{company} - Statement")
+        _header(pg)
         pg.text(72, 30, f"Page {p} of {n_pages}")
         layout = int(rng.integers(0, 10))
         if layout < 2 and not giant:

@@ -982,7 +982,24 @@ class _TextState:
         )
 
 
-def _xobj_res_oracle(body: str, objs, streams, depth: int = 4):
+def _hidden_oracle(body: str, off_ocgs: set) -> set:
+    """BDC property names mapped (via /Properties) to OCGs in the
+    catalog default-config /OFF set — their brackets are hidden."""
+    hidden: set[str] = set()
+    if off_ocgs:
+        pm = re.search(r"/Properties\s*<<(.*?)>>", body, re.S)
+        if pm:
+            for em in re.finditer(
+                r"/([A-Za-z][A-Za-z0-9]*)\s+(\d+)\s+0\s+R", pm.group(1)
+            ):
+                if int(em.group(2)) in off_ocgs:
+                    hidden.add(em.group(1))
+    return hidden
+
+
+def _xobj_res_oracle(
+    body: str, objs, streams, depth: int = 4, off_ocgs: set = frozenset()
+):
     """/Resources /XObject resolution: image entries (a /Name target)
     → name: media_ref; /Subtype /Form entries → name: (interpreted
     fragment, matrix (a, d, e, f)).  Depth caps nesting like the
@@ -1011,10 +1028,16 @@ def _xobj_res_oracle(body: str, objs, streams, depth: int = 4):
                 ]
                 if len(v) == 6:
                     mtx = (v[0], v[3], v[4], v[5])
-            sub_x, sub_f = _xobj_res_oracle(tdict, objs, streams, depth - 1)
+            sub_x, sub_f = _xobj_res_oracle(
+                tdict, objs, streams, depth - 1, off_ocgs
+            )
             sub_fonts = _font_tables(tdict, objs, streams)
+            sub_hidden = _hidden_oracle(tdict, off_ocgs)
             forms[em.group(1)] = (
-                _interpret(streams.get(tnum, ""), sub_x, sub_fonts, sub_f),
+                _interpret(
+                    streams.get(tnum, ""), sub_x, sub_fonts, sub_f,
+                    sub_hidden,
+                ),
                 mtx,
             )
         else:
@@ -1024,7 +1047,10 @@ def _xobj_res_oracle(body: str, objs, streams, depth: int = 4):
     return xobjs, forms
 
 
-def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
+def _interpret(
+    content: str, xobjs: dict[str, str], fonts=None, forms=None,
+    hidden=None,
+):
     """Returns (runs, vrules, hrules, images); runs = (x, y, size, txt)."""
     # inline images (BI..ID..EI) stripped before lexing, same
     # whitespace-boundary EI heuristic as the engine
@@ -1047,6 +1073,11 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
     names_l: list[str] = []
     tj_parts: list[tuple] = []
     in_array = False
+    # optional-content suppression (§8.11.3): hidden brackets append
+    # nothing, but text state still advances (engine mirrors)
+    hidden = hidden or ()
+    mc_depth = 0
+    sup_from = 0  # marked-content depth where suppression began
 
     token_pat = re.compile(
         r"\(((?:[^()\\]|\\[\s\S])*)\)|(\[)|(\])|(/[A-Za-z0-9]+)"
@@ -1090,7 +1121,8 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
                 (spec.CHAR_W_FACTOR * st.size + st.tc) * len(txt)
                 + st.tw * txt.count(" ")
             ) * st.tz
-            runs.append((st.tm[4], st.tm[5], eff, txt, q, w * mag))
+            if not sup_from:
+                runs.append((st.tm[4], st.tm[5], eff, txt, q, w * mag))
             st.tm = (
                 a, b, st.tm[2], st.tm[3],
                 st.tm[4] + w * a, st.tm[5] + w * b,
@@ -1183,7 +1215,19 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
                         parts.append(" ")
             advance("".join(parts), tj_w=w * st.tz)
             tj_parts = []
-        elif op == "re" and len(nums) >= 4:
+        elif op in ("BDC", "BMC"):
+            mc_depth += 1
+            if (
+                op == "BDC" and not sup_from and names_l
+                and names_l[-1] in hidden
+            ):
+                sup_from = mc_depth
+        elif op == "EMC":
+            if sup_from == mc_depth:
+                sup_from = 0
+            if mc_depth:
+                mc_depth -= 1
+        elif op == "re" and len(nums) >= 4 and not sup_from:
             rx, ry, rw, rh = nums[-4:]
             if abs(rh) <= spec.RULE_EPS and rw > spec.RULE_EPS:
                 hrules.append((rx, ry, rw))
@@ -1196,7 +1240,7 @@ def _interpret(content: str, xobjs: dict[str, str], fonts=None, forms=None):
         elif op == "Q":
             ctm = saved.pop() if saved else [1.0, 1.0, 0.0, 0.0]
         elif op == "Do":
-            if names_l:
+            if names_l and not sup_from:
                 frag = forms.get(names_l[-1]) if forms else None
                 if frag is not None:
                     # form instantiation under CTM ∘ /Matrix (scale +
@@ -1421,6 +1465,21 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
 
     _expand_pdf15(objs, streams)
 
+    # optional-content default config: OCGs listed in the catalog
+    # /OCProperties /D /OFF array are hidden (lowest-numbered catalog
+    # wins, like the engine)
+    off_ocgs: set[int] = set()
+    for _cn, cbody in sorted(objs.items()):
+        if "/Type /Catalog" in cbody:
+            if "/OCProperties" in cbody:
+                om = re.search(r"/OFF\s*\[([^\]]*)\]", cbody)
+                if om:
+                    off_ocgs = {
+                        int(r)
+                        for r in re.findall(r"(\d+)\s+0\s+R", om.group(1))
+                    }
+            break
+
     per_page = []
     # inheritable page attributes resolve once per document, not per
     # page (the /Pages scan is O(objs))
@@ -1435,10 +1494,13 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
         else:
             cm = re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
             content = streams.get(int(cm.group(1)), "") if cm else ""
-        xobjs, forms = _xobj_res_oracle(body, objs, streams)
+        xobjs, forms = _xobj_res_oracle(
+            body, objs, streams, off_ocgs=off_ocgs
+        )
         fonts = _font_tables(body, objs, streams)
+        hidden = _hidden_oracle(body, off_ocgs)
         runs, vrules, hrules, images = _interpret(
-            content, xobjs, fonts, forms
+            content, xobjs, fonts, forms, hidden
         )
         x0, y0, W, H = _mediabox_oracle(body, inherited_box)
         if x0 or y0:

@@ -2676,3 +2676,87 @@ def test_form_xobject_shared_object_parses_once():
     parsed = parse_pdf(pdf)
     assert len(parsed) == 4
     assert all(p.runs and p.runs[0].text == "Shared letterhead" for p in parsed)
+
+
+# ---- Optional content groups (ISO 32000-1 §8.11) ----------------------
+
+
+def test_ocg_off_layer_hidden_on_layer_kept():
+    """Content inside an /OFF OCG's ``/OC /MCn BDC … EMC`` bracket is
+    dropped (text, rules, images); a visible layer's content stays."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import OCGLayer
+
+    draft = OCGLayer("Draft", off=True)
+    stamps = OCGLayer("Stamps", off=False)
+    pg = PageBuilder()
+    pg.text(72, 700, "Visible line A")
+    pg.begin_layer(draft)
+    pg.text(72, 680, "HIDDEN DRAFT TEXT")
+    pg.hrule(72, 675, 400)
+    pg.image(100, 100, 50, 50, "media://hidden")
+    pg.end_layer()
+    pg.begin_layer(stamps)
+    pg.text(72, 660, "Visible stamp text")
+    pg.end_layer()
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [(k, t, r) for k, t, r, _ in out] == [
+        ("text", "Visible line A", ""),
+        ("text", "Visible stamp text", ""),
+    ]
+
+
+def test_ocg_nested_bracket_stays_hidden():
+    """A visible layer nested INSIDE a hidden bracket is still hidden
+    (suppression spans until the matching EMC at the depth it began)."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import OCGLayer
+
+    draft = OCGLayer("Draft", off=True)
+    stamps = OCGLayer("Stamps", off=False)
+    pg = PageBuilder()
+    pg.begin_layer(draft)
+    pg.begin_layer(stamps)
+    pg.text(72, 640, "NESTED STILL HIDDEN")
+    pg.end_layer()
+    pg.text(72, 620, "ALSO HIDDEN")
+    pg.end_layer()
+    pg.text(72, 600, "visible after")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [t for _, t, _, _ in out] == ["visible after"]
+
+
+def test_ocg_hidden_show_still_advances_cursor():
+    """Text state advances THROUGH a hidden show: a visible show after
+    the bracket lands where the hidden glyphs would have ended."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import OCGLayer
+
+    draft = OCGLayer("Draft", off=True)
+    pg = PageBuilder()
+    pg.layers.append(draft)  # register /MC1 without an op
+    pg.ops.append(
+        "BT /F1 10 Tf 72 600 Td (AA) Tj /OC /MC1 BDC (XXXX) Tj EMC "
+        "(BB) Tj ET"
+    )
+    pages = parse_pdf(build_pdf([pg]).encode("latin-1"))
+    texts = [(r.text, r.x) for r in pages[0].runs]
+    assert [t for t, _ in texts] == ["AA", "BB"]
+    # BB starts after AA (2 glyphs) + hidden XXXX (4 glyphs) = 6 × 5pt
+    assert texts[1][1] == 72 + 6 * 0.5 * 10
+
+
+def test_ocg_layer_inside_form_xobject():
+    """Hidden-layer suppression applies inside Form XObjects via the
+    form's own /Properties resources."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import (
+        FormXObject, OCGLayer,
+    )
+
+    draft = OCGLayer("Draft", off=True)
+    fm = FormXObject(bbox=(0, 0, 200, 40))
+    fm.builder.begin_layer(draft)
+    fm.builder.text(0, 20, "FORM HIDDEN")
+    fm.builder.end_layer()
+    fm.builder.text(0, 0, "Form visible")
+    pg = PageBuilder()
+    pg.place_form(fm, 72, 540)
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [t for _, t, _, _ in out] == ["Form visible"]

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
 from accountant_pdf_extract_spark.sources.pdfwriter import (
     FormXObject,
+    OCGLayer,
     PageBuilder,
     SimpleFont,
     build_pdf,
@@ -222,6 +223,16 @@ def make_invoice_pdf(
     # keyed off already-drawn values, no rng draw
     if base.month % 3 == 1:
         pg.annot("Text", f"Approved by {company} AP dept")
+    # ~1/7 of docs carry an optional-content watermark layer (§8.11)
+    # on page 1 — half of them hidden via the /OCProperties /OFF
+    # config (extraction must drop the bracket), half visible (the
+    # text extracts like any run).  Keyed off already-drawn values,
+    # no rng draw.
+    if (due.day + len(company)) % 7 == 4:
+        wm = OCGLayer("Watermark", off=style % 2 == 0)
+        pg.begin_layer(wm)
+        pg.text(180, 420, "DRAFT - NOT FOR PAYMENT", size=18)
+        pg.end_layer()
     pages.append(pg)
 
     for p in range(2, n_pages + 1):

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from accountant_pdf_extract_spark.functions.png import PNG_SIG, decode_png, encode_png
+from accountant_pdf_extract_spark.functions.tiff import decode_tiff, encode_tiff
 from accountant_pdf_extract_spark.functions.wav import decode_wav, encode_wav
 
 # media table schema: (media_ref string, modality string, payload binary,
@@ -85,9 +86,23 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     # rotate formats so every decode path runs in every
                     # corpus: PNG filter 0, PNG filter 2 (the two
                     # vectorized paths), baseline 4:2:0 JPEG,
-                    # progressive (SOF2) JPEG — the web-sourced shape
-                    fmt = int(i) % 4
-                    if fmt == 2:
+                    # progressive (SOF2) JPEG, PackBits grayscale TIFF
+                    # and big-endian bilevel TIFF (the scanned-fax
+                    # shapes) — the web-sourced mix
+                    fmt = int(i) % 6
+                    if fmt == 4:
+                        payload = encode_tiff(
+                            _synth_pixels(w, h, int(i))[..., 0],
+                            compression="packbits",
+                        )
+                    elif fmt == 5:
+                        payload = encode_tiff(
+                            _synth_pixels(w, h, int(i))[..., 0],
+                            bilevel=True,
+                            compression="none",
+                            byte_order="MM",
+                        )
+                    elif fmt == 2:
                         payload = encode_jpeg(
                             _synth_pixels(w, h, int(i)),
                             subsampling="420",
@@ -121,13 +136,16 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing image decode: PNG or JPEG (baseline or
-    progressive DCTDecode) → (h, w, c) uint8.  Anything else raises
-    ValueError (the kernels skip the row)."""
+    """Magic-sniffing image decode: PNG, JPEG (baseline or progressive
+    DCTDecode) or TIFF (the scanned-fax container: gray/bilevel,
+    PackBits) → (h, w, c) uint8.  Anything else raises ValueError
+    (the kernels skip the row)."""
     if data[:8] == PNG_SIG:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:2] in (b"II", b"MM"):
+        return decode_tiff(data)
     raise ValueError("unsupported image format")
 
 
@@ -264,10 +282,17 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
             ys = (np.arange(th) * (h / th)).astype(np.int64)
             xs = (np.arange(tw) * (w / tw)).astype(np.int64)
             small = px[ys][:, xs]
-            # re-encode in the SOURCE container so a mixed PNG/JPEG
-            # table keeps its formats through the thumbnail pass
-            if bytes(payload[:2]) == b"\xff\xd8":
+            # re-encode in the SOURCE container so a mixed
+            # PNG/JPEG/TIFF table keeps its formats through the
+            # thumbnail pass
+            head = bytes(payload[:2])
+            if head == b"\xff\xd8":
                 new_payload = encode_jpeg(small, subsampling="420")
+            elif head in (b"II", b"MM"):
+                new_payload = encode_tiff(
+                    small[..., 0],
+                    byte_order=head.decode(),
+                )
             else:
                 new_payload = encode_png(small)
         return {

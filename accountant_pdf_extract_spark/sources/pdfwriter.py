@@ -278,6 +278,17 @@ class PageBuilder:
         """Attach a /Text (sticky-note) or /FreeText annotation."""
         self.annots.append((subtype, contents))
 
+    def text_invisible(self, x: float, y: float, s: str,
+                       size: float = 10.0) -> None:
+        """An OCR-layer run: render mode 3 (ISO 32000-1 §9.3.6,
+        invisible) — how scanned PDFs carry their recognized text
+        under the page image.  Extraction KEEPS it (it IS the
+        content); Tr resets inside the block (text state)."""
+        self.ops.append(
+            f"BT /F1 {_n(size)} Tf 3 Tr {_n(x)} {_n(y)} Td "
+            f"({_esc(s)}) Tj 0 Tr ET"
+        )
+
     def text_quote(self, x: float, y: float, s: str,
                    word_space: float = 0.0, char_space: float = 0.0,
                    size: float = 10.0, leading: float = 12.0) -> None:

@@ -276,6 +276,20 @@ def make_invoice_pdf(
         )
         pages.append(ap)
 
+    # ~1/4 of docs end with a scanned-receipt page: a full-page image
+    # carrying an INVISIBLE (render mode 3, §9.3.6) OCR text layer —
+    # the way scanned PDFs carry recognized text.  Extraction keeps
+    # the OCR text AND the media ref.  Key residue disjoint from the
+    # attachment (%4==1) and AcroForm (%4==2) shapes; no rng draw.
+    if int(inv_no[-4:]) % 4 == 3:
+        sp = PageBuilder(size=(W, H))
+        sp.image(0, 0, W, H, f"media://scan/{inv_no.lower()}")
+        sp.text_invisible(72, H - 120, f"RECEIPT {inv_no}")
+        sp.text_invisible(
+            72, H - 140, f"Received payment {_fmt_date(due, style)}"
+        )
+        pages.append(sp)
+
     # Deterministic compressed subset (~1/3 of docs) without consuming
     # an rng draw (which would shift every downstream synth value).
     return build_pdf(

@@ -2760,3 +2760,75 @@ def test_ocg_layer_inside_form_xobject():
     pg.place_form(fm, 72, 540)
     out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
     assert [t for _, t, _, _ in out] == ["Form visible"]
+
+
+def test_invisible_ocr_text_is_extracted():
+    """Render-mode-3 (§9.3.6) OCR-layer text under a scanned page
+    image extracts like visible text — it IS the content — and the
+    page image rides along as a media span."""
+    pg = PageBuilder()
+    pg.image(0, 0, 612, 792, "media://scan/abc")
+    pg.text_invisible(72, 700, "RECEIPT INV-2024-0001")
+    pg.text_invisible(72, 680, "Received payment 2024-05-01")
+    out, _ = extract_doc([("pdf", build_pdf([pg]), "", 0)])
+    assert [(k, t, r) for k, t, r, _ in out] == [
+        ("text", "RECEIPT INV-2024-0001", ""),
+        ("text", "Received payment 2024-05-01", ""),
+        ("media", "", "media://scan/abc"),
+    ]
+
+
+def test_tiff_roundtrip_gray_bilevel_both_orders():
+    """From-scratch TIFF subset: gray + bilevel, PackBits + none,
+    II + MM, multi-strip — lossless roundtrip (bilevel thresholded)."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (65, 17), (129, 301)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for comp in ("packbits", "none"):
+            for bo in ("II", "MM"):
+                out = decode_tiff(
+                    encode_tiff(px, compression=comp, byte_order=bo)
+                )
+                assert out.shape == (h, w, 1)
+                assert (out[..., 0] == px).all()
+                bl = decode_tiff(encode_tiff(
+                    px, bilevel=True, compression=comp, byte_order=bo
+                ))
+                want = np.where(px >= 128, 255, 0).astype(np.uint8)
+                assert (bl[..., 0] == want).all()
+
+
+def test_tiff_rejects_malformed_and_unsupported():
+    """Out-of-subset / corrupt TIFFs raise ValueError (the media
+    kernels' skip-the-row contract), never crash or return garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.tiff import (
+        decode_tiff, encode_tiff,
+    )
+
+    good = encode_tiff(np.full((10, 10), 7, np.uint8), compression="none")
+    bad_inputs = [
+        b"",                                    # empty
+        b"XX\x2a\x00\x08\x00\x00\x00",          # bad byte order
+        b"II\x2b\x00\x08\x00\x00\x00",          # bad magic
+        b"II\x2a\x00\xff\xff\x00\x00",          # IFD out of range
+        good[:40],                              # truncated strip
+    ]
+    # unsupported: RGB (SamplesPerPixel 3) via a patched entry
+    patched = bytearray(good)
+    idx = good.index(struct.pack("<HHI", 277, 3, 1))
+    patched[idx + 8] = 3
+    bad_inputs.append(bytes(patched))
+    for bad in bad_inputs:
+        with pytest.raises(ValueError):
+            decode_tiff(bad)

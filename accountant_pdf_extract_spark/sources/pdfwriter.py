@@ -111,6 +111,10 @@ class SimpleFont:
     # ToUnicode only (differences/winansi ignored); content strings
     # must be written as hex via PageBuilder.text_hex
     cid: bool = False
+    # Type3 glyph-procedure font (§9.6.5): same single-byte decode
+    # tables, but the font dict carries /CharProcs + /FontMatrix
+    # instead of a /BaseFont (requires a differences table)
+    type3: bool = False
 
     def char_map(self) -> dict[int, str]:
         """code → decoded string, in parser precedence order
@@ -937,10 +941,32 @@ def build_pdf(
                 else:
                     enc_num = add(enc)
                     enc_ref = f" /Encoding {enc_num} 0 R"
-            font_num = add(
-                "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-                f"{enc_ref}{tounicode_ref} >>"
-            )
+            if font.type3:
+                # Type3 glyph-procedure font (§9.6.5): /CharProcs
+                # streams draw the glyphs (content irrelevant to text
+                # extraction — decode rides the /Differences +
+                # /ToUnicode tables like any simple font); /FontMatrix
+                # maps the 1000-unit glyph space
+                cps = []
+                for _code, gname in font.differences:
+                    gs = add(
+                        _stream_obj("0 0 d0\n", compress),
+                        dict_only=False,
+                    )
+                    cps.append(f"/{gname} {gs} 0 R")
+                cp_num = add(f"<< {' '.join(cps)} >>")
+                font_num = add(
+                    "<< /Type /Font /Subtype /Type3 "
+                    "/FontMatrix [0.001 0 0 0.001 0 0] "
+                    "/FontBBox [0 0 1000 1000] "
+                    f"/CharProcs {cp_num} 0 R"
+                    f"{enc_ref}{tounicode_ref} >>"
+                )
+            else:
+                font_num = add(
+                    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                    f"{enc_ref}{tounicode_ref} >>"
+                )
         font_res = f" /Font << /F1 {font_num} 0 R >>"
 
     # Optional-content groups (§8.11): one /Type /OCG object per

@@ -124,7 +124,12 @@ def make_invoice_pdf(
     font: SimpleFont | None = None
     if ccy == "EUR":
         if style == 0:
-            font = SimpleFont(differences=((0x80, "Euro"),))
+            # half the Differences fonts are Type3 glyph-procedure
+            # fonts (§9.6.5) — same decode tables, different font
+            # dict shape; keyed off the drawn due date, no rng draw
+            font = SimpleFont(
+                differences=((0x80, "Euro"),), type3=due.day % 2 == 0
+            )
         elif style == 2:
             font = SimpleFont(winansi=True)
         else:

@@ -2832,3 +2832,22 @@ def test_tiff_rejects_malformed_and_unsupported():
     for bad in bad_inputs:
         with pytest.raises(ValueError):
             decode_tiff(bad)
+
+
+def test_type3_font_differences_decode():
+    """A /Subtype /Type3 glyph-procedure font decodes via its
+    /Differences + /ToUnicode tables exactly like a Type1 simple
+    font — glyph streams are irrelevant to text extraction."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+
+    t3 = SimpleFont(differences=((0x80, "Euro"),), type3=True)
+    t1 = SimpleFont(differences=((0x80, "Euro"),))
+    outs = []
+    for font in (t3, t1):
+        pg = PageBuilder()
+        pg.text(72, 700, "Total: " + font.encode("€123.45"))
+        out, _ = extract_doc(
+            [("pdf", build_pdf([pg], font=font), "", 0)]
+        )
+        outs.append([(k, t, r) for k, t, r, _ in out])
+    assert outs[0] == outs[1] == [("text", "Total: €123.45", "")]

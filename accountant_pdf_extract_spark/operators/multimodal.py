@@ -86,11 +86,17 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     # rotate formats so every decode path runs in every
                     # corpus: PNG filter 0, PNG filter 2 (the two
                     # vectorized paths), baseline 4:2:0 JPEG,
-                    # progressive (SOF2) JPEG, PackBits grayscale TIFF
-                    # and big-endian bilevel TIFF (the scanned-fax
-                    # shapes) — the web-sourced mix
-                    fmt = int(i) % 6
-                    if fmt == 4:
+                    # progressive (SOF2) JPEG, PackBits grayscale TIFF,
+                    # big-endian bilevel TIFF and CCITT Group 4 TIFF
+                    # (the scanned-fax shapes) — the web-sourced mix
+                    fmt = int(i) % 7
+                    if fmt == 6:
+                        payload = encode_tiff(
+                            _synth_pixels(w, h, int(i))[..., 0],
+                            bilevel=True,
+                            compression="g4",
+                        )
+                    elif fmt == 4:
                         payload = encode_tiff(
                             _synth_pixels(w, h, int(i))[..., 0],
                             compression="packbits",
@@ -138,7 +144,8 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
 def decode_image(data: bytes) -> np.ndarray:
     """Magic-sniffing image decode: PNG, JPEG (baseline or progressive
     DCTDecode) or TIFF (the scanned-fax container: gray/bilevel,
-    PackBits) → (h, w, c) uint8.  Anything else raises ValueError
+    PackBits, CCITT G4) → (h, w, c) uint8.  Anything else raises
+    ValueError
     (the kernels skip the row)."""
     if data[:8] == PNG_SIG:
         return decode_png(data)

@@ -2834,6 +2834,80 @@ def test_tiff_rejects_malformed_and_unsupported():
             decode_tiff(bad)
 
 
+def test_g4_roundtrip_shapes():
+    """CCITT Group 4 (T.6) codec: lossless roundtrip across the mode
+    mix — all-white, all-black, random noise, document-like single
+    runs, vertical stripes (vertical-mode stress), odd widths not on
+    byte boundaries, and a wide row needing repeated makeup codes."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.tiff import (
+        g4_decode, g4_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 130))
+        kind = trial % 5
+        if kind == 0:
+            bits = np.zeros((h, w), np.uint8)
+        elif kind == 1:
+            bits = np.ones((h, w), np.uint8)
+        elif kind == 2:
+            bits = (rng.random((h, w)) < 0.5).astype(np.uint8)
+        elif kind == 3:  # one black run per row — the text-line shape
+            bits = np.zeros((h, w), np.uint8)
+            for r in range(h):
+                if rng.random() < 0.7:
+                    a = int(rng.integers(0, w))
+                    b = int(rng.integers(a, w))
+                    bits[r, a : b + 1] = 1
+        else:  # vertical stripes
+            period = max(1, int(rng.integers(1, 9)))
+            bits = np.tile(
+                (np.arange(w) // period % 2).astype(np.uint8), (h, 1)
+            )
+        assert np.array_equal(g4_decode(g4_encode(bits), w, h), bits), (
+            trial, h, w, kind,
+        )
+    # run > 2560: extended makeup codes must chain
+    wide = np.zeros((3, 6000), np.uint8)
+    wide[1, 100:5900] = 1
+    assert np.array_equal(g4_decode(g4_encode(wide), 6000, 3), wide)
+
+
+def test_g4_container_and_rejection():
+    """G4 inside the TIFF container: single- and multi-strip
+    (independent per-strip reference lines), both byte orders;
+    truncated payloads and G4-with-grayscale reject with ValueError;
+    encode_tiff refuses g4 without bilevel."""
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.tiff import (
+        decode_tiff, encode_tiff, g4_decode,
+    )
+
+    rng = np.random.default_rng(13)
+    px = (rng.random((77, 91)) < 0.3).astype(np.uint8) * 255
+    want = np.where(px < 128, 0, 255).astype(np.uint8)[..., None]
+    for bo in ("II", "MM"):
+        for rps in (64, 7):
+            t = encode_tiff(
+                px, bilevel=True, compression="g4",
+                byte_order=bo, rows_per_strip=rps,
+            )
+            assert np.array_equal(decode_tiff(t), want), (bo, rps)
+    with pytest.raises(ValueError):
+        encode_tiff(px, compression="g4")  # grayscale G4
+    with pytest.raises(ValueError):
+        g4_decode(b"\x00\x00\x00", 50, 5)  # truncated / bad codes
+    good = encode_tiff(px, bilevel=True, compression="g4")
+    with pytest.raises(ValueError):
+        decode_tiff(good[:-10] if len(good) > 10 else good[:8])
+
+
 def test_type3_font_differences_decode():
     """A /Subtype /Type3 glyph-procedure font decodes via its
     /Differences + /ToUnicode tables exactly like a Type1 simple

@@ -85,6 +85,16 @@ _BFCHAR_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>")
 _BFRANGE_TRIPLE_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>"
 )
+# per-glyph width metrics (ISO 32000-1 §9.2.4 / §9.7.4.3)
+_WIDTHS_RE = re.compile(rb"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+0\s+R)")
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
+_MISSINGW_RE = re.compile(rb"/MissingWidth\s+([-+]?\d*\.?\d+)")
+_DESCFONT_RE = re.compile(
+    rb"/DescendantFonts\s*(?:\[\s*(\d+)\s+0\s+R\s*\]|(\d+)\s+0\s+R)"
+)
+_DW_RE = re.compile(rb"/DW\s+([-+]?\d*\.?\d+)")
+_NUM_OR_BRACKET_RE = re.compile(rb"[\[\]]|[-+]?\d*\.?\d+")
 
 # Content-stream token: a (string), a [TJ array], a number, or an op.
 # Branch 1 (groups 1-5) is a FUSED fast path for the dominant
@@ -217,10 +227,120 @@ def _utf16be_hex(h: bytes) -> str:
     return b.decode("utf-16-be", errors="replace")
 
 
+# width tables are (default, {code: w}) in TEXT-SPACE units per 1.0
+# font size (milli-em / 1000); None = the font declares no metrics
+# and the flat CHAR_W_FACTOR model applies
+WidthTab = tuple[float, dict[int, float]]
+
+
+def _balanced_array(body: bytes, key: bytes) -> bytes | None:
+    """Contents of the bracket-balanced array following ``key``
+    (``/W`` arrays nest: ``/W [ 32 [500 600] 70 71 450 ]`` — a
+    non-greedy regex would stop at the first ``]``)."""
+    i = body.find(key)
+    if i < 0:
+        return None
+    i += len(key)
+    n = len(body)
+    while i < n and body[i : i + 1].isspace():
+        i += 1
+    if i >= n or body[i : i + 1] != b"[":
+        return None
+    depth = 0
+    start = i + 1
+    for j in range(i, n):
+        c = body[j : j + 1]
+        if c == b"[":
+            depth += 1
+        elif c == b"]":
+            depth -= 1
+            if depth == 0:
+                return body[start:j]
+    return None
+
+
+def _cid_widths(desc_body: bytes) -> WidthTab | None:
+    """CIDFont /W + /DW (§9.7.4.3) → width table.  Both /W forms:
+    ``c [w1 … wn]`` assigns consecutive codes, ``c1 c2 w`` assigns a
+    range.  Absent codes use /DW (default 1000)."""
+    dwm = _DW_RE.search(desc_body)
+    arr = _balanced_array(desc_body, b"/W")
+    if dwm is None and arr is None:
+        return None
+    default = (
+        float(dwm.group(1)) if dwm else float(spec.CID_DW_MILLI)
+    ) / 1000.0
+    table: dict[int, float] = {}
+    if arr is not None:
+        toks = _NUM_OR_BRACKET_RE.findall(arr)
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t in (b"[", b"]"):  # malformed stray bracket
+                i += 1
+                continue
+            c = int(float(t))
+            if i + 1 < len(toks) and toks[i + 1] == b"[":
+                j = i + 2
+                code = c
+                while j < len(toks) and toks[j] != b"]":
+                    table[code] = float(toks[j]) / 1000.0
+                    code += 1
+                    j += 1
+                i = j + 1
+            elif (
+                i + 2 < len(toks)
+                and toks[i + 1] not in (b"[", b"]")
+                and toks[i + 2] not in (b"[", b"]")
+            ):
+                c2 = int(float(toks[i + 1]))
+                wv = float(toks[i + 2]) / 1000.0
+                for code in range(c, min(c2, c + 0xFFFF) + 1):
+                    table[code] = wv
+                i += 3
+            else:
+                break  # malformed tail — keep what parsed
+    return default, table
+
+
+def _simple_widths(
+    font_body: bytes, objs: dict[int, bytes]
+) -> WidthTab | None:
+    """Simple-font /FirstChar + /Widths (+ descriptor /MissingWidth,
+    §9.2.4): array entry k is the width of code FirstChar+k; codes
+    outside the range use /MissingWidth (default 0)."""
+    wm = _WIDTHS_RE.search(font_body)
+    if wm is None:
+        return None
+    if wm.group(2) is not None:  # indirect /Widths N 0 R
+        # the referenced object body IS (or contains) the array
+        ref = objs.get(int(wm.group(2)), b"")
+        lb, rb = ref.find(b"["), ref.rfind(b"]")
+        arr = ref[lb + 1 : rb] if 0 <= lb < rb else ref
+    else:
+        arr = wm.group(1)
+    fm = _FIRSTCHAR_RE.search(font_body)
+    first = int(fm.group(1)) if fm else 0
+    default = float(spec.MISSING_W_MILLI) / 1000.0
+    dm = _FONTDESC_RE.search(font_body)
+    if dm:
+        mw = _MISSINGW_RE.search(objs.get(int(dm.group(1)), b""))
+        if mw:
+            default = float(mw.group(1)) / 1000.0
+    table = {
+        first + k: float(tok) / 1000.0
+        for k, tok in enumerate(
+            t for t in _NUM_OR_BRACKET_RE.findall(arr)
+            if t not in (b"[", b"]")
+        )
+    }
+    return default, table
+
+
 def _font_map(
     font_body: bytes, objs: dict[int, bytes], streams: dict[int, bytes]
-) -> tuple[bool, dict[int, str]]:
-    """(is_cid, code → decoded-string map) for one font.
+) -> tuple[bool, dict[int, str], WidthTab | None]:
+    """(is_cid, code → decoded-string map, width table) for one font.
 
     Simple fonts: single-byte codes; precedence /ToUnicode CMap >
     /Encoding /Differences glyph names (ToUnicode IS the
@@ -231,10 +351,23 @@ def _font_map(
     Composite fonts (/Subtype /Type0 with /Identity-H): is_cid=True —
     string bytes pair into 2-byte codes mapped through ToUnicode;
     unmapped codes degrade to chr(code) (deterministic, ASCII-safe
-    when code==charcode)."""
+    when code==charcode).
+
+    Width table (third element): per-glyph advances from /FirstChar +
+    /Widths (+ /FontDescriptor /MissingWidth) for simple fonts or the
+    descendant CIDFont's /W + /DW for Type0 — None when the font
+    declares no metrics (flat CHAR_W_FACTOR model applies)."""
     is_cid = (
         b"/Identity-H" in font_body or b"/Subtype /Type0" in font_body
     )
+    if is_cid:
+        wtab = None
+        dfm = _DESCFONT_RE.search(font_body)
+        if dfm:
+            desc = objs.get(int(dfm.group(1) or dfm.group(2)), b"")
+            wtab = _cid_widths(desc)
+    else:
+        wtab = _simple_widths(font_body, objs)
     m: dict[int, str] = {}
     enc_body = font_body
     em = _ENC_REF_RE.search(font_body)
@@ -270,7 +403,7 @@ def _font_map(
             for pair in _BFCHAR_PAIR_RE.finditer(cm.group(1)):
                 code = int(pair.group(1), 16)
                 m[code] = _utf16be_hex(pair.group(2))
-    return is_cid, m
+    return is_cid, m, wtab
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -1068,12 +1201,13 @@ def _font_resources(
     body: bytes,
     objs: dict[int, bytes],
     streams: dict[int, bytes],
-    font_cache: dict[int, tuple[bool, dict[int, str]]],
-) -> dict[str, tuple[bool, dict[int, str]]]:
-    """Resolve a /Resources /Font dict into name → (is_cid, map).
-    Every page (and form) of a doc references the same font objects —
-    each CMap/Differences table resolves once per doc via the cache."""
-    font_maps: dict[str, tuple[bool, dict[int, str]]] = {}
+    font_cache: dict[int, tuple[bool, dict[int, str], WidthTab | None]],
+) -> dict[str, tuple[bool, dict[int, str], WidthTab | None]]:
+    """Resolve a /Resources /Font dict into name → (is_cid, map,
+    width table).  Every page (and form) of a doc references the same
+    font objects — each CMap/Differences/Widths table resolves once
+    per doc via the cache."""
+    font_maps: dict[str, tuple[bool, dict[int, str], WidthTab | None]] = {}
     frm = _FONT_RES_RE.search(body)
     if frm:
         for fe in _FONT_ENTRY_RE.finditer(frm.group(1)):
@@ -1082,9 +1216,11 @@ def _font_resources(
                 font_cache[fnum] = _font_map(
                     objs.get(fnum, b""), objs, streams
                 )
-            is_cid, fmap = font_cache[fnum]
-            if fmap or is_cid:
-                font_maps[fe.group(1).decode("latin-1")] = (is_cid, fmap)
+            is_cid, fmap, wtab = font_cache[fnum]
+            if fmap or is_cid or wtab is not None:
+                font_maps[fe.group(1).decode("latin-1")] = (
+                    is_cid, fmap, wtab,
+                )
     return font_maps
 
 
@@ -1106,7 +1242,7 @@ def _xobj_resources(
     body: bytes,
     objs: dict[int, bytes],
     streams: dict[int, bytes],
-    font_cache: dict[int, tuple[bool, dict[int, str]]],
+    font_cache: dict[int, tuple[bool, dict[int, str], WidthTab | None]],
     form_cache: dict,
     depth: int,
     off_ocgs: set[int] = frozenset(),
@@ -1151,7 +1287,7 @@ def _form_fragment(
     tdict: bytes,
     objs: dict[int, bytes],
     streams: dict[int, bytes],
-    font_cache: dict[int, tuple[bool, dict[int, str]]],
+    font_cache: dict[int, tuple[bool, dict[int, str], WidthTab | None]],
     form_cache: dict,
     depth: int,
     off_ocgs: set[int] = frozenset(),
@@ -1405,7 +1541,7 @@ def parse_pdf_full(
 
     pages: list[Page] = []
     annots: list[tuple[str, str]] = []
-    font_cache: dict[int, tuple[bool, dict[int, str]]] = {}
+    font_cache: dict[int, tuple[bool, dict[int, str], WidthTab | None]] = {}
     form_cache: dict = {}  # (objnum, depth) → (fragment, matrix)
     # optional-content default config (§8.11.4.3): OCGs in the /OFF
     # array are hidden; /OFF is an /OCProperties-only key in subset,
@@ -1474,7 +1610,8 @@ def parse_pdf_full(
 def _parse_content(
     content: str,
     xobj_refs: dict[str, str],
-    font_maps: dict[str, tuple[bool, dict[int, str]]] | None = None,
+    font_maps: dict[str, tuple[bool, dict[int, str], WidthTab | None]]
+    | None = None,
     forms: dict[str, tuple[Page, tuple]] | None = None,
     hidden_props: set[str] | None = None,
 ) -> Page:
@@ -1509,6 +1646,7 @@ def _parse_content(
     font_maps = font_maps or {}
     cur_map: dict[int, str] | None = None
     cur_cid = False
+    cur_w: WidthTab | None = None
     # optional-content suppression (§8.11.3): inside a hidden-OCG
     # ``/OC /name BDC … EMC`` bracket nothing is APPENDED, but text
     # state still advances (a visible show after the bracket lands
@@ -1540,12 +1678,32 @@ def _parse_content(
             return txt.translate(cur_map)
         return txt
 
+    def adv_units(raw: str) -> float:
+        # text-space advance (pre-Tz) of a RAW code string under the
+        # current font's /Widths//W metrics (§9.2.4/§9.7.4.3 +
+        # §9.3.2-3): per-CODE glyph width + Tc per code; Tw applies
+        # only to the single-byte code 32 — never inside a 2-byte CID
+        # string (§9.3.3).  Only called when cur_w is not None.
+        dflt, wt = cur_w
+        if cur_cid:
+            total = 0.0
+            n = 0
+            for i in range(0, len(raw) - 1, 2):
+                total += wt.get((ord(raw[i]) << 8) | ord(raw[i + 1]), dflt)
+                n += 1
+            return total * size + tc * n
+        total = 0.0
+        for ch in raw:
+            total += wt.get(ord(ch), dflt)
+        return total * size + tc * len(raw) + tw * raw.count(" ")
+
     def emit(txt: str, tj_w: float | None = None) -> None:
         # ``tj_w``: precomputed text-space advance (Tz-scaled) for TJ
         # arrays, whose kern numbers displace the cursor per element;
         # the text then arrives PRE-DECODED (synthetic kern spaces
         # must not pass through the font map).
         nonlocal tm
+        raw = txt
         if tj_w is None:
             txt = decode(txt)
         if txt:
@@ -1562,13 +1720,20 @@ def _parse_content(
             # advance along the baseline direction: text-space width
             # composed through the matrix (device displacement =
             # w·(a, b)).  Per ISO 32000-1 §9.3.2-3 each glyph adds Tc
-            # and each space adds Tw, all scaled by Tz — applied over
-            # the DECODED text, the subset's width model since r4
-            # (a ToUnicode code mapping to "ffi" advances 3 chars).
-            w = tj_w if tj_w is not None else (
-                (spec.CHAR_W_FACTOR * size + tc) * len(txt)
-                + tw * txt.count(" ")
-            ) * tz
+            # and each space adds Tw, all scaled by Tz.  Fonts with
+            # /Widths//W metrics advance per SOURCE CODE (a ToUnicode
+            # ligature code advances one glyph); metrics-free fonts
+            # keep the flat model over the DECODED text (r4 subset:
+            # a code mapping to "ffi" advances 3 chars).
+            if tj_w is not None:
+                w = tj_w
+            elif cur_w is not None:
+                w = adv_units(raw) * tz
+            else:
+                w = (
+                    (spec.CHAR_W_FACTOR * size + tc) * len(txt)
+                    + tw * txt.count(" ")
+                ) * tz
             if not sup_from:
                 runs.append(Run(
                     x=tm[4], y=tm[5], size=eff, text=txt, rot=q,
@@ -1585,7 +1750,9 @@ def _parse_content(
         if gi == 5:  # fused `BT /F sz Tf x y Td (s) Tj ET` run
             fname = m.group(1)
             names.append(fname)
-            cur_cid, cur_map = font_maps.get(fname, (False, None))
+            cur_cid, cur_map, cur_w = font_maps.get(
+                fname, (False, None, None)
+            )
             if in_array:
                 # inside an unclosed TJ array (malformed stream) the
                 # plain branches route the three numbers and the
@@ -1624,8 +1791,8 @@ def _parse_content(
                 if nums:
                     size = nums[-1]
                 if names:
-                    cur_cid, cur_map = font_maps.get(
-                        names[-1], (False, None)
+                    cur_cid, cur_map, cur_w = font_maps.get(
+                        names[-1], (False, None, None)
                     )
             elif op == "BT":
                 tlm = tm = _IDENT
@@ -1690,9 +1857,12 @@ def _parse_content(
                     if is_str:
                         s = decode(str(val))
                         buf.append(s)
-                        tj_w += (
-                            spec.CHAR_W_FACTOR * size + tc
-                        ) * len(s) + tw * s.count(" ")
+                        if cur_w is not None:
+                            tj_w += adv_units(str(val))
+                        else:
+                            tj_w += (
+                                spec.CHAR_W_FACTOR * size + tc
+                            ) * len(s) + tw * s.count(" ")
                     else:
                         v = float(val)
                         tj_w -= v / 1000.0 * size

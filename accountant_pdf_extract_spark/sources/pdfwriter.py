@@ -115,6 +115,91 @@ class SimpleFont:
     # tables, but the font dict carries /CharProcs + /FontMatrix
     # instead of a /BaseFont (requires a differences table)
     type3: bool = False
+    # per-glyph metrics (§9.2.4): (code, milli-em) pairs emitted as a
+    # CONTIGUOUS /FirstChar../LastChar /Widths array (gaps filled with
+    # the missing-width default); parser and oracle advance per SOURCE
+    # CODE for fonts that carry these.  Empty = no metrics (flat
+    # spec.CHAR_W_FACTOR model).
+    widths: tuple[tuple[int, int], ...] = ()
+    # /FontDescriptor /MissingWidth for codes outside the array
+    # (default: spec.MISSING_W_MILLI = 0, per the spec)
+    missing_width: int | None = None
+    # emit /Widths as an indirect object (``/Widths N 0 R``) — the
+    # other common real-world shape; decode-identical
+    widths_indirect: bool = False
+    # CID metrics (§9.7.4.3): /DW default and (lo, hi, milli) /W
+    # range-form triplets on the /DescendantFonts CIDFont dict
+    cid_dw: int | None = None
+    cid_w: tuple[tuple[int, int, int], ...] = ()
+
+    def has_widths(self) -> bool:
+        return bool(
+            self.widths
+            or self.missing_width is not None
+            or self.cid_dw is not None
+            or self.cid_w
+        )
+
+    def width_milli(self, code: int) -> int:
+        """Advance (milli-em) the PARSER will compute for ``code`` —
+        used by the synth corpus to place multi-run lines so gap
+        classification stays intentional under proportional metrics."""
+        if self.cid:
+            for lo, hi, w in self.cid_w:
+                if lo <= code <= hi:
+                    return w
+            return (
+                self.cid_dw
+                if self.cid_dw is not None
+                else spec.CID_DW_MILLI
+            )
+        for c, w in self.widths:
+            if c == code:
+                return w
+        if self.widths:
+            lo = min(c for c, _ in self.widths)
+            hi = max(c for c, _ in self.widths)
+            if lo <= code <= hi:
+                return self._fill_milli()
+        return (
+            self.missing_width
+            if self.missing_width is not None
+            else spec.MISSING_W_MILLI
+        )
+
+    def _fill_milli(self) -> int:
+        """Width used to fill gaps inside the emitted contiguous
+        /Widths array."""
+        return (
+            self.missing_width
+            if self.missing_width is not None
+            else spec.MISSING_W_MILLI
+        )
+
+    def text_advance(self, s: str, size: float) -> float:
+        """Device advance of ``s`` at ``size`` under this font's
+        metrics (Tz=100, Tc=Tw=0) — encode first, then per-code sum."""
+        enc = self.encode(s)
+        if self.cid:
+            codes = [
+                (ord(enc[i]) << 8) | ord(enc[i + 1])
+                for i in range(0, len(enc) - 1, 2)
+            ]
+        else:
+            codes = [ord(c) for c in enc]
+        return sum(self.width_milli(c) for c in codes) / 1000.0 * size
+
+    def widths_array(self) -> tuple[int, int, list[int]] | None:
+        """(FirstChar, LastChar, contiguous widths) or None."""
+        if not self.widths:
+            return None
+        lo = min(c for c, _ in self.widths)
+        hi = max(c for c, _ in self.widths)
+        fill = self._fill_milli()
+        arr = [fill] * (hi - lo + 1)
+        for c, w in self.widths:
+            arr[c - lo] = w
+        return lo, hi, arr
 
     def char_map(self) -> dict[int, str]:
         """code → decoded string, in parser precedence order
@@ -926,11 +1011,52 @@ def build_pdf(
             cm_num = add(_stream_obj(cmap, compress), dict_only=False)
             tounicode_ref = f" /ToUnicode {cm_num} 0 R"
         if font.cid:
+            desc_ref = ""
+            if font.cid_dw is not None or font.cid_w:
+                # §9.7.4.3: metrics live on the descendant CIDFont
+                w_part = ""
+                if font.cid_w:
+                    trips = " ".join(
+                        f"{lo} {hi} {w}" for lo, hi, w in font.cid_w
+                    )
+                    w_part = f" /W [ {trips} ]"
+                dw_part = (
+                    f" /DW {font.cid_dw}"
+                    if font.cid_dw is not None
+                    else ""
+                )
+                cidfont_num = add(
+                    "<< /Type /Font /Subtype /CIDFontType2 "
+                    "/BaseFont /Helvetica /CIDSystemInfo "
+                    "<< /Registry (Adobe) /Ordering (Identity) "
+                    f"/Supplement 0 >>{dw_part}{w_part} >>"
+                )
+                desc_ref = f" /DescendantFonts [ {cidfont_num} 0 R ]"
             font_num = add(
                 "<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
-                f"/Encoding /Identity-H{tounicode_ref} >>"
+                f"/Encoding /Identity-H{desc_ref}{tounicode_ref} >>"
             )
         else:
+            # per-glyph metrics (§9.2.4): contiguous /Widths array +
+            # optional /FontDescriptor carrying /MissingWidth
+            widths_part = ""
+            wa = font.widths_array()
+            if wa is not None:
+                lo_c, hi_c, arr = wa
+                arr_s = "[ " + " ".join(str(w) for w in arr) + " ]"
+                if font.widths_indirect:
+                    w_num = add(arr_s)
+                    arr_s = f"{w_num} 0 R"
+                widths_part = (
+                    f" /FirstChar {lo_c} /LastChar {hi_c} "
+                    f"/Widths {arr_s}"
+                )
+            if font.missing_width is not None:
+                fd_num = add(
+                    "<< /Type /FontDescriptor /FontName /Helvetica "
+                    f"/Flags 32 /MissingWidth {font.missing_width} >>"
+                )
+                widths_part += f" /FontDescriptor {fd_num} 0 R"
             enc = font.encoding_dict()
             enc_ref = ""
             if enc is not None:
@@ -960,12 +1086,12 @@ def build_pdf(
                     "/FontMatrix [0.001 0 0 0.001 0 0] "
                     "/FontBBox [0 0 1000 1000] "
                     f"/CharProcs {cp_num} 0 R"
-                    f"{enc_ref}{tounicode_ref} >>"
+                    f"{widths_part}{enc_ref}{tounicode_ref} >>"
                 )
             else:
                 font_num = add(
                     "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-                    f"{enc_ref}{tounicode_ref} >>"
+                    f"{widths_part}{enc_ref}{tounicode_ref} >>"
                 )
         font_res = f" /Font << /F1 {font_num} 0 R >>"
 

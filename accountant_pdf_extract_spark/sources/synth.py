@@ -55,6 +55,13 @@ ARROW_INPUT = pa.schema(
     ]
 )
 
+# proportional-font glyph widths (milli-em) for the /Widths corpus
+# subset: deterministic per code, 350-650 range (mean ≈ 500 so line
+# lengths stay near the flat-model layout)
+PROP_WIDTHS = tuple(
+    (c, 350 + ((c * 7) % 31) * 10) for c in range(32, 127)
+)
+
 DEFAULT_WORDS = (
     "ledger balance debit credit journal asset liability revenue expense "
     "equity invoice payment remittance statement quarter fiscal audit "
@@ -122,7 +129,21 @@ def make_invoice_pdf(
     # (cp1252 base table), styles 1/3 = /ToUnicode CMap.  Derived from
     # already-drawn values — no extra rng draw, corpus stays stable.
     font: SimpleFont | None = None
-    if ccy == "EUR":
+    if ccy == "GBP" and style % 2 == 1:
+        # proportional per-glyph metrics (§9.2.4): real invoices are
+        # set in proportional faces, so ~1/6 of docs carry a /Widths
+        # font — the parser/oracle advance per SOURCE CODE for these
+        # (350–650 milli-em over ASCII, deterministic per code).
+        # /MissingWidth 500 keeps £ (0xA3, outside the array) at the
+        # flat-model advance.  Half emit /Widths as an indirect
+        # object (the other common real-world shape).  Derived from
+        # already-drawn values — no rng draw, corpus stays stable.
+        font = SimpleFont(
+            widths=PROP_WIDTHS,
+            missing_width=500,
+            widths_indirect=year % 2 == 1,
+        )
+    elif ccy == "EUR":
         if style == 0:
             # half the Differences fonts are Type3 glyph-procedure
             # fonts (§9.6.5) — same decode tables, different font

@@ -40,7 +40,18 @@ SPACE_GAP_FACTOR = 0.25
 
 # Nominal glyph advance: width of one character = CHAR_W_FACTOR * font size.
 # (The synth writer and the parser share this monospace-ish estimate.)
+# Used when a font declares NO metrics; fonts carrying /Widths (simple)
+# or /W + /DW (CID) advance per SOURCE GLYPH CODE instead (ISO 32000-1
+# §9.7.4.3 / §9.2.4) — a ToUnicode ligature code then advances one
+# glyph, not len(decoded) chars.
 CHAR_W_FACTOR = 0.5
+
+# Per-glyph width-model defaults (thousandths of an em, §9.7.4.3):
+# simple-font codes outside [FirstChar, LastChar] use the descriptor's
+# /MissingWidth (default 0); CID codes absent from /W use /DW
+# (default 1000).
+MISSING_W_MILLI = 0
+CID_DW_MILLI = 1000
 
 # TJ array kerning: a numeric adjustment <= this (thousandths of an em)
 # renders as a single space.

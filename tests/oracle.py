@@ -752,13 +752,115 @@ def _hex_utf16(h: str) -> str:
     return b.decode("utf-16-be", errors="replace")
 
 
+def _balanced_array(body: str, key: str) -> str | None:
+    """Bracket-balanced array contents after ``key`` (/W arrays nest)."""
+    i = body.find(key)
+    if i < 0:
+        return None
+    i += len(key)
+    n = len(body)
+    while i < n and body[i].isspace():
+        i += 1
+    if i >= n or body[i] != "[":
+        return None
+    depth = 0
+    start = i + 1
+    for j in range(i, n):
+        if body[j] == "[":
+            depth += 1
+        elif body[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return body[start:j]
+    return None
+
+
+def _font_widths(
+    fbody: str, objs: dict[int, str], is_cid: bool
+) -> tuple[float, dict[int, float]] | None:
+    """Independent twin of the engine's per-glyph width-table parse
+    (ISO 32000-1 §9.2.4 simple /FirstChar+/Widths+/MissingWidth;
+    §9.7.4.3 CID /DW + both /W forms).  None = no metrics declared
+    (flat CHAR_W_FACTOR model)."""
+    if is_cid:
+        dm = re.search(
+            r"/DescendantFonts\s*(?:\[\s*(\d+)\s+0\s+R\s*\]|(\d+)\s+0\s+R)",
+            fbody,
+        )
+        if not dm:
+            return None
+        desc = objs.get(int(dm.group(1) or dm.group(2)), "")
+        dwm = re.search(r"/DW\s+([-+]?\d*\.?\d+)", desc)
+        arr = _balanced_array(desc, "/W")
+        if dwm is None and arr is None:
+            return None
+        default = (
+            float(dwm.group(1)) if dwm else float(spec.CID_DW_MILLI)
+        ) / 1000.0
+        table: dict[int, float] = {}
+        toks = re.findall(r"[\[\]]|[-+]?\d*\.?\d+", arr or "")
+        i = 0
+        while i < len(toks):
+            if toks[i] in "[]":
+                i += 1
+                continue
+            c = int(float(toks[i]))
+            if i + 1 < len(toks) and toks[i + 1] == "[":
+                j = i + 2
+                code = c
+                while j < len(toks) and toks[j] != "]":
+                    table[code] = float(toks[j]) / 1000.0
+                    code += 1
+                    j += 1
+                i = j + 1
+            elif (
+                i + 2 < len(toks)
+                and toks[i + 1] not in "[]"
+                and toks[i + 2] not in "[]"
+            ):
+                c2 = int(float(toks[i + 1]))
+                wv = float(toks[i + 2]) / 1000.0
+                for code in range(c, min(c2, c + 0xFFFF) + 1):
+                    table[code] = wv
+                i += 3
+            else:
+                break
+        return default, table
+    wm = re.search(r"/Widths\s*(?:\[([^\]]*)\]|(\d+)\s+0\s+R)", fbody)
+    if wm is None:
+        return None
+    if wm.group(2) is not None:
+        ref = objs.get(int(wm.group(2)), "")
+        lb, rb = ref.find("["), ref.rfind("]")
+        arr_s = ref[lb + 1 : rb] if 0 <= lb < rb else ref
+    else:
+        arr_s = wm.group(1)
+    fcm = re.search(r"/FirstChar\s+(\d+)", fbody)
+    first = int(fcm.group(1)) if fcm else 0
+    default = float(spec.MISSING_W_MILLI) / 1000.0
+    dscm = re.search(r"/FontDescriptor\s+(\d+)\s+0\s+R", fbody)
+    if dscm:
+        mwm = re.search(
+            r"/MissingWidth\s+([-+]?\d*\.?\d+)",
+            objs.get(int(dscm.group(1)), ""),
+        )
+        if mwm:
+            default = float(mwm.group(1)) / 1000.0
+    table = {
+        first + k: float(tok) / 1000.0
+        for k, tok in enumerate(re.findall(r"[-+]?\d*\.?\d+", arr_s))
+    }
+    return default, table
+
+
 def _font_tables(
     page_body: str, objs: dict[int, str], streams: dict[int, str]
-) -> dict[str, tuple[bool, dict[int, str]]]:
+) -> dict[str, tuple[bool, dict[int, str], object]]:
     """Per-page font-resource decode tables: code → decoded string.
     /ToUnicode bfchar wins over bfrange wins over /Differences glyph
-    names (same precedence as the engine); unmapped codes = identity."""
-    maps: dict[str, tuple[bool, dict[int, str]]] = {}
+    names (same precedence as the engine); unmapped codes = identity.
+    Third element: the per-glyph width table (or None)."""
+    maps: dict[str, tuple[bool, dict[int, str], object]] = {}
     fm = re.search(r"/Font\s*<<(.*?)>>", page_body, re.S)
     if not fm:
         return maps
@@ -766,6 +868,7 @@ def _font_tables(
         fbody = objs.get(int(ref), "")
         table: dict[int, str] = {}
         is_cid = "/Identity-H" in fbody or "/Subtype /Type0" in fbody
+        wtab = _font_widths(fbody, objs, is_cid)
         enc_src = fbody
         em = re.search(r"/Encoding\s+(\d+)\s+0\s+R", fbody)
         if em:
@@ -804,8 +907,8 @@ def _font_tables(
                     r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", cm_.group(1)
                 ):
                     table[int(src, 16)] = _hex_utf16(dst)
-        if table or is_cid:
-            maps[name] = (is_cid, table)
+        if table or is_cid or wtab is not None:
+            maps[name] = (is_cid, table, wtab)
     return maps
 
 
@@ -1059,6 +1162,7 @@ def _interpret(
     fonts = fonts or {}
     cur_font: dict[int, str] | None = None
     cur_cid = False
+    cur_w = None  # (default, {code: w}) per-glyph widths or None
     st = _TextState()
     ctm = [1.0, 1.0, 0.0, 0.0]
     saved = []
@@ -1102,9 +1206,29 @@ def _interpret(
             return "".join(cur_font.get(ord(c), c) for c in txt)
         return txt
 
+    def adv_units(raw: str) -> float:
+        # per-glyph /Widths//W advance of a RAW code string (engine
+        # twin): width + Tc per SOURCE CODE; Tw on single-byte code 32
+        # only — never inside 2-byte CID strings (§9.3.3)
+        dflt, wt = cur_w
+        if cur_cid:
+            total = 0.0
+            n = 0
+            for i in range(0, len(raw) - 1, 2):
+                total += wt.get((ord(raw[i]) << 8) | ord(raw[i + 1]), dflt)
+                n += 1
+            return total * st.size + st.tc * n
+        total = 0.0
+        for ch in raw:
+            total += wt.get(ord(ch), dflt)
+        return (
+            total * st.size + st.tc * len(raw) + st.tw * raw.count(" ")
+        )
+
     def advance(txt: str, tj_w=None) -> None:
         # tj_w: precomputed Tz-scaled advance for TJ (text arrives
         # pre-decoded; kern numbers displace the cursor per element)
+        raw = txt
         if tj_w is None:
             txt = fdecode(txt)
         if txt:
@@ -1115,12 +1239,18 @@ def _interpret(
                 q = 0 if a >= 0 else 2
             else:
                 q = 1 if b > 0 else 3
-            # §9.3.2-3: each decoded char adds Tc, each space adds
-            # Tw, the sum scaled by Tz (decoded-text width model)
-            w = tj_w if tj_w is not None else (
-                (spec.CHAR_W_FACTOR * st.size + st.tc) * len(txt)
-                + st.tw * txt.count(" ")
-            ) * st.tz
+            # §9.3.2-3: each glyph adds Tc, each space adds Tw, the
+            # sum scaled by Tz.  /Widths//W fonts advance per SOURCE
+            # CODE; metrics-free fonts use the flat decoded-text model
+            if tj_w is not None:
+                w = tj_w
+            elif cur_w is not None:
+                w = adv_units(raw) * st.tz
+            else:
+                w = (
+                    (spec.CHAR_W_FACTOR * st.size + st.tc) * len(txt)
+                    + st.tw * txt.count(" ")
+                ) * st.tz
             if not sup_from:
                 runs.append((st.tm[4], st.tm[5], eff, txt, q, w * mag))
             st.tm = (
@@ -1165,7 +1295,9 @@ def _interpret(
             if nums:
                 st.size = nums[-1]
             if names_l:
-                cur_cid, cur_font = fonts.get(names_l[-1], (False, None))
+                cur_cid, cur_font, cur_w = fonts.get(
+                    names_l[-1], (False, None, None)
+                )
         elif op == "TL" and nums:
             st.leading = nums[-1]
         elif op == "Tz" and nums:
@@ -1206,9 +1338,12 @@ def _interpret(
                 if t == "str":
                     s = fdecode(v)
                     parts.append(s)
-                    w += (
-                        spec.CHAR_W_FACTOR * st.size + st.tc
-                    ) * len(s) + st.tw * s.count(" ")
+                    if cur_w is not None:
+                        w += adv_units(v)
+                    else:
+                        w += (
+                            spec.CHAR_W_FACTOR * st.size + st.tc
+                        ) * len(s) + st.tw * s.count(" ")
                 else:
                     w -= v / 1000.0 * st.size
                     if v <= spec.TJ_SPACE_THRESH:

@@ -2399,6 +2399,113 @@ def test_cid_identity_h_font_via_tounicode():
             font.encode(shadowed)
 
 
+def test_simple_font_widths_advance():
+    """Per-glyph /FirstChar+/Widths metrics (§9.2.4): the parser and
+    oracle advance per SOURCE CODE; direct and indirect /Widths
+    arrays and ObjStm packing all decode identically; a gap sized
+    off the proportional advance classifies as intended."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from accountant_pdf_extract_spark.sources.synth import PROP_WIDTHS
+    from tests.oracle import pdf_spans
+
+    for indirect in (False, True):
+        font = SimpleFont(
+            widths=PROP_WIDTHS, missing_width=500,
+            widths_indirect=indirect,
+        )
+        pg = PageBuilder()
+        pg.text(72, 700, "Invoice total", size=10)
+        end = 72 + font.text_advance("Invoice total", 10)
+        pg.text(end + 4, 700, "due", size=10)     # > 0.25·size → space
+        pg.text(end + 120, 700, "99.00", size=10)  # wide → tab cell
+        for objstm in (False, True):
+            pdf = build_pdf([pg], objstm=objstm, font=font)
+            eng, _ = extract_doc([("pdf", pdf, "", 0)])
+            assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+            texts = [t for _, t, _, _ in eng]
+            assert texts == ["Invoice total due\t99.00"], (indirect, objstm)
+
+
+def test_simple_font_missing_width_default():
+    """Codes outside [FirstChar, LastChar] advance by the
+    /FontDescriptor /MissingWidth — £ (0xA3) under a 32-126 array
+    lands exactly where the flat model would put it."""
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+
+    font = SimpleFont(
+        widths=tuple((c, 600) for c in range(32, 127)),
+        missing_width=250,
+    )
+    pg = PageBuilder()
+    pg.text(72, 700, "\xa3\xa3ab", size=10)  # 2×250 + 2×600 milli
+    pdf = build_pdf([pg], font=font)
+    runs = parse_pdf(pdf.encode("latin-1"))[0].runs
+    assert len(runs) == 1
+    assert abs(runs[0].adv - (2 * 2.5 + 2 * 6.0)) < 1e-9
+
+
+def test_cid_font_w_dw_advance():
+    """CID /DW + /W metrics (§9.7.4.3): writer range-form round-trip
+    through engine and oracle, plus both /W grammar forms parsed
+    directly (``c [w…]`` and ``c1 c2 w``); Tw never applies inside a
+    2-byte CID string."""
+    from accountant_pdf_extract_spark.operators.pdfparse import (
+        _cid_widths, parse_pdf,
+    )
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from tests.oracle import _font_widths, pdf_spans
+
+    font = SimpleFont(
+        cid=True,
+        tounicode=((0x0045, "€"),),
+        cid_dw=480,
+        cid_w=((0x30, 0x39, 700), (0x45, 0x45, 900)),
+    )
+    pg = PageBuilder()
+    pg.text_hex(72, 700, font.encode("A1 €"), size=10)
+    pdf = build_pdf([pg], font=font)
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+    assert [t for _, t, _, _ in eng] == ["A1 €"]
+    # advance: A(dflt .48) 1(.7) space(dflt .48) €→code 0x45(.9) at 10
+    runs = parse_pdf(pdf.encode("latin-1"))[0].runs
+    assert abs(runs[0].adv - (0.48 + 0.7 + 0.48 + 0.9) * 10) < 1e-9
+
+    # both /W grammar forms, engine and oracle twins agree
+    body_b = b"/DW 1000 /W [ 32 [500 600] 48 57 700 ]"
+    for fn, body in ((_cid_widths, body_b),
+                     (lambda b: _font_widths(
+                         "/Subtype /Type0 /DescendantFonts [ 9 0 R ]",
+                         {9: b}, True), body_b.decode())):
+        dflt, tab = fn(body)
+        assert dflt == 1.0
+        assert tab[32] == 0.5 and tab[33] == 0.6 and tab[50] == 0.7
+        assert 58 not in tab
+
+
+def test_widths_ligature_advances_one_glyph():
+    """A ToUnicode code mapping to a multi-char string ("ffi")
+    advances ONE glyph width under /Widths metrics — not
+    len(decoded) chars as in the flat model (§9.2.4 note)."""
+    from accountant_pdf_extract_spark.operators.pdfparse import parse_pdf
+    from accountant_pdf_extract_spark.sources.pdfwriter import SimpleFont
+    from tests.oracle import pdf_spans
+
+    font = SimpleFont(
+        tounicode=((0x01, "ffi"),),
+        widths=tuple((c, 500) for c in range(1, 127)),
+    )
+    pg = PageBuilder()
+    pg.ops.append("BT /F1 10 Tf 72 700 Td (o\\001ce) Tj ET")
+    pdf = build_pdf([pg], font=font)
+    runs = parse_pdf(pdf.encode("latin-1"))[0].runs
+    assert runs[0].text == "office"  # 4 source codes -> 6 chars
+    assert abs(runs[0].adv - 4 * 0.5 * 10) < 1e-9  # 4 codes, not 6 chars
+    eng, _ = extract_doc([("pdf", pdf, "", 0)])
+    assert [(k, t, m) for k, t, m, _ in eng] == pdf_spans(pdf)
+
+
 def test_inline_image_segment_skipped():
     """BI..ID..EI inline-image segments (binary payload) are stripped
     before lexing — text before/after survives, garbage never parses,

@@ -3,15 +3,18 @@
 Decode supports the subset scanned-document AND web corpora actually
 ship: baseline sequential DCT (SOF0/SOF1) and progressive DCT (SOF2,
 full spectral selection + successive approximation per T.81 Annex G —
-web-sourced JPEGs are mostly progressive), 8-bit, 1 (grey) or 3
-(YCbCr) components, 4:4:4 / 4:2:2 / 4:2:0 sampling, multiple DQT/DHT
-segments (tables may change between progressive scans), byte
-stuffing, DRI/RSTn restart intervals.  Arithmetic coding, 12-bit,
-hierarchical, and CMYK raise ``ValueError`` — the media kernels treat
-that as an unsupported payload and skip the row (same contract as
-``functions/png.py``).
+web-sourced JPEGs are mostly progressive), 8-bit, 1 (grey), 3
+(YCbCr) or 4 (Adobe CMYK/YCCK via the APP14 transform flag, stored
+inverted per the Adobe convention, composited to RGB on output — the
+print-workflow scan shape) components, 4:4:4 / 4:2:2 / 4:2:0
+sampling, multiple DQT/DHT segments (tables may change between
+progressive scans), byte stuffing, DRI/RSTn restart intervals.
+Arithmetic coding, 12-bit and hierarchical raise ``ValueError`` —
+the media kernels treat that as an unsupported payload and skip the
+row (same contract as ``functions/png.py``).
 
-Encode emits baseline sequential (grey or YCbCr, 4:4:4/4:2:0) with
+Encode emits baseline sequential (grey, YCbCr 4:4:4/4:2:0, or CMYK/
+YCCK 4:4:4 with the APP14 marker) with
 the standard Annex-K quantization + Huffman tables, libjpeg quality
 scaling, and byte stuffing; ``progressive=True`` emits a 5-stage SOF2
 scan script (split-band spectral selection + one successive-
@@ -241,6 +244,7 @@ def _decode_structure(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], np.ndarray] = {}
     restart_interval = 0
     frame = None
+    adobe = -1  # APP14 color transform (-1 = no Adobe marker)
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -271,7 +275,7 @@ def _decode_structure(data: bytes) -> np.ndarray:
                 raise ValueError(f"jpeg: {prec}-bit unsupported")
             h, w = _read_u16(seg, 1), _read_u16(seg, 3)
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise ValueError(f"jpeg: {ncomp}-component unsupported")
             comps = []
             for ci in range(ncomp):
@@ -283,6 +287,9 @@ def _decode_structure(data: bytes) -> np.ndarray:
                 )
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker == 0xC2}
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -293,6 +300,7 @@ def _decode_structure(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            frame["adobe"] = adobe
             if frame["progressive"]:
                 return _decode_progressive(
                     data, i, seg, frame, qt, huff, restart_interval
@@ -442,12 +450,14 @@ def _decode_scan(data, start, frame, qt, huff, scan_tabs, restart_interval):
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         planes.append(plane[:h, :w])
-    if ncomp == 1:
-        return planes[0][:, :, None]
+    return _planes_to_pixels(planes, ncomp, frame.get("adobe", -1))
+
+
+def _ycbcr_to_rgb(planes) -> np.ndarray:
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
-    rgb = np.stack(
+    return np.stack(
         [
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
@@ -455,6 +465,27 @@ def _decode_scan(data, start, frame, qt, huff, scan_tabs, restart_interval):
         ],
         axis=2,
     )
+
+
+def _planes_to_pixels(planes, ncomp: int, adobe: int) -> np.ndarray:
+    """Component planes → (h, w, 1|3) uint8.  3-comp = JFIF YCbCr.
+    4-comp = Adobe CMYK (APP14 transform 0, stored INVERTED per the
+    Adobe convention) or YCCK (transform 2: YCbCr carries inverted
+    CMY); both composite to RGB output — R = C'·K'/255 etc., where
+    C'/K' are the stored (inverted) values."""
+    if ncomp == 1:
+        return planes[0][:, :, None]
+    if ncomp == 3:
+        rgb = _ycbcr_to_rgb(planes)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    if adobe == 2:  # YCCK: the YCbCr transform holds inverted CMY
+        cmy = np.clip(_ycbcr_to_rgb(planes[:3]), 0.0, 255.0)
+    else:  # transform 0 / missing APP14: inverted CMYK stored direct
+        cmy = np.stack(
+            [p.astype(np.float64) for p in planes[:3]], axis=2
+        )
+    k = planes[3].astype(np.float64)[:, :, None]
+    rgb = cmy * k / 255.0
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
 
 
@@ -558,20 +589,7 @@ def _decode_progressive(data, i, sos_seg, frame, qt, huff, restart_interval):
             np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
         )
         planes.append(plane[:h, :w])
-    if ncomp == 1:
-        return planes[0][:, :, None]
-    y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _planes_to_pixels(planes, ncomp, frame.get("adobe", -1))
 
 
 def _decode_prog_scan(
@@ -1070,8 +1088,16 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    adobe_transform: int = 2,
 ) -> bytes:
-    """(h, w) / (h, w, 1) grey or (h, w, 3) RGB uint8 → JPEG.
+    """(h, w) / (h, w, 1) grey, (h, w, 3) RGB or (h, w, 4) CMYK
+    (ink values) uint8 → JPEG.
+
+    4-channel input emits the Adobe print shape: an APP14 marker with
+    ``adobe_transform`` 2 (YCCK — inverted CMY through the YCbCr
+    transform, K inverted alongside) or 0 (inverted CMYK stored
+    direct); 4:4:4 baseline only.  The decoder composites these back
+    to RGB.
 
     ``subsampling``: '444' (one block per component per MCU) or '420'
     (2x2 Y blocks + box-averaged chroma — the real-world scan default).
@@ -1085,12 +1111,17 @@ def encode_jpeg(
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
-    if px.ndim != 3 or px.shape[2] not in (1, 3):
+    if px.ndim != 3 or px.shape[2] not in (1, 3, 4):
         raise ValueError(f"unsupported pixel shape {px.shape}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if progressive and restart_interval:
         raise ValueError("restart intervals unsupported with progressive")
+    if px.shape[2] == 4:
+        if adobe_transform not in (0, 2):
+            raise ValueError("adobe_transform must be 0 (CMYK) or 2 (YCCK)")
+        if subsampling != "444" or progressive:
+            raise ValueError("CMYK emits 4:4:4 baseline only")
     h, w, c = px.shape
     if h == 0 or w == 0:
         raise ValueError(f"empty image dimensions {w}x{h}")
@@ -1104,7 +1135,21 @@ def encode_jpeg(
     ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     pad = np.pad(px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)),
                  mode="edge")
-    if c == 3:
+    if c == 4:
+        # Adobe inversion: stored = 255 - ink.  transform 2 routes the
+        # inverted CMY through the forward YCbCr transform (YCCK).
+        inv = 255.0 - pad
+        if adobe_transform == 2:
+            r, g, b = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+                inv[:, :, 3],
+            ]
+        else:
+            planes = [inv[:, :, k] for k in range(4)]
+    elif c == 3:
         r, g, b = pad[:, :, 0], pad[:, :, 1], pad[:, :, 2]
         planes = [
             0.299 * r + 0.587 * g + 0.114 * b,
@@ -1121,14 +1166,22 @@ def encode_jpeg(
         planes = [pad[:, :, 0]]
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if c == 4:
+        # APP14: "Adobe", version 100, flags0/flags1 0, transform
+        out += _seg(
+            0xEE,
+            b"Adobe" + bytes([0, 100, 0, 0, 0, 0, adobe_transform]),
+        )
+    else:
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0x00]) + bytes(qlum.astype(np.uint8)))
-    if c == 3:
+    if c >= 3:
         out += _seg(0xDB, bytes([0x01]) + bytes(qchrom.astype(np.uint8)))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([c])
     for ci in range(c):
         samp = (ys << 4) | xs if ci == 0 else 0x11
-        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
+        # K (ci 3) rides the luminance quant table like Y
+        sof += bytes([ci + 1, samp, 0 if ci in (0, 3) else 1])
     out += _seg(0xC2 if progressive else 0xC0, sof)
     if progressive:
         tables = [(0, 0, _HT_DC_LUM), (1, 0, _HT_AC_PROG)]
@@ -1149,7 +1202,7 @@ def encode_jpeg(
     if not progressive:
         sos = bytes([c])
         for ci in range(c):
-            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+            sos += bytes([ci + 1, 0x00 if ci in (0, 3) else 0x11])
         sos += bytes([0, 63, 0])
         out += _seg(0xDA, sos)
 
@@ -1157,9 +1210,9 @@ def encode_jpeg(
     ac_l = _encode_tables(*_HT_AC_LUM)
     dc_c = _encode_tables(*_HT_DC_CHROM)
     ac_c = _encode_tables(*_HT_AC_CHROM)
-    qtabs = [qlum, qchrom, qchrom]
-    dcs = [dc_l, dc_c, dc_c]
-    acs = [ac_l, ac_c, ac_c]
+    qtabs = [qlum, qchrom, qchrom, qlum]
+    dcs = [dc_l, dc_c, dc_c, dc_l]
+    acs = [ac_l, ac_c, ac_c, ac_l]
     coefs = [_quantized_coefs(planes[ci], qtabs[ci]) for ci in range(c)]
     # per-component block-grid widths (blocks in raster order)
     grid_w = [pw // 8 if ci == 0 else pw // (8 * xs) for ci in range(c)]

@@ -87,10 +87,25 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     # corpus: PNG filter 0, PNG filter 2 (the two
                     # vectorized paths), baseline 4:2:0 JPEG,
                     # progressive (SOF2) JPEG, PackBits grayscale TIFF,
-                    # big-endian bilevel TIFF and CCITT Group 4 TIFF
-                    # (the scanned-fax shapes) — the web-sourced mix
-                    fmt = int(i) % 7
-                    if fmt == 6:
+                    # big-endian bilevel TIFF, CCITT Group 4 TIFF (the
+                    # scanned-fax shapes) and Adobe YCCK CMYK JPEG
+                    # (the print-workflow shape) — the web-sourced mix
+                    fmt = int(i) % 8
+                    if fmt == 7:
+                        px3 = _synth_pixels(w, h, int(i)).astype(np.float64)
+                        # derive smooth ink values from the RGB synth
+                        # (K from darkness, CMY from the channels)
+                        k = 255.0 - px3.max(axis=2, keepdims=True)
+                        cmyk = np.concatenate(
+                            [255.0 - px3, k], axis=2
+                        ) * (1.0 - k / 255.0 / 2.0)
+                        payload = encode_jpeg(
+                            np.clip(np.rint(cmyk), 0, 255).astype(
+                                np.uint8
+                            ),
+                            adobe_transform=2 if int(i) % 16 < 8 else 0,
+                        )
+                    elif fmt == 6:
                         payload = encode_tiff(
                             _synth_pixels(w, h, int(i))[..., 0],
                             bilevel=True,

@@ -2297,6 +2297,43 @@ def test_jpeg_flat_image_is_near_exact():
     assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 2
 
 
+def test_jpeg_cmyk_ycck_roundtrip():
+    """Adobe 4-component JPEGs (APP14): transform 0 (inverted CMYK
+    direct) and 2 (YCCK) both decode to the composited RGB —
+    R = (255-C)(255-K)/255 — within DCT tolerance; 4:2:0 and
+    progressive CMYK encode requests reject."""
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    ink = np.zeros((h, w, 4), np.float64)
+    ink[..., 0] = 80 + 40 * np.sin(yy / 9.0)
+    ink[..., 1] = 120 + 30 * np.cos(xx / 7.0)
+    ink[..., 2] = 60
+    ink[..., 3] = 30 + 20 * np.sin((xx + yy) / 11.0)
+    cmyk = np.clip(np.rint(ink), 0, 255).astype(np.uint8)
+    inv = 255.0 - cmyk.astype(np.float64)
+    want = np.clip(
+        np.rint(inv[..., :3] * inv[..., 3:4] / 255.0), 0, 255
+    ).astype(np.uint8)
+    for tr in (0, 2):
+        out = decode_jpeg(encode_jpeg(cmyk, quality=95, adobe_transform=tr))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - want.astype(int)).max() <= 14, tr
+    with pytest.raises(ValueError):
+        encode_jpeg(cmyk, subsampling="420")
+    with pytest.raises(ValueError):
+        encode_jpeg(cmyk, progressive=True)
+    with pytest.raises(ValueError):
+        encode_jpeg(cmyk, adobe_transform=1)
+
+
 # --------------------------------------------------------------------------
 # LZWDecode, WinAnsiEncoding, Tm scale — round 4 realism batch
 # --------------------------------------------------------------------------

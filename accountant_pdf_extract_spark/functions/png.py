@@ -1,11 +1,13 @@
 """From-scratch minimal PNG codec (no Pillow — stdlib zlib only).
 
 Supports the subset a training-data thumbnail pipeline needs: 8-bit
-greyscale (color type 0), RGB (2) and RGBA (6), non-interlaced, all
-five scanline filters (None/Sub/Up/Average/Paeth) on both encode and
-decode, multiple IDAT chunks, CRC validation.  Everything else
-(palette, 16-bit, Adam7 interlace) raises ``ValueError`` — the decode
-kernels treat that as a corrupt/unsupported payload and skip the row.
+greyscale (color type 0), RGB (2), RGBA (6) and palette (3, the web
+PNG8 shape — bit depths 1/2/4/8, PLTE + optional tRNS alpha,
+expanded to RGB/RGBA on decode), non-interlaced, all five scanline
+filters (None/Sub/Up/Average/Paeth) on both encode and decode,
+multiple IDAT chunks, CRC validation.  Everything else (16-bit,
+Adam7 interlace) raises ``ValueError`` — the decode kernels treat
+that as a corrupt/unsupported payload and skip the row.
 
 Perf shape: filters None/Sub/Up decode fully vectorized (Sub is a
 cumsum mod 256 along the row); Average/Paeth fall back to a per-pixel
@@ -109,6 +111,79 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    depth: int = 8,
+    filter_type: int = 0,
+) -> bytes:
+    """Indexed PNG (color type 3): ``indices`` (h, w) uint8 into
+    ``palette`` (N, 3) uint8; ``trns`` (M,) uint8 alpha entries (M ≤
+    N) emits a tRNS chunk; ``depth`` 1/2/4/8 packs indices MSB-first.
+    Filters apply byte-wise over the packed rows (bpp = 1)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("indices must be (h, w), palette (N, 3)")
+    if not 1 <= len(pal) <= 256 or depth not in (1, 2, 4, 8):
+        raise ValueError("bad palette size or depth")
+    if (idx >= min(len(pal), 1 << depth)).any():
+        raise ValueError("index outside palette/depth range")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter {filter_type}")
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"empty image dimensions {w}x{h}")
+
+    if depth == 8:
+        packed = idx
+    else:
+        per = 8 // depth
+        pad_w = -w % per
+        padded = np.pad(idx, ((0, 0), (0, pad_w)))
+        bits = (
+            (padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        packed = np.packbits(bits.reshape(h, -1), axis=1)
+    stride = packed.shape[1]
+
+    flat = packed.astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, 1:] = flat[:, :-1]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, 1:] = flat[:-1, :-1]
+    if filter_type == 0:
+        filt = flat
+    elif filter_type == 1:
+        filt = flat - left
+    elif filter_type == 2:
+        filt = flat - up
+    elif filter_type == 3:
+        filt = flat - (left + up) // 2
+    else:
+        filt = flat - _paeth(left, up, ul)
+    filt = (filt % 256).astype(np.uint8)
+
+    raw = bytearray()
+    for r in range(h):
+        raw.append(filter_type)
+        raw += filt[r].tobytes()
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        t = np.asarray(trns, dtype=np.uint8)
+        if t.ndim != 1 or len(t) > len(pal):
+            raise ValueError("tRNS longer than palette")
+        out += _chunk(b"tRNS", t.tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (h, w, channels) uint8 array.  Raises ``ValueError``
     on anything outside the supported subset or any corruption (bad
@@ -117,6 +192,8 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos < len(data):
         if pos + 8 > len(data):
@@ -135,6 +212,10 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = body
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IEND":
             break
         pos += 12 + length
@@ -145,16 +226,21 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt_method, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in _COLOR_CHANNELS:
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported palette depth {depth}")
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("missing or malformed PLTE")
+    elif depth != 8 or color not in _COLOR_CHANNELS:
         raise ValueError(f"unsupported depth/color {depth}/{color}")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported compression/filter method")
     if interlace != 0:
         raise ValueError("Adam7 interlace not supported")
-    c = _COLOR_CHANNELS[color]
+    c = 3 if color == 3 else _COLOR_CHANNELS[color]
     if w <= 0 or h <= 0 or w * h * c > MAX_COMPONENTS:
         raise ValueError(f"image dimensions {w}x{h} out of range")
-    stride = w * c
+    stride = (w * depth + 7) // 8 if color == 3 else w * c
     expected = h * (stride + 1)
     # bounded inflate: dims are known BEFORE decompression, so a
     # crafted decompression bomb (tiny zlib stream expanding to GBs)
@@ -175,7 +261,9 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("bad scanline filter byte")
     filt = arr[:, 1:].astype(np.int16)
     recon = np.zeros((h, stride), dtype=np.int16)
-    bpp = c
+    # filters operate on BYTES: for palette rows (possibly sub-byte
+    # packed) the spec's bpp rounds up to one byte
+    bpp = 1 if color == 3 else c
     prev = np.zeros(stride, dtype=np.int16)
     for r in range(h):
         ft = int(ftypes[r])
@@ -183,7 +271,9 @@ def decode_png(data: bytes) -> np.ndarray:
         if ft == 0:
             rec = row.copy()
         elif ft == 1:  # Sub: cumsum mod 256 per channel phase
-            acc = row.astype(np.int64).reshape(w, bpp)  # int64: cumsum > int16
+            # int64: cumsum > int16; (stride//bpp, bpp) == (w, c) for
+            # direct-color rows, (row_bytes, 1) for packed palette rows
+            acc = row.astype(np.int64).reshape(stride // bpp, bpp)
             np.cumsum(acc, axis=0, out=acc)
             rec = (acc % 256).astype(np.int16).reshape(stride)
         elif ft == 2:  # Up
@@ -205,4 +295,32 @@ def decode_png(data: bytes) -> np.ndarray:
                 rec[x] = (row[x] + pred) % 256
         recon[r] = rec
         prev = rec
-    return recon.astype(np.uint8).reshape(h, w, c)
+    out = recon.astype(np.uint8)
+    if color != 3:
+        return out.reshape(h, w, c)
+    # palette expansion: unpack indices (MSB-first sub-byte packing),
+    # look up PLTE; a tRNS chunk adds per-entry alpha (absent entries
+    # fully opaque) and upgrades the output to RGBA
+    if depth == 8:
+        idx = out
+    else:
+        bits = np.unpackbits(out, axis=1)
+        per = 8 // depth
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        idx = (
+            bits[:, : stride * 8]
+            .reshape(h, stride * per, depth)
+            .dot(weights)
+            .astype(np.uint8)
+        )
+    idx = idx[:, :w]
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if (idx >= len(pal)).any():
+        raise ValueError("palette index out of range")
+    rgb = pal[idx]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(pal), 255, dtype=np.uint8)
+    n = min(len(trns), len(pal))
+    alpha[:n] = np.frombuffer(trns[:n], dtype=np.uint8)
+    return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)

@@ -27,7 +27,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.functions.jpeg import decode_jpeg, encode_jpeg
-from accountant_pdf_extract_spark.functions.png import PNG_SIG, decode_png, encode_png
+from accountant_pdf_extract_spark.functions.png import (
+    PNG_SIG,
+    decode_png,
+    encode_png,
+    encode_png_palette,
+)
 from accountant_pdf_extract_spark.functions.tiff import decode_tiff, encode_tiff
 from accountant_pdf_extract_spark.functions.wav import decode_wav, encode_wav
 
@@ -88,10 +93,30 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     # vectorized paths), baseline 4:2:0 JPEG,
                     # progressive (SOF2) JPEG, PackBits grayscale TIFF,
                     # big-endian bilevel TIFF, CCITT Group 4 TIFF (the
-                    # scanned-fax shapes) and Adobe YCCK CMYK JPEG
-                    # (the print-workflow shape) — the web-sourced mix
-                    fmt = int(i) % 8
-                    if fmt == 7:
+                    # scanned-fax shapes), Adobe YCCK CMYK JPEG (the
+                    # print-workflow shape) and 4-bit palette PNG
+                    # (the web PNG8 shape) — the web-sourced mix
+                    fmt = int(i) % 9
+                    if fmt == 8:
+                        px3 = _synth_pixels(w, h, int(i))
+                        # 16-color palette: quantize the synth RGB to
+                        # 4-bit indices deterministically
+                        pal = np.stack(
+                            [np.arange(16) * 17] * 3, axis=1
+                        ).astype(np.uint8)
+                        idx = (
+                            px3.mean(axis=2) / 16.0
+                        ).astype(np.uint8).clip(0, 15)
+                        payload = encode_png_palette(
+                            idx, pal, depth=4,
+                            trns=(
+                                np.arange(16, dtype=np.uint8) * 16
+                                if int(i) % 18 == 8
+                                else None
+                            ),
+                            filter_type=int(i) % 3,
+                        )
+                    elif fmt == 7:
                         px3 = _synth_pixels(w, h, int(i)).astype(np.float64)
                         # derive smooth ink values from the RGB synth
                         # (K from darkness, CMY from the channels)

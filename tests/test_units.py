@@ -553,6 +553,67 @@ def test_png_rejects_unsupported_and_corrupt():
         decode_png(deep)
 
 
+def test_png_palette_roundtrip_and_trns():
+    """Color type 3 (web PNG8): depths 1/2/4/8 pack MSB-first, any
+    scanline filter byte-wise over the packed rows; decode expands
+    through PLTE (and tRNS → RGBA); out-of-range indices and a
+    missing PLTE reject with ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from accountant_pdf_extract_spark.functions.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4, 8):
+        for ft in (0, 1, 2, 3, 4):
+            h, w = 13, 29
+            npal = min(1 << depth, 17)
+            pal = rng.integers(0, 256, (npal, 3), np.uint8)
+            idx = rng.integers(0, npal, (h, w), np.uint8)
+            out = decode_png(
+                encode_png_palette(idx, pal, depth=depth, filter_type=ft)
+            )
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out, pal[idx]), (depth, ft)
+    # tRNS upgrades to RGBA; entries past the table are opaque
+    pal = rng.integers(0, 256, (5, 3), np.uint8)
+    idx = rng.integers(0, 5, (9, 7), np.uint8)
+    out = decode_png(encode_png_palette(
+        idx, pal, trns=np.array([0, 128, 255], np.uint8), depth=4,
+    ))
+    assert out.shape == (9, 7, 4)
+    alpha = np.array([0, 128, 255, 255, 255], np.uint8)
+    assert np.array_equal(out[..., 3], alpha[idx])
+    # encoder refuses an index outside the palette/depth
+    with pytest.raises(ValueError, match="palette"):
+        encode_png_palette(np.full((4, 4), 3, np.uint8), pal[:3])
+    # decoder refuses an index beyond PLTE (handcrafted: 1 entry,
+    # index 1) and a palette file without PLTE
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(bytes([0, 0, 1]))  # filter 0, indices 0,1
+    bad = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x10\x20\x30")
+        + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    no_plte = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+
 def test_wav_roundtrip_mono_stereo():
     import numpy as np
     import pytest

@@ -822,12 +822,13 @@ def _encrypt_obj_body(
     )
 
 
-def _emit_encrypted(objs: list[str], mode: str) -> str:
-    """Classic layout with /Filter /Standard encryption (empty user +
-    owner passwords): every object encrypted per-object, encrypt dict
-    appended, classic xref table + trailer with /Encrypt and /ID.
-    Modes: ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3), ``aes-128``
-    (V4/R4 /CFM /AESV2), ``aes-256`` (V5/R6 /CFM /AESV3)."""
+def _enc_materials(seed: bytes, mode: str) -> tuple[bytes, bytes, str]:
+    """(id0, file key, /Encrypt dict body) for one deterministic
+    attempt ``seed`` of a standard-security emission.  Modes:
+    ``rc4-40`` (V1/R2), ``rc4-128`` (V2/R3), ``aes-128`` (V4/R4
+    /CFM /AESV2), ``aes-256`` (V5/R6 /CFM /AESV3).  R6 keys/salts are
+    random per the spec — deterministic here for reproducible
+    fixtures."""
     import hashlib
 
     from accountant_pdf_extract_spark.functions import pdfcrypt
@@ -842,58 +843,16 @@ def _emit_encrypted(objs: list[str], mode: str) -> str:
         "aes-256": (5, 6),
     }[mode]
     p = -44
-    o_val = b"" if v == 5 else pdfcrypt.owner_value(b"", b"", r, bits)
-    enc_num = len(objs) + 1
-    enc_bodies: list[str] = []
-    id0 = b""
-    fkey = b""
-    u_val = o_val
-    ue_val = oe_val = perms = b""
-    for attempt in range(64):
-        seed = ("\n".join(objs) + f"|{mode}|{attempt}").encode("latin-1")
-        id0 = hashlib.md5(seed).digest()
-        if v == 5:
-            # R6: the file key is random per the spec — deterministic
-            # here for reproducible fixtures; salts likewise
-            fkey = hashlib.md5(seed + b"K0").digest() + hashlib.md5(
-                seed + b"K1"
-            ).digest()
-            vs = hashlib.md5(seed + b"VS").digest()[:8]
-            ks = hashlib.md5(seed + b"KS").digest()[:8]
-            u_val, ue_val = pdfcrypt.r6_user_entries(fkey, vs, ks)
-            o_val, oe_val = pdfcrypt.r6_owner_entries(
-                fkey, u_val, vs, ks
-            )
-            perms = pdfcrypt.r6_perms(fkey, p)
-        else:
-            fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
-        enc_bodies = []
-        ok = True
-        for i, body in enumerate(objs, start=1):
-            if mode == "aes-256":
-                okey: bytes = fkey
-            elif mode == "aes-128":
-                okey = pdfcrypt.object_key_aes(fkey, i)
-            else:
-                okey = pdfcrypt.object_key(fkey, i)
-            eb = _encrypt_obj_body(
-                body,
-                okey,
-                aes_ivseed=(
-                    id0 + i.to_bytes(4, "little")
-                    if mode.startswith("aes")
-                    else None
-                ),
-            )
-            if eb is None:
-                ok = False
-                break
-            enc_bodies.append(eb)
-        if ok:
-            break
-    else:  # pragma: no cover — 64 independent keys all colliding
-        raise ValueError("could not find a marker-safe /ID")
+    id0 = hashlib.md5(seed).digest()
     if v == 5:
+        fkey = hashlib.md5(seed + b"K0").digest() + hashlib.md5(
+            seed + b"K1"
+        ).digest()
+        vs = hashlib.md5(seed + b"VS").digest()[:8]
+        ks = hashlib.md5(seed + b"KS").digest()[:8]
+        u_val, ue_val = pdfcrypt.r6_user_entries(fkey, vs, ks)
+        o_val, oe_val = pdfcrypt.r6_owner_entries(fkey, u_val, vs, ks)
+        perms = pdfcrypt.r6_perms(fkey, p)
         enc_dict = (
             "<< /Filter /Standard /V 5 /R 6 /Length 256 "
             "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
@@ -902,8 +861,11 @@ def _emit_encrypted(objs: list[str], mode: str) -> str:
             f"/OE <{oe_val.hex().upper()}> /UE <{ue_val.hex().upper()}> "
             f"/Perms <{perms.hex().upper()}> /P {p} >>"
         )
-    elif v == 4:
-        u_val = pdfcrypt.user_value(fkey, id0, r)
+        return id0, fkey, enc_dict
+    o_val = pdfcrypt.owner_value(b"", b"", r, bits)
+    fkey = pdfcrypt.file_key(o_val, p, id0, r, bits)
+    u_val = pdfcrypt.user_value(fkey, id0, r)
+    if v == 4:
         enc_dict = (
             "<< /Filter /Standard /V 4 /R 4 /Length 128 "
             "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -912,12 +874,56 @@ def _emit_encrypted(objs: list[str], mode: str) -> str:
             f"/P {p} >>"
         )
     else:
-        u_val = pdfcrypt.user_value(fkey, id0, r)
         length_part = f"/Length {bits} " if v == 2 else ""
         enc_dict = (
             f"<< /Filter /Standard /V {v} /R {r} {length_part}"
             f"/O <{o_val.hex().upper()}> /U <{u_val.hex().upper()}> /P {p} >>"
         )
+    return id0, fkey, enc_dict
+
+
+def _enc_okey_iv(
+    mode: str, fkey: bytes, num: int, id0: bytes
+) -> tuple[bytes, bytes | None]:
+    """(object key, AES IV seed or None) for object ``num``."""
+    from accountant_pdf_extract_spark.functions import pdfcrypt
+
+    if mode == "aes-256":
+        okey: bytes = fkey
+    elif mode == "aes-128":
+        okey = pdfcrypt.object_key_aes(fkey, num)
+    else:
+        okey = pdfcrypt.object_key(fkey, num)
+    ivseed = (
+        id0 + num.to_bytes(4, "little") if mode.startswith("aes") else None
+    )
+    return okey, ivseed
+
+
+def _emit_encrypted(objs: list[str], mode: str) -> str:
+    """Classic layout with /Filter /Standard encryption (empty user +
+    owner passwords): every object encrypted per-object, encrypt dict
+    appended, classic xref table + trailer with /Encrypt and /ID."""
+    enc_num = len(objs) + 1
+    enc_bodies: list[str] = []
+    id0 = b""
+    enc_dict = ""
+    for attempt in range(64):
+        seed = ("\n".join(objs) + f"|{mode}|{attempt}").encode("latin-1")
+        id0, fkey, enc_dict = _enc_materials(seed, mode)
+        enc_bodies = []
+        ok = True
+        for i, body in enumerate(objs, start=1):
+            okey, ivseed = _enc_okey_iv(mode, fkey, i, id0)
+            eb = _encrypt_obj_body(body, okey, aes_ivseed=ivseed)
+            if eb is None:
+                ok = False
+                break
+            enc_bodies.append(eb)
+        if ok:
+            break
+    else:  # pragma: no cover — 64 independent keys all colliding
+        raise ValueError("could not find a marker-safe /ID")
     out = ["%PDF-1.4\n"]
     byte_pos = len("%PDF-1.4\n")
     offs: dict[int, int] = {}
@@ -984,14 +990,19 @@ def build_pdf(
     ``form_fields`` = [(name, value), ...] adds an /AcroForm with one
     terminal /FT /Tx field per pair (direct /T and /V text strings;
     UTF-16BE hex + BOM when the value needs it).
-    ``encrypt`` = ``"rc4-40"`` (V1/R2) or ``"rc4-128"`` (V2/R3)
-    emits a standard-security-encrypted file with EMPTY user and
-    owner passwords (the common e-mailed-invoice case): per-object
-    RC4 over every stream payload (after compression) and dict-part
-    string, a /Filter /Standard encrypt dict, classic xref table and
-    a trailer with /Encrypt + /ID.  The /ID re-rolls deterministically
-    if ciphertext collides with a structural marker.  Classic layout
-    only (objstm/hybrid + encryption raises)."""
+    ``encrypt`` = ``"rc4-40"`` (V1/R2), ``"rc4-128"`` (V2/R3),
+    ``"aes-128"`` (V4/R4) or ``"aes-256"`` (V5/R6) emits a
+    standard-security-encrypted file with EMPTY user and owner
+    passwords (the common e-mailed-invoice case): per-object cipher
+    over every stream payload (after compression) and dict-part
+    string, a /Filter /Standard encrypt dict, and /Encrypt + /ID on
+    the trailer.  The /ID re-rolls deterministically if ciphertext
+    collides with a structural marker.  With ``objstm``/``hybrid``
+    (the modern Acrobat default, §7.5.8.2): the ObjStm's COMPRESSED
+    payload encrypts as one stream (strings inside packed objects are
+    NOT separately encrypted), the xref stream and /Encrypt dict stay
+    plaintext, and /Encrypt + /ID ride the xref-stream dict (and the
+    hybrid trailer)."""
     objs: list[str] = []  # objs[i] = body of object i+1
     is_dict_only: list[bool] = []  # eligible for ObjStm packing
 
@@ -1297,9 +1308,7 @@ def build_pdf(
 
     if hybrid:
         objstm = True  # hybrid rides the ObjStm + xref-stream machinery
-    if encrypt is not None:
-        if objstm:
-            raise ValueError("encryption supports the classic layout only")
+    if encrypt is not None and not objstm:
         return _emit_encrypted(objs, encrypt)
     if not objstm:
         out = ["%PDF-1.4"]
@@ -1311,8 +1320,11 @@ def build_pdf(
     # ---- PDF 1.5 layout: ObjStm + XRef stream ------------------------
     packed = [i + 1 for i, d in enumerate(is_dict_only) if d]
     top = [i + 1 for i, d in enumerate(is_dict_only) if not d]
-    objstm_num = len(objs) + 1
-    xref_num = len(objs) + 2
+    # encrypted 1.5 layout (the modern Acrobat default): the /Encrypt
+    # dict rides as an extra TOP-LEVEL object (never packed, §7.5.8.2)
+    enc_num = len(objs) + 1 if encrypt is not None else None
+    objstm_num = len(objs) + (2 if encrypt is not None else 1)
+    xref_num = objstm_num + 1
 
     bodies = [objs[n - 1] for n in packed]
     offsets: list[int] = []
@@ -1349,6 +1361,48 @@ def build_pdf(
             f"stream\n{objstm_payload}endstream"
         )
 
+    # ---- encrypted 1.5 layout (§7.5.8.2 / §7.6.2) --------------------
+    # Top-level objects encrypt per object; the ObjStm's COMPRESSED
+    # payload encrypts as one stream under its own object key (the
+    # strings inside packed objects ride the stream's protection and
+    # are NOT separately encrypted); the xref stream and the /Encrypt
+    # dict stay plaintext.  The /ID re-rolls on ciphertext marker
+    # collisions, exactly like the classic path.
+    top_bodies: dict[int, str] = {n: objs[n - 1] for n in top}
+    enc_dict = ""
+    xref_enc_extra = ""
+    if encrypt is not None:
+        for attempt in range(64):
+            seed = (
+                "\n".join(objs) + f"|{encrypt}|objstm|{attempt}"
+            ).encode("latin-1")
+            id0, fkey, enc_dict = _enc_materials(seed, encrypt)
+            enc_top: dict[int, str] = {}
+            ok = True
+            for n in top:
+                okey, ivseed = _enc_okey_iv(encrypt, fkey, n, id0)
+                eb = _encrypt_obj_body(objs[n - 1], okey, aes_ivseed=ivseed)
+                if eb is None:
+                    ok = False
+                    break
+                enc_top[n] = eb
+            if ok:
+                okey, ivseed = _enc_okey_iv(encrypt, fkey, objstm_num, id0)
+                enc_objstm = _encrypt_obj_body(
+                    objstm_body, okey, aes_ivseed=ivseed
+                )
+                ok = enc_objstm is not None
+            if ok:
+                break
+        else:  # pragma: no cover — 64 independent keys all colliding
+            raise ValueError("could not find a marker-safe /ID")
+        top_bodies = enc_top
+        objstm_body = enc_objstm
+        idh = id0.hex().upper()
+        xref_enc_extra = (
+            f"/Encrypt {enc_num} 0 R /ID [ <{idh}> <{idh}> ] "
+        )
+
     # serialize top-level objects, tracking byte offsets for the xref
     out_parts: list[str] = ["%PDF-1.5\n"]
     byte_pos = len("%PDF-1.5\n")
@@ -1362,7 +1416,9 @@ def build_pdf(
         byte_pos += len(s.encode("latin-1"))
 
     for n in top:
-        emit_obj(n, objs[n - 1])
+        emit_obj(n, top_bodies[n])
+    if enc_num is not None:
+        emit_obj(enc_num, enc_dict)
     emit_obj(objstm_num, objstm_body)
 
     # XRef stream: W=[1 4 2]; entries for objects 0..xref_num.
@@ -1381,7 +1437,7 @@ def build_pdf(
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     xref_dict = (
         f"/Type /XRef /Size {size} /W [ 1 4 2 ] /Index [ 0 {size} ] "
-        "/Root 1 0 R "
+        f"/Root 1 0 R {xref_enc_extra}"
     )
     if predictor:
         # predictor-12 rows of sum(W)=7 bytes — Acrobat's xref layout
@@ -1422,7 +1478,9 @@ def build_pdf(
             table.append(f"{obj_offset[num]:010d} 00000 n ")
     out_parts.append(
         "\n".join(table)
-        + f"\ntrailer\n<< /Size {size} /Root 1 0 R /XRefStm {xref_off} >>\n"
+        + f"\ntrailer\n<< /Size {size} /Root 1 0 R "
+        + xref_enc_extra
+        + f"/XRefStm {xref_off} >>\n"
         + f"startxref\n{classic_off}\n%%EOF\n"
     )
     return "".join(out_parts)

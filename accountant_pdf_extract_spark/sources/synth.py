@@ -375,19 +375,19 @@ def make_invoice_pdf(
             None if len(pages) % 3 == 0
             else {1: "hex", 3: "a85", 5: "rle"}.get(due.day % 7)
         ),
-        # ~half of classic-layout docs are standard-security encrypted
-        # with an empty user password (the e-mailed-invoice case):
-        # base months 1/7 → RC4-40 (V1/R2), 2/8 → RC4-128 (V2/R3),
-        # 3/9 → AES-128 (V4/R4 /CFM /AESV2); keyed off the
-        # already-drawn invoice date, no rng draw.  AES-256 (V5/R6)
-        # stays unit-fixture-only: the oracle's independent
-        # Algorithm-2.B KDF is seconds per doc by design (bitwise
-        # textbook AES), which would dominate the randomized audit.
-        encrypt=(
-            None if len(pages) % 5 == 1
-            else {1: "rc4-40", 2: "rc4-128", 3: "aes-128"}.get(
-                base.month % 6
-            )
+        # ~half of ALL docs are standard-security encrypted with an
+        # empty user password (the e-mailed-invoice case): base
+        # months 1/7 → RC4-40 (V1/R2), 2/8 → RC4-128 (V2/R3), 3/9 →
+        # AES-128 (V4/R4 /CFM /AESV2); keyed off the already-drawn
+        # invoice date, no rng draw.  PDF-1.5 docs (objstm/hybrid)
+        # encrypt in the modern Acrobat layout since r5 — encrypted
+        # ObjStm payload, plaintext xref stream, /Encrypt on the xref
+        # dict.  AES-256 (V5/R6) stays unit-fixture-only: the
+        # oracle's independent Algorithm-2.B KDF is seconds per doc
+        # by design (bitwise textbook AES), which would dominate the
+        # randomized audit.
+        encrypt={1: "rc4-40", 2: "rc4-128", 3: "aes-128"}.get(
+            base.month % 6
         ),
     )
 

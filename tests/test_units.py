@@ -1188,6 +1188,36 @@ def test_encrypted_rc4_roundtrip_matches_oracle():
         assert pdfcrypt.rc4(fk, pdfcrypt.rc4(fk, d)) == d
 
 
+def test_encrypted_objstm_hybrid_layouts():
+    """Encrypted PDF-1.5 (the modern Acrobat default, §7.5.8.2):
+    the ObjStm's compressed payload encrypts as ONE stream (strings
+    inside packed objects not separately encrypted), the xref stream
+    and /Encrypt dict stay plaintext, /Encrypt + /ID ride the
+    xref-stream dict (and the hybrid trailer); engine ≡ oracle ≡ the
+    unencrypted doc across RC4/AES, plain/predictor, 1.5/hybrid."""
+    from tests.oracle import oracle_extract
+
+    pages, font = _font_pages()
+    base = build_pdf(pages, objstm=True, font=font)
+    e0, f0 = extract_doc([("pdf", base, "", 0)])
+    assert e0, "objstm base doc must extract"
+    for mode in ("rc4-128", "aes-128"):
+        for hybrid in (False, True):
+            for predictor in (False, True):
+                enc = build_pdf(
+                    pages, objstm=True, hybrid=hybrid,
+                    predictor=predictor, font=font, encrypt=mode,
+                )
+                assert "/Type /XRef" in enc and "/Encrypt" in enc
+                # page text must not be readable raw (it lives in an
+                # encrypted content stream / ObjStm)
+                assert "INVOICE" not in enc
+                e1, f1 = extract_doc([("pdf", enc, "", 0)])
+                o1, of1 = oracle_extract([("pdf", enc, "", 0)])
+                assert e1 == e0 == o1, (mode, hybrid, predictor)
+                assert f1 == f0 == of1, (mode, hybrid, predictor)
+
+
 def test_encrypted_unreadable_degrades_to_zero_pages():
     """Wrong password, AES (/V 4), non-Standard filters and malformed
     encrypt dicts must degrade to a ZERO-PAGE document (never RC4
@@ -1975,11 +2005,11 @@ def test_encrypted_aes_malformed_degrades():
     e_full, _ = extract_doc([("pdf", enc4, "", 0)])
     o_full, _ = oracle_extract([("pdf", enc4, "", 0)])
     assert e_full == o_full and e_full  # sanity: doc is readable
-    # writer refuses encryption over the 1.5 layout (classic only)
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        build_pdf([pg], objstm=True, encrypt="aes-128")
+    # encryption over the 1.5 layout is supported since r5 — the
+    # combo has its own test (test_encrypted_objstm_hybrid_layouts);
+    # here just pin that it emits the xref-stream shape
+    enc15 = build_pdf([pg], objstm=True, encrypt="aes-128")
+    assert "/Type /XRef" in enc15 and "/Encrypt" in enc15
 
 
 def test_hybrid_xref_layout_matches_oracle():

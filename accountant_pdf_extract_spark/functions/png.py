@@ -3,11 +3,12 @@
 Supports the subset a training-data thumbnail pipeline needs: 8-bit
 greyscale (color type 0), RGB (2), RGBA (6) and palette (3, the web
 PNG8 shape — bit depths 1/2/4/8, PLTE + optional tRNS alpha,
-expanded to RGB/RGBA on decode), non-interlaced, all five scanline
-filters (None/Sub/Up/Average/Paeth) on both encode and decode,
-multiple IDAT chunks, CRC validation.  Everything else (16-bit,
-Adam7 interlace) raises ``ValueError`` — the decode kernels treat
-that as a corrupt/unsupported payload and skip the row.
+expanded to RGB/RGBA on decode), both interlace methods (0 = none,
+1 = Adam7 — the seven passes defilter independently and scatter into
+place), all five scanline filters (None/Sub/Up/Average/Paeth) on
+both encode and decode, multiple IDAT chunks, CRC validation.
+Everything else (16-bit) raises ``ValueError`` — the decode kernels
+treat that as a corrupt/unsupported payload and skip the row.
 
 Perf shape: filters None/Sub/Up decode fully vectorized (Sub is a
 cumsum mod 256 along the row); Average/Paeth fall back to a per-pixel
@@ -41,6 +42,77 @@ _CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
 # defense did not hold.
 MAX_COMPONENTS = 1 << 26
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _defilter_pass(
+    arr: np.ndarray, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """One (sub-)image's scanlines (h, stride+1 with leading filter
+    bytes) → reconstructed (h, stride) uint8.  Filters reference only
+    rows of the SAME pass (PNG §9: each interlace pass filters
+    independently)."""
+    ftypes = arr[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError("bad scanline filter byte")
+    filt = arr[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        ft = int(ftypes[r])
+        row = filt[r]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub: cumsum mod 256 per channel phase
+            # int64: cumsum > int16; (stride//bpp, bpp) == (w, c) for
+            # direct-color rows, (row_bytes, 1) for packed palette rows
+            acc = row.astype(np.int64).reshape(stride // bpp, bpp)
+            np.cumsum(acc, axis=0, out=acc)
+            rec = (acc % 256).astype(np.int16).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average — left-sequential
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        else:  # Paeth — left-sequential
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (row[x] + pred) % 256
+        recon[r] = rec
+        prev = rec
+    return recon.astype(np.uint8)
+
+
+def _unpack_indices(
+    rec: np.ndarray, w: int, depth: int
+) -> np.ndarray:
+    """Packed palette rows (h, row_bytes) → (h, w) uint8 indices
+    (MSB-first sub-byte packing)."""
+    if depth == 8:
+        return rec[:, :w]
+    h, rb = rec.shape
+    bits = np.unpackbits(rec, axis=1)
+    per = 8 // depth
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (
+        bits[:, : rb * 8]
+        .reshape(h, rb * per, depth)
+        .dot(weights)
+        .astype(np.uint8)[:, :w]
+    )
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -60,25 +132,9 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
-    """8-bit PNG bytes from a (h, w) grey or (h, w, 3|4) uint8 array,
-    every scanline filtered with ``filter_type`` (0..4)."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
-    if px.ndim != 3 or px.shape[2] not in _CHANNELS_COLOR:
-        raise ValueError(f"unsupported pixel shape {px.shape}")
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"bad filter {filter_type}")
-    h, w, c = px.shape
-    if h == 0 or w == 0:
-        # a zero-dim PNG is an artifact our own decoder (and the spec)
-        # rejects — refuse to emit it rather than producing bytes the
-        # pipeline later classifies as corrupt
-        raise ValueError(f"empty image dimensions {w}x{h}")
-    bpp = c  # bytes per pixel at bit depth 8
-
-    flat = px.reshape(h, w * c).astype(np.int16)
+def _filter_rows(flat: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
+    """Apply one scanline filter to a pass's rows ((h, stride) int16
+    → (h, stride) uint8).  Filter references stay inside the pass."""
     left = np.zeros_like(flat)
     left[:, bpp:] = flat[:, :-bpp]
     up = np.zeros_like(flat)
@@ -95,14 +151,50 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
         filt = flat - (left + up) // 2
     else:
         filt = flat - _paeth(left, up, ul)
-    filt = (filt % 256).astype(np.uint8)
+    return (filt % 256).astype(np.uint8)
 
-    raw = bytearray()
-    for r in range(h):
+
+def _emit_rows(raw: bytearray, filt: np.ndarray, filter_type: int) -> None:
+    for r in range(filt.shape[0]):
         raw.append(filter_type)
         raw += filt[r].tobytes()
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _CHANNELS_COLOR[c], 0, 0, 0)
+
+def encode_png(
+    pixels: np.ndarray, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """8-bit PNG bytes from a (h, w) grey or (h, w, 3|4) uint8 array,
+    every scanline filtered with ``filter_type`` (0..4);
+    ``interlace=True`` emits Adam7 (each pass filtered
+    independently)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in _CHANNELS_COLOR:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter {filter_type}")
+    h, w, c = px.shape
+    if h == 0 or w == 0:
+        # a zero-dim PNG is an artifact our own decoder (and the spec)
+        # rejects — refuse to emit it rather than producing bytes the
+        # pipeline later classifies as corrupt
+        raise ValueError(f"empty image dimensions {w}x{h}")
+    bpp = c  # bytes per pixel at bit depth 8
+
+    raw = bytearray()
+    grid = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in grid:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty pass contributes no bytes
+        flat = sub.reshape(ph, pw * c).astype(np.int16)
+        _emit_rows(raw, _filter_rows(flat, bpp, filter_type), filter_type)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, _CHANNELS_COLOR[c], 0, 0, int(interlace)
+    )
     return (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -111,17 +203,32 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _pack_indices(idx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) indices → (h, row_bytes) MSB-first packed rows."""
+    if depth == 8:
+        return idx
+    h, w = idx.shape
+    per = 8 // depth
+    padded = np.pad(idx, ((0, 0), (0, -w % per)))
+    bits = (
+        (padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
 def encode_png_palette(
     indices: np.ndarray,
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     depth: int = 8,
     filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Indexed PNG (color type 3): ``indices`` (h, w) uint8 into
     ``palette`` (N, 3) uint8; ``trns`` (M,) uint8 alpha entries (M ≤
     N) emits a tRNS chunk; ``depth`` 1/2/4/8 packs indices MSB-first.
-    Filters apply byte-wise over the packed rows (bpp = 1)."""
+    Filters apply byte-wise over the packed rows (bpp = 1);
+    ``interlace=True`` emits Adam7 with per-pass packing."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
@@ -136,43 +243,16 @@ def encode_png_palette(
     if h == 0 or w == 0:
         raise ValueError(f"empty image dimensions {w}x{h}")
 
-    if depth == 8:
-        packed = idx
-    else:
-        per = 8 // depth
-        pad_w = -w % per
-        padded = np.pad(idx, ((0, 0), (0, pad_w)))
-        bits = (
-            (padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
-        ).astype(np.uint8)
-        packed = np.packbits(bits.reshape(h, -1), axis=1)
-    stride = packed.shape[1]
-
-    flat = packed.astype(np.int16)
-    left = np.zeros_like(flat)
-    left[:, 1:] = flat[:, :-1]
-    up = np.zeros_like(flat)
-    up[1:] = flat[:-1]
-    ul = np.zeros_like(flat)
-    ul[1:, 1:] = flat[:-1, :-1]
-    if filter_type == 0:
-        filt = flat
-    elif filter_type == 1:
-        filt = flat - left
-    elif filter_type == 2:
-        filt = flat - up
-    elif filter_type == 3:
-        filt = flat - (left + up) // 2
-    else:
-        filt = flat - _paeth(left, up, ul)
-    filt = (filt % 256).astype(np.uint8)
-
     raw = bytearray()
-    for r in range(h):
-        raw.append(filter_type)
-        raw += filt[r].tobytes()
+    grid = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in grid:
+        sub = idx[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = _pack_indices(sub, depth).astype(np.int16)
+        _emit_rows(raw, _filter_rows(flat, 1, filter_type), filter_type)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     out = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         t = np.asarray(trns, dtype=np.uint8)
@@ -235,13 +315,25 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported depth/color {depth}/{color}")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError("unknown interlace method")
     c = 3 if color == 3 else _COLOR_CHANNELS[color]
     if w <= 0 or h <= 0 or w * h * c > MAX_COMPONENTS:
         raise ValueError(f"image dimensions {w}x{h} out of range")
-    stride = (w * depth + 7) // 8 if color == 3 else w * c
-    expected = h * (stride + 1)
+    # filters operate on BYTES: for palette rows (possibly sub-byte
+    # packed) the spec's bpp rounds up to one byte
+    bpp = 1 if color == 3 else c
+    grid = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
+    spans = []  # (x0, y0, dx, dy, pw, ph, row_bytes)
+    expected = 0
+    for x0, y0, dx, dy in grid:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass: contributes NO bytes (PNG §8.2)
+        rb = (pw * depth + 7) // 8 if color == 3 else pw * c
+        spans.append((x0, y0, dx, dy, pw, ph, rb))
+        expected += ph * (rb + 1)
     # bounded inflate: dims are known BEFORE decompression, so a
     # crafted decompression bomb (tiny zlib stream expanding to GBs)
     # stops at expected+1 bytes instead of OOMing the executor
@@ -255,65 +347,23 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) != expected or d.unused_data:
         raise ValueError("IDAT size does not match dimensions")
 
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = arr[:, 0]
-    if (ftypes > 4).any():
-        raise ValueError("bad scanline filter byte")
-    filt = arr[:, 1:].astype(np.int16)
-    recon = np.zeros((h, stride), dtype=np.int16)
-    # filters operate on BYTES: for palette rows (possibly sub-byte
-    # packed) the spec's bpp rounds up to one byte
-    bpp = 1 if color == 3 else c
-    prev = np.zeros(stride, dtype=np.int16)
-    for r in range(h):
-        ft = int(ftypes[r])
-        row = filt[r]
-        if ft == 0:
-            rec = row.copy()
-        elif ft == 1:  # Sub: cumsum mod 256 per channel phase
-            # int64: cumsum > int16; (stride//bpp, bpp) == (w, c) for
-            # direct-color rows, (row_bytes, 1) for packed palette rows
-            acc = row.astype(np.int64).reshape(stride // bpp, bpp)
-            np.cumsum(acc, axis=0, out=acc)
-            rec = (acc % 256).astype(np.int16).reshape(stride)
-        elif ft == 2:  # Up
-            rec = (row + prev) % 256
-        elif ft == 3:  # Average — left-sequential
-            rec = np.empty(stride, dtype=np.int16)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
-        else:  # Paeth — left-sequential
-            rec = np.empty(stride, dtype=np.int16)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                cc = prev[x - bpp] if x >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                rec[x] = (row[x] + pred) % 256
-        recon[r] = rec
-        prev = rec
-    out = recon.astype(np.uint8)
+    full = np.zeros((h, w) if color == 3 else (h, w, c), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph, rb in spans:
+        arr = np.frombuffer(
+            raw[off : off + ph * (rb + 1)], dtype=np.uint8
+        ).reshape(ph, rb + 1)
+        off += ph * (rb + 1)
+        rec = _defilter_pass(arr, ph, rb, bpp)
+        if color == 3:
+            full[y0::dy, x0::dx] = _unpack_indices(rec, pw, depth)
+        else:
+            full[y0::dy, x0::dx] = rec.reshape(ph, pw, c)
     if color != 3:
-        return out.reshape(h, w, c)
-    # palette expansion: unpack indices (MSB-first sub-byte packing),
-    # look up PLTE; a tRNS chunk adds per-entry alpha (absent entries
-    # fully opaque) and upgrades the output to RGBA
-    if depth == 8:
-        idx = out
-    else:
-        bits = np.unpackbits(out, axis=1)
-        per = 8 // depth
-        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-        idx = (
-            bits[:, : stride * 8]
-            .reshape(h, stride * per, depth)
-            .dot(weights)
-            .astype(np.uint8)
-        )
-    idx = idx[:, :w]
+        return full
+    # palette expansion: look up PLTE; a tRNS chunk adds per-entry
+    # alpha (absent entries fully opaque) and upgrades to RGBA
+    idx = full
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if (idx >= len(pal)).any():
         raise ValueError("palette index out of range")

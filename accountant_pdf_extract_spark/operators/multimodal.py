@@ -162,9 +162,12 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                             progressive=True,
                         )
                     else:
+                        # ~1/5 of direct-color PNGs are Adam7
+                        # interlaced (the legacy web shape)
                         payload = encode_png(
                             _synth_pixels(w, h, int(i)),
                             filter_type=[0, 2][fmt],
+                            interlace=int(i) % 10 == 1,
                         )
                 rows.append(
                     {

@@ -534,8 +534,9 @@ def test_png_rejects_unsupported_and_corrupt():
         decode_png(bytes(bad_crc))
     with pytest.raises(ValueError, match="truncated"):
         decode_png(good[:-8])
-    # interlaced header must be rejected, not mis-decoded
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    # unknown interlace METHOD (2) must be rejected, not mis-decoded
+    # (method 1 = Adam7 is supported since r5)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
     raw = zlib.compress(bytes(4 * (1 + 12)))
     interlaced = (
         PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw)
@@ -543,6 +544,15 @@ def test_png_rejects_unsupported_and_corrupt():
     )
     with pytest.raises(ValueError, match="interlace"):
         decode_png(interlaced)
+    # an Adam7 file whose IDAT carries non-interlaced-sized data is a
+    # size mismatch, never garbage pixels
+    ihdr7 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    adam_bad = (
+        PNG_SIG + _chunk(b"IHDR", ihdr7) + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size"):
+        decode_png(adam_bad)
     # 16-bit depth rejected
     ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     deep = (
@@ -612,6 +622,46 @@ def test_png_palette_roundtrip_and_trns():
     )
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(no_plte)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 (interlace method 1): seven independently-filtered
+    passes scatter into place — lossless roundtrip across color
+    types, filters, palette depths, and sizes smaller than one pass
+    grid (empty passes contribute zero bytes, PNG §8.2)."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.png import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(17)
+    for (h, w) in [(1, 1), (3, 2), (7, 5), (8, 8), (23, 41)]:
+        for c in (1, 3, 4):
+            for ft in (0, 1, 2, 4):
+                px = rng.integers(0, 256, (h, w, c), np.uint8)
+                out = decode_png(
+                    encode_png(px, filter_type=ft, interlace=True)
+                )
+                assert out.shape == (h, w, c), (h, w, c, ft)
+                assert np.array_equal(out, px), (h, w, c, ft)
+    # interlaced ≡ non-interlaced pixels
+    px = rng.integers(0, 256, (19, 31, 3), np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(px, interlace=True)),
+        decode_png(encode_png(px)),
+    )
+    # palette + Adam7 (per-pass sub-byte packing)
+    for depth in (1, 4, 8):
+        npal = min(1 << depth, 11)
+        pal = rng.integers(0, 256, (npal, 3), np.uint8)
+        idx = rng.integers(0, npal, (13, 21), np.uint8)
+        out = decode_png(encode_png_palette(
+            idx, pal, depth=depth, filter_type=2, interlace=True,
+        ))
+        assert np.array_equal(out, pal[idx]), depth
 
 
 def test_wav_roundtrip_mono_stereo():

@@ -208,6 +208,53 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("jpeg: truncated structure") from e
 
 
+def _exif_orientation(tiff: bytes) -> int:
+    """Exif APP1 payload (a little TIFF) → Orientation tag 274 value
+    (1-8), defaulting to 1 on anything malformed or absent — a bad
+    Exif block must never fail an otherwise-valid JPEG."""
+    try:
+        if tiff[:2] == b"II":
+            e = "little"
+        elif tiff[:2] == b"MM":
+            e = "big"
+        else:
+            return 1
+        if int.from_bytes(tiff[2:4], e) != 42:
+            return 1
+        off = int.from_bytes(tiff[4:8], e)
+        count = int.from_bytes(tiff[off : off + 2], e)
+        for k in range(count):
+            p = off + 2 + 12 * k
+            tag = int.from_bytes(tiff[p : p + 2], e)
+            if tag == 274:
+                v = int.from_bytes(tiff[p + 8 : p + 10], e)
+                return v if 1 <= v <= 8 else 1
+        return 1
+    except (IndexError, ValueError):
+        return 1
+
+
+def _apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Rotate/flip decoded pixels into DISPLAY orientation (Exif tag
+    274 semantics, the browser behavior).  1 = no-op; 5-8 swap the
+    output dimensions."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1]
+    if orientation == 5:  # transpose (TL-BR diagonal)
+        return px.transpose(1, 0, 2)
+    if orientation == 6:  # rotate 90° CW
+        return np.rot90(px, -1)
+    if orientation == 7:  # transverse (transpose + 180°)
+        return np.rot90(px.transpose(1, 0, 2), 2)
+    if orientation == 8:  # rotate 90° CCW
+        return np.rot90(px, 1)
+    return px
+
+
 def _parse_dqt(seg: bytes, qt: dict) -> None:
     j = 0
     while j < len(seg):
@@ -245,6 +292,7 @@ def _decode_structure(data: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     adobe = -1  # APP14 color transform (-1 = no Adobe marker)
+    orientation = 1  # Exif tag 274 (1 = upright)
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -290,6 +338,9 @@ def _decode_structure(data: bytes) -> np.ndarray:
         elif marker == 0xEE:  # APP14: Adobe color-transform flag
             if seg[:5] == b"Adobe" and len(seg) >= 12:
                 adobe = seg[11]
+        elif marker == 0xE1:  # APP1: Exif orientation (tag 274)
+            if seg[:6] == b"Exif\x00\x00":
+                orientation = _exif_orientation(seg[6:])
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -302,18 +353,20 @@ def _decode_structure(data: bytes) -> np.ndarray:
                 raise ValueError("jpeg: SOS before SOF")
             frame["adobe"] = adobe
             if frame["progressive"]:
-                return _decode_progressive(
+                px = _decode_progressive(
                     data, i, seg, frame, qt, huff, restart_interval
                 )
+                return _apply_orientation(px, orientation)
             ns = seg[0]
             scan_tabs = {}
             for si in range(ns):
                 cid = seg[1 + 2 * si]
                 tsel = seg[2 + 2 * si]
                 scan_tabs[cid] = (tsel >> 4, tsel & 15)
-            return _decode_scan(
+            px = _decode_scan(
                 data, i, frame, qt, huff, scan_tabs, restart_interval
             )
+            return _apply_orientation(px, orientation)
         # APPn / COM / anything else: skipped
     raise ValueError("jpeg: no SOS marker")
 
@@ -1089,6 +1142,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     adobe_transform: int = 2,
+    exif_orientation: int | None = None,
 ) -> bytes:
     """(h, w) / (h, w, 1) grey, (h, w, 3) RGB or (h, w, 4) CMYK
     (ink values) uint8 → JPEG.
@@ -1166,6 +1220,19 @@ def encode_jpeg(
         planes = [pad[:, :, 0]]
 
     out = bytearray(b"\xff\xd8")  # SOI
+    if exif_orientation is not None:
+        if not 1 <= exif_orientation <= 8:
+            raise ValueError("exif_orientation must be 1-8")
+        # minimal Exif APP1: II TIFF, one IFD entry (tag 274 SHORT)
+        tiff = (
+            b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (274).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + exif_orientation.to_bytes(2, "little") + b"\x00\x00"
+            + b"\x00\x00\x00\x00"
+        )
+        out += _seg(0xE1, b"Exif\x00\x00" + tiff)
     if c == 4:
         # APP14: "Adobe", version 100, flags0/flags1 0, transform
         out += _seg(

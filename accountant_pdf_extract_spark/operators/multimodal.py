@@ -149,11 +149,18 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                             byte_order="MM",
                         )
                     elif fmt == 2:
+                        # phone-camera shape: some JPEGs carry an Exif
+                        # orientation the decoder must honor (180° —
+                        # dim-preserving — keeps the row's declared
+                        # width/height metadata truthful)
+                        pix = _synth_pixels(w, h, int(i))
+                        o3 = int(i) % 11 == 2
                         payload = encode_jpeg(
-                            _synth_pixels(w, h, int(i)),
+                            pix[::-1, ::-1] if o3 else pix,
                             subsampling="420",
                             # some JPEGs carry restart markers
                             restart_interval=4 if int(i) % 6 == 5 else 0,
+                            exif_orientation=3 if o3 else None,
                         )
                     elif fmt == 3:
                         payload = encode_jpeg(

@@ -2438,6 +2438,39 @@ def test_jpeg_flat_image_is_near_exact():
     assert np.abs(dec.astype(int) - flat.astype(int)).max() <= 2
 
 
+def test_jpeg_exif_orientation():
+    """Exif APP1 tag 274: all eight orientations rotate/flip decoded
+    pixels into display orientation (5-8 swap dims); a malformed Exif
+    block degrades to upright instead of failing the decode."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    flat = np.zeros((24, 40, 3), np.uint8)
+    flat[:12] = (200, 30, 60)
+    flat[:, :10] = (10, 180, 90)
+    base = decode_jpeg(encode_jpeg(flat, quality=95))
+    ops = {
+        1: lambda a: a,
+        2: lambda a: a[:, ::-1],
+        3: lambda a: a[::-1, ::-1],
+        4: lambda a: a[::-1],
+        5: lambda a: a.transpose(1, 0, 2),
+        6: lambda a: np.rot90(a, -1),
+        7: lambda a: np.rot90(a.transpose(1, 0, 2), 2),
+        8: lambda a: np.rot90(a, 1),
+    }
+    for o, op in ops.items():
+        out = decode_jpeg(encode_jpeg(flat, quality=95, exif_orientation=o))
+        assert np.array_equal(out, op(base)), o
+    enc = bytearray(encode_jpeg(flat, exif_orientation=6))
+    enc[enc.index(b"Exif\x00\x00") + 6] = 0x58  # corrupt byte order
+    assert decode_jpeg(bytes(enc)).shape == (24, 40, 3)
+
+
 def test_jpeg_cmyk_ycck_roundtrip():
     """Adobe 4-component JPEGs (APP14): transform 0 (inverted CMYK
     direct) and 2 (YCCK) both decode to the composited RGB —

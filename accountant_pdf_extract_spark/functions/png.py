@@ -1,14 +1,16 @@
 """From-scratch minimal PNG codec (no Pillow — stdlib zlib only).
 
-Supports the subset a training-data thumbnail pipeline needs: 8-bit
-greyscale (color type 0), RGB (2), RGBA (6) and palette (3, the web
-PNG8 shape — bit depths 1/2/4/8, PLTE + optional tRNS alpha,
-expanded to RGB/RGBA on decode), both interlace methods (0 = none,
-1 = Adam7 — the seven passes defilter independently and scatter into
-place), all five scanline filters (None/Sub/Up/Average/Paeth) on
-both encode and decode, multiple IDAT chunks, CRC validation.
-Everything else (16-bit) raises ``ValueError`` — the decode kernels
-treat that as a corrupt/unsupported payload and skip the row.
+Supports the subset a training-data thumbnail pipeline needs:
+greyscale (color type 0), RGB (2), grey+alpha (4), RGBA (6) at bit
+depth 8 or 16 (16-bit samples reduce to their high byte on decode —
+the standard 8-bit view) and palette (3, the web PNG8 shape — bit
+depths 1/2/4/8, PLTE + optional tRNS alpha, expanded to RGB/RGBA on
+decode), both interlace methods (0 = none, 1 = Adam7 — the seven
+passes defilter independently and scatter into place), all five
+scanline filters (None/Sub/Up/Average/Paeth) on both encode and
+decode, multiple IDAT chunks, CRC validation.  Anything else raises
+``ValueError`` — the decode kernels treat that as a
+corrupt/unsupported payload and skip the row.
 
 Perf shape: filters None/Sub/Up decode fully vectorized (Sub is a
 cumsum mod 256 along the row); Average/Paeth fall back to a per-pixel
@@ -27,8 +29,8 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}
-_CHANNELS_COLOR = {1: 0, 3: 2, 4: 6}
+_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
 
 # Decode refuses images above this pixel count (64 Mpx ≈ 200 MB RGB):
 # `expected` derives from the attacker-controlled IHDR, so without a
@@ -311,18 +313,22 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unsupported palette depth {depth}")
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("missing or malformed PLTE")
-    elif depth != 8 or color not in _COLOR_CHANNELS:
+    elif depth not in (8, 16) or color not in _COLOR_CHANNELS:
         raise ValueError(f"unsupported depth/color {depth}/{color}")
+    # 16-bit samples reduce to their HIGH byte (the standard 16→8
+    # view); samples are big-endian per PNG §7.1
+    sb = 2 if (depth == 16 and color != 3) else 1
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported compression/filter method")
     if interlace not in (0, 1):
         raise ValueError("unknown interlace method")
     c = 3 if color == 3 else _COLOR_CHANNELS[color]
-    if w <= 0 or h <= 0 or w * h * c > MAX_COMPONENTS:
+    if w <= 0 or h <= 0 or w * h * c * sb > MAX_COMPONENTS:
         raise ValueError(f"image dimensions {w}x{h} out of range")
     # filters operate on BYTES: for palette rows (possibly sub-byte
-    # packed) the spec's bpp rounds up to one byte
-    bpp = 1 if color == 3 else c
+    # packed) the spec's bpp rounds up to one byte; 16-bit samples
+    # double it
+    bpp = 1 if color == 3 else c * sb
     grid = ((0, 0, 1, 1),) if interlace == 0 else _ADAM7
     spans = []  # (x0, y0, dx, dy, pw, ph, row_bytes)
     expected = 0
@@ -331,7 +337,7 @@ def decode_png(data: bytes) -> np.ndarray:
         ph = (h - y0 + dy - 1) // dy
         if pw <= 0 or ph <= 0:
             continue  # empty pass: contributes NO bytes (PNG §8.2)
-        rb = (pw * depth + 7) // 8 if color == 3 else pw * c
+        rb = (pw * depth + 7) // 8 if color == 3 else pw * c * sb
         spans.append((x0, y0, dx, dy, pw, ph, rb))
         expected += ph * (rb + 1)
     # bounded inflate: dims are known BEFORE decompression, so a
@@ -357,6 +363,8 @@ def decode_png(data: bytes) -> np.ndarray:
         rec = _defilter_pass(arr, ph, rb, bpp)
         if color == 3:
             full[y0::dy, x0::dx] = _unpack_indices(rec, pw, depth)
+        elif sb == 2:  # 16-bit big-endian → high byte
+            full[y0::dy, x0::dx] = rec.reshape(ph, pw, c, 2)[..., 0]
         else:
             full[y0::dy, x0::dx] = rec.reshape(ph, pw, c)
     if color != 3:

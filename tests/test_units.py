@@ -553,14 +553,60 @@ def test_png_rejects_unsupported_and_corrupt():
     )
     with pytest.raises(ValueError, match="size"):
         decode_png(adam_bad)
-    # 16-bit depth rejected
-    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # 16-bit is supported since r5 — an odd depth must still reject
+    ihdr12 = struct.pack(">IIBBBBB", 4, 4, 12, 2, 0, 0, 0)
     deep = (
-        PNG_SIG + _chunk(b"IHDR", ihdr16) + _chunk(b"IDAT", raw)
+        PNG_SIG + _chunk(b"IHDR", ihdr12) + _chunk(b"IDAT", raw)
         + _chunk(b"IEND", b"")
     )
     with pytest.raises(ValueError, match="depth"):
         decode_png(deep)
+
+
+def test_png_16bit_and_gray_alpha():
+    """16-bit samples (big-endian) reduce to their HIGH byte on
+    decode — verified against a handcrafted Up-filtered file where
+    low bytes are noise; grey+alpha (color type 4) round-trips
+    through the encoder across filters and Adam7."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.png import (
+        PNG_SIG,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(21)
+    for ft in (0, 2, 4):
+        for il in (False, True):
+            px = rng.integers(0, 256, (11, 17, 2), np.uint8)
+            out = decode_png(encode_png(px, filter_type=ft, interlace=il))
+            assert out.shape == (11, 17, 2)
+            assert np.array_equal(out, px), (ft, il)
+    # 16-bit grey, Up filter over 2-byte samples (bpp = 2)
+    h, w = 4, 3
+    hi = rng.integers(0, 256, (h, w), np.uint8)
+    lo = rng.integers(0, 256, (h, w), np.uint8)
+    rows = np.stack([hi, lo], axis=-1).reshape(h, w * 2).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * 2, np.int16)
+    for r in range(h):
+        raw.append(2)
+        raw += ((rows[r] - prev) % 256).astype(np.uint8).tobytes()
+        prev = rows[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png16 = (
+        PNG_SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png16)
+    assert out.shape == (h, w, 1)
+    assert np.array_equal(out[..., 0], hi)
 
 
 def test_png_palette_roundtrip_and_trns():

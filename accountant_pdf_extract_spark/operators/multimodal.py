@@ -84,8 +84,13 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                 if modality == "audio":
                     rate = 8000
                     n_samp = max(1, min(rate, duration * rate // 1000))
+                    # rotate encodings: 16-bit PCM, G.711 μ-law (the
+                    # telephony shape), 8-bit PCM (dictaphone)
                     payload = encode_wav(
-                        _synth_samples(n_samp, int(i)), sample_rate=rate
+                        _synth_samples(n_samp, int(i)), sample_rate=rate,
+                        fmt=["pcm16", "mulaw", "pcm16", "pcm8"][
+                            int(i) % 4
+                        ],
                     )
                 else:
                     # rotate formats so every decode path runs in every

@@ -734,6 +734,44 @@ def test_wav_roundtrip_mono_stereo():
         decode_wav(encode_wav(mono)[:-11])
 
 
+def test_wav_mulaw_and_pcm8():
+    """G.711 μ-law (format 7) and 8-bit unsigned PCM expand to int16
+    on decode.  The μ-law table is G.711-self-consistent
+    (encode(decode(code)) == code for all codes except the negative-
+    zero alias 0x7F) and roundtrip error stays within the companding
+    segment step; pcm8 keeps exactly the high byte."""
+    import numpy as np
+
+    from accountant_pdf_extract_spark.functions.wav import (
+        _MULAW_DEC,
+        decode_wav,
+        encode_wav,
+        mulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    re_enc = mulaw_encode(_MULAW_DEC[codes])
+    assert all(re_enc[c] == c for c in range(256) if c != 0x7F)
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32767, size=2000, dtype=np.int16)
+    rate, got = decode_wav(encode_wav(x, 8000, fmt="mulaw"))
+    assert rate == 8000 and got.shape == (2000, 1)
+    err = np.abs(
+        got[:, 0].astype(int) - np.clip(x.astype(int), -32635, 32635)
+    )
+    bound = (np.abs(x.astype(int)) + 132) / 16 + 1
+    assert (err <= bound).all()
+
+    rate, g8 = decode_wav(encode_wav(x, 11025, fmt="pcm8"))
+    assert rate == 11025
+    assert np.array_equal(g8[:, 0], (x >> 8).astype(np.int16) << 8)
+
+    st = rng.integers(-30000, 30000, size=(50, 2), dtype=np.int16)
+    _, g = decode_wav(encode_wav(st, 8000, fmt="mulaw"))
+    assert g.shape == (50, 2)
+
+
 def test_png_bomb_and_short_structs_raise_valueerror():
     """Codec errors must surface as ValueError (the kernels' row-skip
     contract): decompression bombs are stopped at the declared size,

@@ -8,9 +8,11 @@ north-rule invariant (``BASELINE.json:15``): output spans are
 ``(kind, text, media_ref, order)`` with ``order`` the dense 0-based
 reading-order rank; kinds ``text``/``media`` survive, plus ``annot``,
 ``form``
-spans (value, field name) for AcroForm field values and
+spans (value, field name) for AcroForm field values,
 ``attachment`` spans (content, filename) for PDF embedded files —
-the ZUGFeRD/Factur-X hybrid-invoice shape.
+the ZUGFeRD/Factur-X hybrid-invoice shape — and ``meta`` spans
+(value, /Info key) for document-information metadata
+(Title/Author/CreationDate, §14.3.3).
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ def extract_doc(
                 # §1.1); a stray non-latin-1 char must degrade to '?'
                 # for that char only — never drop the whole document
                 # (the oracle applies the same replacement).
-                pages, forms, attachments, annots = parse_pdf_full(
+                pages, forms, attachments, annots, info = parse_pdf_full(
                     text.encode("latin-1", errors="replace")
                 )
                 for it in pdf_to_items(pages):
@@ -71,6 +73,11 @@ def extract_doc(
                     out.append(("form", value, name))
                 for name, content in attachments:
                     out.append(("attachment", content, name))
+                # document-information metadata trails everything
+                # (value in text, /Info key in media_ref); like the
+                # other non-page kinds it never feeds field extraction
+                for key, value in info:
+                    out.append(("meta", value, key))
         elif kind == "html":
             for block in strip_html(text):
                 out.append(("text", block, ""))

@@ -62,6 +62,7 @@ _PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 # standard security handler (ISO 32000-1 §7.6.3): the trailer's
 # /Encrypt reference, the file identifier, and the encrypt dict keys
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
 _SIGNED_INT_KEY_RE = {
     k: re.compile(rb"/" + k + rb"\s+(-?\d+)") for k in
@@ -816,6 +817,65 @@ def _text_string(raw: bytes) -> str:
     return raw.decode("latin-1", errors="replace")
 
 
+def _info_ref(data: bytes) -> int | None:
+    """The document-information dict's object number (§14.3.3) —
+    searched where the spec puts /Info: trailer dicts and /Type /XRef
+    stream dicts (same scoping rationale as _encrypt_ref)."""
+    if b"/Info" not in data:
+        return None
+    for tm in re.finditer(rb"trailer\b", data):
+        m = re.compile(rb"\s*<<").match(data, tm.end())
+        if m is None:
+            continue
+        em = _INFO_REF_RE.search(_balanced_dict(data, m.end() - 2))
+        if em:
+            return int(em.group(1))
+    for om in _OBJ_RE.finditer(data):
+        body = om.group(2)
+        sm = re.search(rb"stream\r?\n", body)
+        dict0 = body[: sm.start()] if sm else body
+        if b"/Type /XRef" in dict0:
+            em = _INFO_REF_RE.search(dict0)
+            if em:
+                return int(em.group(1))
+    return None
+
+
+_INFO_DATE_RE = re.compile(r"D:(\d{4})(\d{2})(\d{2})")
+_INFO_KEYS = (b"Title", b"Author", b"CreationDate")
+
+
+def _doc_info(
+    data: bytes, objs: dict[int, bytes]
+) -> list[tuple[str, str]]:
+    """Document-information metadata (§14.3.3): (key, value) for
+    /Title /Author /CreationDate in that fixed order, keys absent or
+    empty skipped.  Values are BOM-aware text strings (decrypted
+    upstream like all strings); /CreationDate normalizes the
+    ``D:YYYYMMDD…`` form to an ISO date, anything else stays raw."""
+    ref = _info_ref(data)
+    if ref is None:
+        return []
+    body = objs.get(ref, b"")
+    out: list[tuple[str, str]] = []
+    for key in _INFO_KEYS:
+        m = re.search(
+            rb"/" + key + rb"\s*(<[^>]*>|\((?:[^()\\]|\\[\s\S])*\))",
+            body,
+            re.S,
+        )
+        if m is None:
+            continue
+        val = _text_string(_string_value(m.group(1)))
+        if key == b"CreationDate":
+            dm = _INFO_DATE_RE.match(val)
+            if dm:
+                val = "-".join(dm.groups())
+        if val:
+            out.append((key.decode(), val))
+    return out
+
+
 def _form_fields(objs: dict[int, bytes]) -> list[tuple[str, str]]:
     """AcroForm text/choice field values (ISO 32000-1 §12.7): catalog
     /AcroForm → /Fields array → field dicts with /FT /Tx or /Ch, /T
@@ -1370,13 +1430,16 @@ def parse_pdf_full(
     list[tuple[str, str]],
     list[tuple[str, str]],
     list[tuple[str, str]],
+    list[tuple[str, str]],
 ]:
     """Pages, AcroForm field values (name, value), embedded-file
     attachments (filename, content) — the ZUGFeRD/Factur-X
-    hybrid-invoice shape rides /EmbeddedFiles — and markup
+    hybrid-invoice shape rides /EmbeddedFiles — markup
     annotations (subtype, contents) in page-then-/Annots order
     (sticky notes / free-text comments; §12.5 /Text and /FreeText
-    with a direct /Annots array; appearance streams out of subset)."""
+    with a direct /Annots array; appearance streams out of subset),
+    and document-information metadata (§14.3.3 /Info: Title/Author/
+    CreationDate key-value pairs)."""
     # ---- standard security (RC4 / AES, empty user password) ---------
     fkey: bytes | None = None
     cipher = ""
@@ -1386,7 +1449,7 @@ def parse_pdf_full(
         enc_num = enc_ref
         fc = _encryption_key(data, enc_num)
         if fc is None:
-            return [], [], [], []  # unreadable (bad pw/unknown filter)
+            return [], [], [], [], []  # unreadable (bad pw/filter)
         fkey, cipher = fc
         from accountant_pdf_extract_spark.functions.pdfcrypt import (
             aes_decrypt_value,
@@ -1604,7 +1667,13 @@ def parse_pdf_full(
         if k:
             pg = _rotate_page(pg, k)
         pages.append(pg)
-    return pages, _form_fields(objs), _attachments(objs, streams), annots
+    return (
+        pages,
+        _form_fields(objs),
+        _attachments(objs, streams),
+        annots,
+        _doc_info(data, objs),
+    )
 
 
 def _parse_content(

@@ -900,10 +900,13 @@ def _enc_okey_iv(
     return okey, ivseed
 
 
-def _emit_encrypted(objs: list[str], mode: str) -> str:
+def _emit_encrypted(
+    objs: list[str], mode: str, trailer_extra: str = ""
+) -> str:
     """Classic layout with /Filter /Standard encryption (empty user +
     owner passwords): every object encrypted per-object, encrypt dict
-    appended, classic xref table + trailer with /Encrypt and /ID."""
+    appended, classic xref table + trailer with /Encrypt and /ID
+    (plus ``trailer_extra`` keys, e.g. an /Info ref)."""
     enc_num = len(objs) + 1
     enc_bodies: list[str] = []
     id0 = b""
@@ -940,6 +943,7 @@ def _emit_encrypted(objs: list[str], mode: str) -> str:
     out.append(
         "\n".join(table)
         + f"\ntrailer\n<< /Size {size} /Root 1 0 R /Encrypt {enc_num} 0 R "
+        + trailer_extra
         + f"/ID [ <{idh}> <{idh}> ] >>\nstartxref\n{byte_pos}\n%%EOF\n"
     )
     return "".join(out)
@@ -958,6 +962,7 @@ def build_pdf(
     attachments: list[tuple[str, str]] | None = None,
     form_fields: list[tuple[str, str]] | None = None,
     inherit_mediabox: bool = False,
+    info: list[tuple[str, str]] | None = None,
 ) -> str:
     """Assemble pages into a PDF-subset document (latin-1 string).
 
@@ -1306,15 +1311,42 @@ def build_pdf(
             f"<< /Type /Catalog /Pages 2 0 R{catalog_extra} >>"
         )
 
+    # document-information dict (§14.3.3): dict-only, so PDF-1.5
+    # layouts pack it into the ObjStm; /Info rides whichever trailer
+    # shape the layout has
+    info_extra = ""
+    if info:
+        parts = " ".join(f"/{k} {_text_str_obj(v)}" for k, v in info)
+        info_num = add(f"<< {parts} >>")
+        info_extra = f"/Info {info_num} 0 R "
+
     if hybrid:
         objstm = True  # hybrid rides the ObjStm + xref-stream machinery
     if encrypt is not None and not objstm:
-        return _emit_encrypted(objs, encrypt)
+        return _emit_encrypted(objs, encrypt, trailer_extra=info_extra)
     if not objstm:
         out = ["%PDF-1.4"]
+        offs: list[int] = []
+        pos = len("%PDF-1.4") + 1
         for i, body in enumerate(objs, start=1):
-            out.append(f"{i} 0 obj\n{body}\nendobj")
-        out.append("%%EOF")
+            offs.append(pos)
+            s = f"{i} 0 obj\n{body}\nendobj"
+            out.append(s)
+            pos += len(s.encode("latin-1")) + 1
+        if info_extra:
+            # a classic xref table + trailer carries the /Info ref
+            # (the plain no-trailer layout has nowhere to put it)
+            size = len(objs) + 1
+            table = ["xref", f"0 {size}", "0000000000 65535 f "]
+            table += [f"{o:010d} 00000 n " for o in offs]
+            out.append(
+                "\n".join(table)
+                + f"\ntrailer\n<< /Size {size} /Root 1 0 R "
+                + info_extra
+                + f">>\nstartxref\n{pos}\n%%EOF"
+            )
+        else:
+            out.append("%%EOF")
         return "\n".join(out) + "\n"
 
     # ---- PDF 1.5 layout: ObjStm + XRef stream ------------------------
@@ -1437,7 +1469,7 @@ def build_pdf(
         rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
     xref_dict = (
         f"/Type /XRef /Size {size} /W [ 1 4 2 ] /Index [ 0 {size} ] "
-        f"/Root 1 0 R {xref_enc_extra}"
+        f"/Root 1 0 R {xref_enc_extra}{info_extra}"
     )
     if predictor:
         # predictor-12 rows of sum(W)=7 bytes — Acrobat's xref layout
@@ -1480,6 +1512,7 @@ def build_pdf(
         "\n".join(table)
         + f"\ntrailer\n<< /Size {size} /Root 1 0 R "
         + xref_enc_extra
+        + info_extra
         + f"/XRefStm {xref_off} >>\n"
         + f"startxref\n{classic_off}\n%%EOF\n"
     )

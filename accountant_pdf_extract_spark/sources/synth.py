@@ -389,6 +389,22 @@ def make_invoice_pdf(
         encrypt={1: "rc4-40", 2: "rc4-128", 3: "aes-128"}.get(
             base.month % 6
         ),
+        # ~1/3 of docs carry a document-information dict (§14.3.3)
+        # mirroring the drawn values — Title/Author/CreationDate ride
+        # the trailer's /Info ref and extract as trailing meta spans;
+        # keyed off already-drawn values, no rng draw
+        info=(
+            [
+                ("Title", f"Invoice {inv_no}"),
+                ("Author", company),
+                (
+                    "CreationDate",
+                    f"D:{base.year:04d}{base.month:02d}"
+                    f"{base.day:02d}120000Z",
+                ),
+            ]
+            if (len(company) + n_pages) % 3 == 0 else None
+        ),
     )
 
 

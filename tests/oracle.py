@@ -1693,6 +1693,59 @@ def pdf_spans(payload: str) -> list[tuple[str, str, str]]:
     out.extend(_annots_oracle(objs))
     out.extend(_forms_oracle(objs))
     out.extend(_attachments_oracle(objs, streams))
+    out.extend(_info_oracle(payload, objs))
+    return out
+
+
+def _info_oracle(
+    payload: str, objs: dict[int, str]
+) -> list[tuple[str, str, str]]:
+    """Document-information metadata (§14.3.3): ("meta", value, key)
+    for /Title /Author /CreationDate in that order from the /Info
+    dict referenced by a trailer or /Type /XRef dict — independent
+    twin of pdfparse._doc_info.  CreationDate's D:YYYYMMDD… prefix
+    normalizes to an ISO date."""
+    if "/Info" not in payload:
+        return []
+    ref = None
+    for tm in re.finditer(r"trailer\b", payload):
+        m = re.compile(r"\s*<<").match(payload, tm.end())
+        if m is None:
+            continue
+        em = re.search(
+            r"/Info\s+(\d+)\s+0\s+R",
+            _balanced_dict_str(payload, m.end() - 2),
+        )
+        if em:
+            ref = int(em.group(1))
+            break
+    if ref is None:
+        for om in re.finditer(
+            r"(\d+)\s+0\s+obj\b(.*?)endobj", payload, re.S
+        ):
+            body = om.group(2)
+            sm = re.search(r"stream\r?\n", body)
+            dict0 = body[: sm.start()] if sm else body
+            if "/Type /XRef" in dict0:
+                em = re.search(r"/Info\s+(\d+)\s+0\s+R", dict0)
+                if em:
+                    ref = int(em.group(1))
+                    break
+    if ref is None:
+        return []
+    body = objs.get(ref, "")
+    out: list[tuple[str, str, str]] = []
+    for key in ("Title", "Author", "CreationDate"):
+        m = re.search(r"/" + key + r"\s*(" + _STR_TOK + r")", body, re.S)
+        if m is None:
+            continue
+        val = _pdf_text_str(_str_token(m.group(1)))
+        if key == "CreationDate":
+            dm = re.match(r"D:(\d{4})(\d{2})(\d{2})", val)
+            if dm:
+                val = "-".join(dm.groups())
+        if val:
+            out.append(("meta", val, key))
     return out
 
 

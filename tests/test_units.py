@@ -1322,6 +1322,54 @@ def test_encrypted_rc4_roundtrip_matches_oracle():
         assert pdfcrypt.rc4(fk, pdfcrypt.rc4(fk, d)) == d
 
 
+def test_doc_info_metadata_spans():
+    """/Info document metadata (§14.3.3): Title/Author/CreationDate
+    extract as trailing ("meta", value, key) spans across every
+    layout (plain+trailer, compressed, ObjStm, hybrid+predictor,
+    encrypted classic, encrypted 1.5); D:YYYYMMDD dates normalize to
+    ISO; UTF-16 values decode; engine ≡ oracle; docs without /Info
+    emit no meta spans and keep the trailer-free plain layout."""
+    from tests.oracle import oracle_extract
+
+    info = [
+        ("Title", "Invoice INV-2024-0042"),
+        ("Author", "ACME GmbH"),
+        ("CreationDate", "D:20240115093000+01'00'"),
+    ]
+    want = [
+        ("Invoice INV-2024-0042", "Title"),
+        ("ACME GmbH", "Author"),
+        ("2024-01-15", "CreationDate"),
+    ]
+    for kw in (
+        dict(),
+        dict(compress=True),
+        dict(objstm=True),
+        dict(objstm=True, hybrid=True, predictor=True),
+        dict(encrypt="rc4-128"),
+        dict(objstm=True, encrypt="aes-128"),
+    ):
+        pg = PageBuilder()
+        pg.text(72, 700, "INVOICE body text")
+        pdf = build_pdf([pg], info=info, **kw)
+        e, _ = extract_doc([("pdf", pdf, "", 0)])
+        o, _ = oracle_extract([("pdf", pdf, "", 0)])
+        assert e == o, kw
+        assert [(t, m) for k, t, m, _ in e if k == "meta"] == want, kw
+    pg = PageBuilder()
+    pg.text(72, 700, "x")
+    plain = build_pdf([pg])
+    assert "trailer" not in plain  # no-info layout unchanged
+    e, _ = extract_doc([("pdf", plain, "", 0)])
+    assert not any(k == "meta" for k, *_ in e)
+    # UTF-16 value; meta text never feeds field extraction
+    pdf = build_pdf([pg], info=[("Author", "Łukasz €")])
+    e, f = extract_doc([("pdf", pdf, "", 0)])
+    o, of = oracle_extract([("pdf", pdf, "", 0)])
+    assert e == o and f == of
+    assert [t for k, t, _, _ in e if k == "meta"] == ["Łukasz €"]
+
+
 def test_encrypted_objstm_hybrid_layouts():
     """Encrypted PDF-1.5 (the modern Acrobat default, §7.5.8.2):
     the ObjStm's compressed payload encrypts as ONE stream (strings

@@ -90,6 +90,11 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     equal, which would collapse every failed-extraction doc into one
     phantom 'duplicate' group and let a keep-only consumer delete them
     all as copies of each other."""
+    # deliberately NO ensure_parallelism here (r6, measured): the
+    # per-row work is one regex collapse + md5 — cheaper than round-
+    # robin-shuffling the full text bytes out of the scan task
+    # (0.55s -> 0.96s at sf1.0 when tried); the fan-out only pays for
+    # fan-out-heavy ops (shingles, token folds)
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("content_hash"))
@@ -180,6 +185,11 @@ def minhash_rescored_pairs(
     LSH buckets; rescore cost is two array joins + per-row set math —
     the 100-TB shape end to end."""
     cand = minhash_candidate_pairs(minhash_bands(df, text_col, id_col, k, bands))
+    # the sets relation re-reads the corpus and shingles it map-side —
+    # without a fan-out the whole normalize+shingle+distinct pass runs
+    # in the single scan task of a one-row-group local file (r6;
+    # no-op at scale, same rationale as minhash_bands)
+    df = ensure_parallelism(df)
     sets = df.select(
         F.col(id_col).alias("sid"),
         F.array_distinct(F.expr(_shingles_sql(text_col, k))).alias("sh"),
@@ -396,11 +406,15 @@ def simhash16(
         f"CAST(aggregate(zip_with({votes}, sequence(0, 15), "
         f"(v, p) -> IF(v > 0, shiftleft(1, p), 0)), 0, (a, x) -> a + x) AS BIGINT)"
     )
-    # filter on the TOKEN array, not trim(): a doc of non-space
-    # whitespace ('\n', '\t') passes length(trim(text))>0 (SQL trim
-    # strips spaces only) yet folds an empty token array to simhash 0
-    # — the oracle's WHERE tok <> '' drops the sid entirely, and a
-    # 0-fingerprint "duplicate group" of blank docs is meaningless
-    return df.where(F.expr(f"size({toks}) > 0")).select(
+    # drop token-less docs: a doc of non-space whitespace ('\n', '\t')
+    # passes length(trim(text))>0 (SQL trim strips spaces only) yet
+    # folds an empty token array to simhash 0 — the oracle's WHERE
+    # tok <> '' drops the sid entirely, and a 0-fingerprint "duplicate
+    # group" of blank docs is meaningless.  r6: the predicate is
+    # `text RLIKE '\S'` — exactly "at least one non-whitespace char",
+    # i.e. size(toks) > 0 (split/filter only drop \s runs and ''), but
+    # one cheap regex probe instead of r5's SECOND full tokenize of
+    # every doc inside the filter (guide §1.2: per-task work).
+    return df.where(F.col(text_col).rlike(r"\S")).select(
         F.col(id_col).alias("sid"), F.expr(pack).alias("simhash")
     )

@@ -69,14 +69,26 @@ def brute_force_topk_df(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by integer-quantized dot product; queries = rows
-    with id < query_max_id.  Ties break on candidate id (deterministic)."""
-    comps = quantized_components(df, id_col, vec_col)
-    q = comps.where(F.col("vid") < query_max_id).select(
-        F.col("vid").alias("qid"), "pos", F.col("comp").alias("qc")
-    )
-    c = comps.select(F.col("vid").alias("cid"), "pos", F.col("comp").alias("cc"))
+    with id < query_max_id.  Ties break on candidate id (deterministic).
+
+    r6 plan shape: the QUERY side (bounded by contract) is the hint-
+    broadcast build side and the corpus streams through the join —
+    r5's plan broadcast the fully-exploded CORPUS (|corpus|·dim rows)
+    and probed it from the tiny query explode, so the |q|·|corpus|·dim
+    join output and the (qid,cid) partial aggregate all ran inside the
+    ONE scan task of the query side (guide §3.1: broadcast the side
+    you know is small; §2.5: single-file input skew).  The corpus scan
+    is additionally fanned out (single-row-group local parquet)."""
+    from accountant_pdf_extract_spark.operators.dedup import ensure_parallelism
+
+    q = quantized_components(df, id_col, vec_col).where(
+        F.col("vid") < query_max_id
+    ).select(F.col("vid").alias("qid"), "pos", F.col("comp").alias("qc"))
+    c = quantized_components(
+        ensure_parallelism(df), id_col, vec_col
+    ).select(F.col("vid").alias("cid"), "pos", F.col("comp").alias("cc"))
     dots = (
-        q.join(c, "pos")
+        c.join(F.broadcast(q), "pos")
         .where(F.col("qid") != F.col("cid"))
         .groupBy("qid", "cid")
         .agg(F.sum(F.col("qc") * F.col("cc")).alias("dot_micro"))

@@ -171,14 +171,27 @@ def q_join_bcast(spark, sf):
     """,
 )
 def q_join_smj(spark, sf):
+    """Shuffle join orders ⋈ lineitem.  r6: lineitem is partially
+    aggregated per l_orderkey BEFORE the join (guide §2.3 'aggregate
+    before you shuffle') — the join key is unique per order on the
+    orders side, so count(*)/sum per status equals the sum of per-order
+    partials; the orderkey exchange now carries ~|orders| pre-summed
+    rows instead of all ~4x|orders| lineitem rows, and map-side partial
+    aggregation compresses further because lineitem is clustered by
+    orderkey.  Still a shuffle join (J2): both sides exchange on the
+    key.  Null keys drop in both versions (inner equi-join)."""
     o = t(spark, sf, "orders")
     li = t(spark, sf, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n"),
+        F.sum(cents(F.col("l_quantity"))).alias("_qty"),
+    )
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
-            F.count("*").alias("n_items"),
-            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+            F.sum("_n").alias("n_items"),
+            F.sum("_qty").alias("qty_cents"),
         )
     )
 
@@ -236,12 +249,22 @@ def q_join_semi(spark, sf):
     """,
 )
 def q_rownum(spark, sf):
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    """First row per group.  r6: rn=1 over (PARTITION BY custkey ORDER
+    BY orderdate, orderkey) selects exactly the per-custkey MINIMUM of
+    the lexicographic struct (o_orderdate, o_orderkey) — orderkey is
+    unique, so the winner is identical — and min(struct) is a partial-
+    aggregating hash aggregate: no sort, and the exchange carries one
+    row per (custkey × input partition) instead of the whole table
+    (guide §2.3 'aggregate before you shuffle' / §2.4; the r5 plan was
+    Sort+WindowGroupLimit+Exchange+Sort+Window).  The oracle keeps the
+    row_number formulation, pinning the equivalence."""
     return (
         t(spark, sf, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("_first"))
+        .select(
+            "o_custkey", F.col("_first.o_orderkey").alias("first_orderkey")
+        )
     )
 
 
@@ -786,11 +809,22 @@ def q_asof(spark, sf):
             cents(F.col("value")).alias("quote_cents"),
         )
     )
-    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("quote_id"))
+    # r6: the (user_id, ts) dedup keeps the max-quote_id row; quote_id
+    # (= event_id) is unique, so max(struct(quote_id, quote_cents)) is
+    # the identical winner as rn=1 ORDER BY quote_id DESC — but as a
+    # partial-aggregating hash aggregate instead of r5's
+    # Sort+WindowGroupLimit+Exchange+Sort+Window, whose first sort ran
+    # inside the single scan task of the one-row-group events file
+    # (guide §2.3/§2.4).  The oracle keeps the row_number formulation.
     right = (
-        right.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        right.groupBy("user_id", "ts")
+        .agg(F.max(F.struct("quote_id", "quote_cents")).alias("_q"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("_q.quote_id").alias("quote_id"),
+            F.col("_q.quote_cents").alias("quote_cents"),
+        )
     )
     return asof_join_backward(
         left, right, on="ts", by="user_id",

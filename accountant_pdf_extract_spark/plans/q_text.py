@@ -8,7 +8,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from accountant_pdf_extract_spark.operators import dedup, similarity, textstats
+from accountant_pdf_extract_spark.operators.dedup import ensure_parallelism
 from accountant_pdf_extract_spark.plans.driver_queries import register, t
+
+
+def tp(spark, sf, name):
+    """Parallelism-ensured table read for tokenize-heavy queries: the
+    driver's sf tables are single-row-group parquet files, so the scan
+    (and everything map-side above it — split/regex/HOF folds) runs in
+    ONE task without a fan-out exchange (guide §2.5 'input skew: one
+    huge unsplittable file — repartition immediately after the read').
+    ``ensure_parallelism`` is metadata-driven and a no-op at scale."""
+    return ensure_parallelism(t(spark, sf, name))
 
 # ---------------------------------------------------------------- scalar text
 
@@ -64,7 +75,7 @@ def q_strnorm(spark, sf):
 )
 def q_linefreq(spark, sf):
     return (
-        t(spark, sf, "documents")
+        tp(spark, sf, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
@@ -125,19 +136,24 @@ def q_amounts(spark, sf):
 )
 def q_bigrams(spark, sf):
     """Bigram frequency over documents: the n-gram LM-statistics shape.
-    Spark side builds bigrams map-side per row (zip_with over shifted
-    slices — no token self-join, unlike the oracle's pos-join), then
-    one hash aggregate."""
+    Spark side builds bigrams map-side per row (adjacent-pair transform
+    — no token self-join, unlike the oracle's pos-join), then one hash
+    aggregate.
+
+    r6: the token array is materialized ONCE in its own projection —
+    inlining the split expression repeated it 5x inside the generator
+    (CollapseProject keeps the projection because the reference is
+    non-cheap and multiply-used), and the r5 plan tokenized every doc
+    5x in a single scan task.  greatest(size-1, 0) replaces the CASE
+    guard (slice with length 0 is just an empty array)."""
     toks = r"filter(split(lower(trim(text)), '\\s+'), x -> x <> '')"
     bigrams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"zip_with(slice({toks}, 1, size({toks}) - 1), "
-        f"slice({toks}, 2, size({toks}) - 1), "
-        f"(a, b) -> concat(a, ' ', b)) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', _toks[i + 1]))"
     )
     return (
-        t(spark, sf, "documents")
+        tp(spark, sf, "documents")
+        .select("doc_id", F.expr(toks).alias("_toks"))
         .select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
@@ -160,7 +176,7 @@ def q_bigrams(spark, sf):
     """,
 )
 def q_tokcount(spark, sf):
-    return t(spark, sf, "documents").select(
+    return tp(spark, sf, "documents").select(
         "doc_id",
         textstats.token_count(F.col("text")).alias("n_tokens"),
         "n_chars",
@@ -182,7 +198,7 @@ def q_tokcount(spark, sf):
 def q_quality(spark, sf):
     c = F.col("text")
     return (
-        t(spark, sf, "documents")
+        tp(spark, sf, "documents")
         .where(F.length(F.trim(c)) > 0)
         .select(
             "doc_id",
@@ -217,7 +233,7 @@ def q_quality(spark, sf):
     """,
 )
 def q_langid(spark, sf):
-    return t(spark, sf, "documents").select(
+    return tp(spark, sf, "documents").select(
         "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
     )
 
@@ -231,6 +247,8 @@ def q_langid(spark, sf):
     """,
 )
 def q_fingerprint(spark, sf):
+    # no fan-out: one regex + md5 per row is cheaper than shuffling
+    # the full text (same measurement as dedup.exact_dup_groups)
     return t(spark, sf, "documents").select(
         "doc_id", textstats.fingerprint(F.col("text")).alias("fp")
     )

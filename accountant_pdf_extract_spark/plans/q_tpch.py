@@ -93,6 +93,16 @@ def tpch_q3(spark, sf):
     """,
 )
 def tpch_q5(spark, sf):
+    """Local-supplier volume.  r6 join order (same join graph, inner
+    joins commute — identical result, oracle unchanged): the selective
+    region='ASIA' filter reaches the FACT table first via a broadcast
+    of the ASIA-filtered supplier⋈nation dim (guide §3.1/§3.2: reduce
+    the big side before shuffling it).  r5 shuffled ALL of lineitem by
+    orderkey into the SMJ and only then applied the supplier/nation/
+    region broadcasts; here lineitem is pre-filtered to ~1/|regions|
+    of its rows AND pre-projected to integer cents before the only
+    big exchange (guide §2.3: project before the exchange, narrower
+    types)."""
     c = t(spark, sf, "customer")
     o = t(spark, sf, "orders")
     li = t(spark, sf, "lineitem")
@@ -100,17 +110,26 @@ def tpch_q5(spark, sf):
     n = t(spark, sf, "nation")
     r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
     cc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(
-            s,
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    s_asia = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    li2 = (
+        li.join(F.broadcast(s_asia), li.l_suppkey == s_asia.s_suppkey)
+        .select("l_orderkey", "s_nationkey", "n_name", cc.alias("_cents"))
+    )
+    co = c.join(o, c.c_custkey == o.o_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li2.join(
+            co,
+            (li2.l_orderkey == co.o_orderkey)
+            & (li2.s_nationkey == co.c_nationkey),
+        )
         .groupBy("n_name")
-        .agg(F.sum(cc).alias("revenue_cents"))
+        .agg(F.sum("_cents").alias("revenue_cents"))
     )
 
 

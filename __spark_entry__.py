@@ -23,8 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
     extraction (decode → pdf layout parse → html strip → boilerplate
     strip → field rules → assemble), return the flattened ordered
     span sequence."""
-    docs = interleaved_from_documents(spark, SF0001, seed=42)
-    return spans_view(extract(docs, salt_buckets=256, num_partitions=32))
+    docs = interleaved_from_documents(
+        spark, SF0001, seed=42, salt_buckets=256, num_partitions=32
+    )
+    return spans_view(
+        extract(docs, salt_buckets=256, num_partitions=32, presalted=True)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

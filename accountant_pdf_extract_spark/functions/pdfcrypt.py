@@ -64,11 +64,16 @@ try:  # pragma: no cover - exercised implicitly by every rc4() call
         ]
         _lc.RC4.restype = None
 
+        # one reusable key-state buffer: RC4_set_key fully re-inits
+        # rc4_key_st on every call, and a Spark python worker runs one
+        # task at a time, so sharing is safe — allocating+zeroing 2 KiB
+        # per call was ~4% of kernel time on an encrypted-doc corpus
+        _rc4_st = ctypes.create_string_buffer(2048)  # >= rc4_key_st
+
         def _rc4_ossl(key: bytes, data: bytes) -> bytes:
-            st = ctypes.create_string_buffer(2048)  # >= rc4_key_st
-            _lc.RC4_set_key(st, len(key), key)
+            _lc.RC4_set_key(_rc4_st, len(key), key)
             out = ctypes.create_string_buffer(len(data))
-            _lc.RC4(st, len(data), data, out)
+            _lc.RC4(_rc4_st, len(data), data, out)
             return out.raw
 
         _probe_k, _probe_d = b"\x01\x02\x03\x04\x05", bytes(range(64))

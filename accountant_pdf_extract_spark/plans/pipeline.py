@@ -68,14 +68,26 @@ def _with_drop_metric(spark, kernel_fn, acc=None):
 
 
 def _run_kernel(df, kernel_fn, out_schema, salt_buckets, num_partitions,
-                drop_acc):
+                drop_acc, presalted=False):
     """The shared assert → salt → repartition → Arrow-kernel pipeline
     (single-sourced so the clamp/accumulator wiring can never fork
-    between the span and fields paths)."""
+    between the span and fields paths).
+
+    ``presalted=True`` is a caller CONTRACT (same trust model as the
+    disk-bucketed path in ``salt``): the input already carries
+    ``_salt_bucket`` computed with the same formula/bucket count AND is
+    already exchange-partitioned on it — typically because the salt was
+    applied upstream of a generator on the narrow pre-payload rows
+    (guide §8: shuffle the lightweight proxy, not the heavy bytes).
+    The repartition is then skipped outright; the job keeps exactly one
+    salted shuffle, it just sits before the payload exists."""
     assert_input_schema(df.select("doc_id", "spans"))
     spark = df.sparkSession
-    np = _effective_partitions(spark, num_partitions, salt_buckets)
-    salted = salt(df, salt_buckets).repartition(np, SALT_COL)
+    if presalted and SALT_COL in df.columns:
+        salted = df
+    else:
+        np = _effective_partitions(spark, num_partitions, salt_buckets)
+        salted = salt(df, salt_buckets).repartition(np, SALT_COL)
     run, dropped = _with_drop_metric(spark, kernel_fn, acc=drop_acc)
     out = salted.select("doc_id", "spans").mapInArrow(run, schema=out_schema)
     return out, dropped
@@ -87,6 +99,7 @@ def extract(
     num_partitions: int | None = None,
     keep_salt: bool = False,
     drop_acc=None,
+    presalted: bool = False,
 ) -> DataFrame:
     """Interleaved input table → flattened output spans + fields.
 
@@ -102,7 +115,7 @@ def extract(
     """
     out, dropped = _run_kernel(
         df, extract_batches, FLAT_FIELDS_SCHEMA, salt_buckets,
-        num_partitions, drop_acc,
+        num_partitions, drop_acc, presalted=presalted,
     )
     if keep_salt:
         # same formula via salt() — the bucketing expression must never
@@ -138,6 +151,7 @@ def extract_fields_table(
     salt_buckets: int = 1024,
     num_partitions: int | None = None,
     drop_acc=None,
+    presalted: bool = False,
 ) -> DataFrame:
     """Fields-only extraction: one row per document (doc_id +
     accounting fields), same salted single-shuffle plan, but the
@@ -161,7 +175,7 @@ def extract_fields_table(
     # bucket-partitioned sink path — nothing downstream keys on it
     out, dropped = _run_kernel(
         df, extract_fields_batches, DOC_FIELDS_SCHEMA, salt_buckets,
-        num_partitions, drop_acc,
+        num_partitions, drop_acc, presalted=presalted,
     )
     out.dropped_docs_acc = dropped
     return out

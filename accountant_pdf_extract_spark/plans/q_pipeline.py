@@ -22,8 +22,12 @@ from accountant_pdf_extract_spark.sources.synth import interleaved_from_document
 @register("q_extract_spans")
 def q_extract_spans(spark, sf):
     """Full extraction: ordered span sequences (rows-only check)."""
-    docs = interleaved_from_documents(spark, sf, seed=42)
-    return spans_view(extract(docs, salt_buckets=256, num_partitions=32))
+    docs = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=256, num_partitions=32
+    )
+    return spans_view(
+        extract(docs, salt_buckets=256, num_partitions=32, presalted=True)
+    )
 
 
 @register("q_extract_fields")
@@ -32,8 +36,12 @@ def q_extract_fields(spark, sf):
     fields-only kernel — one output row per doc, span-text Arrow
     columns never built (equivalence with fields_view(extract(...))
     pinned by tests)."""
-    docs = interleaved_from_documents(spark, sf, seed=42)
-    dv = extract_fields_table(docs, salt_buckets=256, num_partitions=32)
+    docs = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=256, num_partitions=32
+    )
+    dv = extract_fields_table(
+        docs, salt_buckets=256, num_partitions=32, presalted=True
+    )
     return dv.select(
         "doc_id",
         "invoice_id",
@@ -67,8 +75,10 @@ def q_salt(spark, sf):
 @register("q_span_stats")
 def q_span_stats(spark, sf):
     """Output span mix per kind (rows-only)."""
-    docs = interleaved_from_documents(spark, sf, seed=42)
-    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    docs = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=256, num_partitions=32
+    )
+    flat = extract(docs, salt_buckets=256, num_partitions=32, presalted=True)
     return flat.groupBy("kind").agg(
         F.count("*").alias("n_spans"),
         F.countDistinct("doc_id").alias("n_docs"),
@@ -82,8 +92,10 @@ def q_attachments(spark, sf):
     ``attachment`` span kind (rows-only; the attachment content
     itself is pinned by golden fixtures).  Post-extraction analytics
     stay JVM-side: regexp_extract/length/groupBy, no Python UDF."""
-    docs = interleaved_from_documents(spark, sf, seed=42)
-    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    docs = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=256, num_partitions=32
+    )
+    flat = extract(docs, salt_buckets=256, num_partitions=32, presalted=True)
     att = flat.where(F.col("kind") == "attachment")
     return (
         att.select(
@@ -111,8 +123,10 @@ def q_form_fields(spark, sf):
     count and distinct-value count over the ``form`` span kind
     (rows-only; values are pinned by golden fixtures).  Analytics stay
     JVM-side; field name rides media_ref, value rides text."""
-    docs = interleaved_from_documents(spark, sf, seed=42)
-    flat = extract(docs, salt_buckets=256, num_partitions=32)
+    docs = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=256, num_partitions=32
+    )
+    flat = extract(docs, salt_buckets=256, num_partitions=32, presalted=True)
     return (
         flat.where(F.col("kind") == "form")
         .groupBy(F.col("media_ref").alias("field_name"))

@@ -80,6 +80,11 @@ def _n(v: float) -> str:
     reads '1e-05' as 1, unknown op 'e', -05).  Fixed-point, 4
     decimals, trailing zeros stripped — identical output to %g for
     every coordinate the synth corpus emits."""
+    if v == int(v):
+        # integral fast path, same output ('-0.0' still maps to '0');
+        # most coordinates are integral and this call is hot (46k/800
+        # docs profiled r6)
+        return str(int(v))
     s = f"{v:.4f}".rstrip("0").rstrip(".")
     return s if s not in ("", "-", "-0") else "0"
 

@@ -26,6 +26,7 @@ from decimal import Decimal
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from accountant_pdf_extract_spark.schema import INPUT_SCHEMA
 from accountant_pdf_extract_spark.sources.pdfwriter import (
@@ -94,7 +95,12 @@ def _fmt_date(d: dt.date, style: int) -> str:
 
 
 def _words(rng: np.random.Generator, vocab: list[str], n: int) -> str:
-    return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), n))
+    # .tolist() converts the draw to Python ints in one C call — the
+    # per-element int(numpy_scalar) was measurable at corpus scale;
+    # the rng draw itself is unchanged (same stream, same output)
+    return " ".join(
+        map(vocab.__getitem__, rng.integers(0, len(vocab), n).tolist())
+    )
 
 
 def make_invoice_pdf(
@@ -445,7 +451,14 @@ def build_doc(
     # inside the synth generator (killing the task, not one doc) —
     # filter caller-supplied vocab to the latin-1 plane up front
     if vocab:
-        vocab = [w for w in vocab if all(ord(c) < 256 for c in w)]
+        # same filter as before (keep words whose chars are all <256 =
+        # latin-1-encodable), but str.isascii() short-circuits the
+        # overwhelmingly-common case at C speed — the per-char genexpr
+        # was ~7% of the whole generation half (profiled r6)
+        vocab = [
+            w for w in vocab
+            if w.isascii() or all(ord(c) < 256 for c in w)
+        ]
     vocab = vocab if vocab else DEFAULT_WORDS
     spans: list[tuple[str, str, str, int]] = []
     if heavy:
@@ -512,29 +525,93 @@ def _spans_to_arrow(rows: list[tuple[str, list]]) -> pa.RecordBatch:
 
 
 def interleaved_from_documents(
-    spark: SparkSession, sf_dir: str, seed: int = 42
+    spark: SparkSession,
+    sf_dir: str,
+    seed: int = 42,
+    salt_buckets: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Wrap the driver's ``documents`` table into the pinned
-    interleaved input shape, deterministically keyed on doc_id."""
+    interleaved input shape, deterministically keyed on doc_id.
+
+    With ``salt_buckets`` set, the frame is salted and repartitioned on
+    the FUTURE output doc_id BEFORE the generator runs (guide §8:
+    decide placement on the lightweight proxy, move heavy bytes once —
+    here zero times: the generated payload is ~8x the source text, and
+    pre-salting lets ``extract(..., presalted=True)`` skip its own
+    exchange entirely, so the synthesized PDFs never cross a shuffle).
+    The salt formula is ``plans.pipeline.salt`` itself, applied to the
+    same ``doc-%08d`` id the generator emits — the bucketing can never
+    fork between this path and the post-generation path."""
     from accountant_pdf_extract_spark.operators.dedup import ensure_parallelism
 
-    # single small local parquet file → one scan task would serialize
-    # the whole synth+shuffle stage; fan out first (no-op at scale)
-    docs = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
 
-    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    if salt_buckets is None:
+        # single small local parquet file → one scan task would
+        # serialize the whole synth+shuffle stage; fan out first
+        # (no-op at scale)
+        docs = ensure_parallelism(docs)
+
+        def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for batch in batches:
+                ids = batch.column("doc_id").to_pylist()
+                texts = batch.column("text").to_pylist()
+                rows = []
+                for did, text in zip(ids, texts):
+                    vocab = (text or "").split() or DEFAULT_WORDS
+                    rows.append(
+                        (f"doc-{did:08d}", build_doc(int(did), seed, vocab))
+                    )
+                yield _spans_to_arrow(rows)
+
+        return docs.mapInArrow(gen, schema=INPUT_SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    from accountant_pdf_extract_spark.plans.pipeline import (
+        SALT_COL,
+        _effective_partitions,
+        salt,
+    )
+
+    pre = docs.select(
+        F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"),
+        F.col("doc_id").alias("_num_id"),
+        "text",
+    )
+    np_ = _effective_partitions(spark, num_partitions, salt_buckets)
+    pre = salt(pre, salt_buckets).repartition(np_, SALT_COL)
+    # StructType.add MUTATES self — build a fresh schema, never extend
+    # the shared INPUT_SCHEMA constant
+    out_schema = T.StructType(
+        list(INPUT_SCHEMA.fields)
+        + [T.StructField(SALT_COL, T.IntegerType())]
+    )
+    arrow_salted = pa.schema(
+        list(ARROW_INPUT) + [pa.field(SALT_COL, pa.int32())]
+    )
+
+    def gen_salted(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            ids = batch.column("doc_id").to_pylist()
+            out_ids = batch.column("doc_id").to_pylist()
+            nums = batch.column("_num_id").to_pylist()
             texts = batch.column("text").to_pylist()
             rows = []
-            for did, text in zip(ids, texts):
+            for out_id, did, text in zip(out_ids, nums, texts):
                 vocab = (text or "").split() or DEFAULT_WORDS
-                rows.append((f"doc-{did:08d}", build_doc(int(did), seed, vocab)))
-            yield _spans_to_arrow(rows)
+                rows.append((out_id, build_doc(int(did), seed, vocab)))
+            base = _spans_to_arrow(rows)
+            yield pa.RecordBatch.from_arrays(
+                [*base.columns, batch.column(SALT_COL)],
+                schema=arrow_salted,
+            )
 
-    return docs.mapInArrow(gen, schema=INPUT_SCHEMA)
+    return pre.mapInArrow(gen_salted, schema=out_schema)
 
 
 def synth_interleaved(

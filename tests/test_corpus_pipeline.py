@@ -92,3 +92,42 @@ def test_zero_span_doc_fields_vs_flat(spark):
         r["doc_id"] for r in fields_view(flat).select("doc_id").collect()
     ) == ["real"]
     assert flat.where("doc_id = 'empty'").count() == 0
+
+
+def test_presalted_generation_equals_default_path(spark):
+    """r6 optimization pin: pre-salting the synth source (salt computed
+    on the FUTURE doc_id, repartition before generation, extract with
+    presalted=True skipping its own exchange) yields byte-identical
+    span sequences to the default salt-after-generation path, and the
+    presalted frame really carries the pipeline's salt column with the
+    pipeline's own formula."""
+    from pyspark.sql import functions as F
+
+    from accountant_pdf_extract_spark.plans.pipeline import (
+        SALT_COL,
+        extract,
+        spans_view,
+    )
+    from accountant_pdf_extract_spark.sources.synth import (
+        interleaved_from_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    old = interleaved_from_documents(spark, sf, seed=42)
+    new = interleaved_from_documents(
+        spark, sf, seed=42, salt_buckets=16, num_partitions=4
+    )
+    assert SALT_COL in new.columns
+    # the carried bucket must equal the pipeline formula on the
+    # generated doc_id — recompute independently and compare
+    recheck = new.withColumn(
+        "_expect", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)).cast("int")
+    )
+    assert recheck.where(F.col(SALT_COL) != F.col("_expect")).count() == 0
+    a = spans_view(extract(old, salt_buckets=16, num_partitions=4)).orderBy(
+        "doc_id", "order"
+    ).collect()
+    b = spans_view(
+        extract(new, salt_buckets=16, num_partitions=4, presalted=True)
+    ).orderBy("doc_id", "order").collect()
+    assert a == b and len(a) > 0

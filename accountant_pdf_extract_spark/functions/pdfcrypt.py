@@ -64,17 +64,26 @@ try:  # pragma: no cover - exercised implicitly by every rc4() call
         ]
         _lc.RC4.restype = None
 
-        # one reusable key-state buffer: RC4_set_key fully re-inits
-        # rc4_key_st on every call, and a Spark python worker runs one
-        # task at a time, so sharing is safe — allocating+zeroing 2 KiB
-        # per call was ~4% of kernel time on an encrypted-doc corpus
+        # reusable key-state and output buffers: RC4_set_key fully
+        # re-inits rc4_key_st on every call and RC4 overwrites the
+        # first len(data) output bytes, and a Spark python worker runs
+        # one task at a time, so sharing is safe — allocating+zeroing
+        # fresh ctypes buffers per call was ~4% of kernel time on an
+        # encrypted-doc corpus.  The output buffer grows geometrically;
+        # string_at copies exactly the written length back out.
         _rc4_st = ctypes.create_string_buffer(2048)  # >= rc4_key_st
+        _rc4_out = [ctypes.create_string_buffer(1 << 16)]
 
         def _rc4_ossl(key: bytes, data: bytes) -> bytes:
+            n = len(data)
+            out = _rc4_out[0]
+            if n > len(out):
+                out = _rc4_out[0] = ctypes.create_string_buffer(
+                    max(n, 2 * len(out))
+                )
             _lc.RC4_set_key(_rc4_st, len(key), key)
-            out = ctypes.create_string_buffer(len(data))
-            _lc.RC4(_rc4_st, len(data), data, out)
-            return out.raw
+            _lc.RC4(_rc4_st, n, data, out)
+            return ctypes.string_at(out, n)
 
         _probe_k, _probe_d = b"\x01\x02\x03\x04\x05", bytes(range(64))
         if _rc4_ossl(_probe_k, _probe_d) == _rc4_py(_probe_k, _probe_d):

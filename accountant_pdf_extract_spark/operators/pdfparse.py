@@ -1460,6 +1460,12 @@ def parse_pdf_full(
 
     objs: dict[int, bytes] = {}
     streams: dict[int, bytes] = {}
+    # final (post-decryption) stream-dict prefix per stream-carrying
+    # object — the ObjStm/XRef expansion loops below need exactly this
+    # and used to re-run _STREAM_RE over every object body twice more
+    # (~3x the object scans; packed objects cannot carry streams,
+    # §7.5.7, so objects absent here have none)
+    stream_dicts: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         body = m.group(2)
@@ -1495,6 +1501,7 @@ def parse_pdf_full(
                     body = dict_part
         objs[num] = body
         if sm:
+            stream_dicts[num] = dict_part
             # Filter chain declared in the stream dict (before the
             # 'stream' keyword — never match inside stream data);
             # corrupt/unknown stages degrade to an empty stream (the
@@ -1510,12 +1517,10 @@ def parse_pdf_full(
     # object.  Processed in ascending stream-object number.
     objstm_entries: dict[int, list[tuple[int, bytes]]] = {}
     for num in sorted(objs):
-        body = objs[num]
-        sm = _STREAM_RE.search(body)
-        if sm is None or b"/Type /ObjStm" not in body[: sm.start()]:
+        dict_part = stream_dicts.get(num)
+        if dict_part is None or b"/Type /ObjStm" not in dict_part:
             continue
         payload = streams.get(num, b"")
-        dict_part = body[: sm.start()]
         nm = _INT_KEY_RE[b"N"].search(dict_part)
         fm = _INT_KEY_RE[b"First"].search(dict_part)
         if nm is None or fm is None:
@@ -1542,12 +1547,10 @@ def parse_pdf_full(
     # corrupted header objnum with intact offsets).  W gives the three
     # binary field widths; /Index defaults to [0 Size].
     for num in sorted(objs):
-        body = objs[num]
-        sm = _STREAM_RE.search(body)
-        if sm is None or b"/Type /XRef" not in body[: sm.start()]:
+        dict_part = stream_dicts.get(num)
+        if dict_part is None or b"/Type /XRef" not in dict_part:
             continue
         payload = streams.get(num, b"")
-        dict_part = body[: sm.start()]
         wm = _W_RE.search(dict_part)
         szm = _INT_KEY_RE[b"Size"].search(dict_part)
         if wm is None or szm is None:

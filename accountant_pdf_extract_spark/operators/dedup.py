@@ -35,7 +35,18 @@ def norm_text_sql(text_col: str) -> str:
     return _NORM_SQL_TMPL.format(col=text_col)
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
+# below ~2 MB of compressed input the fan-out exchange costs more than
+# the parallelism it buys FOR CHEAP-PER-BYTE consumers (split/explode:
+# measured sf0.1 q_linefreq 0.50s floored vs 0.89s fanned); heavy
+# folders (shingling, per-token md5 votes) burn seconds of single-core
+# time even on sub-MB inputs and pass min_bytes=0 (measured sf0.1
+# q_dedup_simhash 0.41s fanned vs 0.99s floored)
+_MIN_FANOUT_BYTES = 2 << 20
+
+
+def ensure_parallelism(
+    df: DataFrame, min_bytes: int = _MIN_FANOUT_BYTES
+) -> DataFrame:
     """Fan-out-heavy ops (shingles, token votes) need >= cores input
     partitions; small local files produce too few scan tasks and
     serialize the stage.  Estimates the scan's SPLIT count from
@@ -46,7 +57,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     and would force a needless full repartition).  Non-file plans
     (createDataFrame, post-shuffle) fall through to the repartition, a
     cheap row-level exchange of the narrow input.  At 100 TB the scan
-    ships thousands of splits and this is a no-op."""
+    ships thousands of splits and this is a no-op.
+
+    r6 small-input floor: when the whole (local-file) input is under
+    ``_MIN_FANOUT_BYTES`` the exchange's fixed cost exceeds what the
+    fan-out can recover (measured at sf0.1: q_linefreq ~0.7s without
+    vs ~0.9s with), so tiny inputs pass through untouched — the
+    fan-out fires only when there is real work to spread."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
@@ -75,6 +92,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         )
         try:
             total = sum(os.path.getsize(p) for p in local)
+            if total < min_bytes:
+                return df
             est_splits = max(est_splits, math.ceil(total / max(max_bytes, 1)))
         except OSError:
             pass
@@ -124,7 +143,7 @@ def shingle_df(
     """Exploded distinct (id, shingle) pairs — the base relation for
     exact Jaccard rescoring.  Shingle generation is map-side; the only
     exchange is the distinct."""
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, min_bytes=0)  # shingling: heavy per byte
     return df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.expr(_shingles_sql(text_col, k))).alias("shingle"),
@@ -144,7 +163,7 @@ def minhash_bands(
     distinct needed), then explodes to ``bands`` rows per doc.  ZERO
     exchanges, vs round 1's crossJoin that materialized and shuffled
     the shingle relation ``bands``× (VERDICT r1 'What's wrong' #4)."""
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, min_bytes=0)  # shingling: heavy per byte
     buckets = (
         f"transform(sequence(0, {bands - 1}), b -> struct("
         f"CAST(b AS INT) AS band, "
@@ -189,7 +208,7 @@ def minhash_rescored_pairs(
     # without a fan-out the whole normalize+shingle+distinct pass runs
     # in the single scan task of a one-row-group local file (r6;
     # no-op at scale, same rationale as minhash_bands)
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, min_bytes=0)  # shingling: heavy per byte
     sets = df.select(
         F.col(id_col).alias("sid"),
         F.array_distinct(F.expr(_shingles_sql(text_col, k))).alias("sh"),
@@ -394,7 +413,7 @@ def simhash16(
     16-slot vote vector (md5 hashed once per token), then pack.  ZERO
     exchanges and 1× data, vs round 1's 16× crossJoin of the full token
     relation plus two shuffles (VERDICT r1 'What's wrong' #3)."""
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, min_bytes=0)  # 16 md5 votes per token
     toks = f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
     votes = (
         f"aggregate(transform({toks}, t -> md5(t)), array_repeat(0, 16), "

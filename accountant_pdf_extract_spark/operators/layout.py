@@ -17,11 +17,16 @@ import functools
 import re
 from dataclasses import dataclass
 
+from operator import attrgetter
+
 from accountant_pdf_extract_spark import spec
 from accountant_pdf_extract_spark.operators.pdfparse import Page
 
+# C-level sort key (stable sort keeps the same tie order as the lambda)
+_GET_X = attrgetter("x")
 
-@dataclass
+
+@dataclass(slots=True)
 class Line:
     page: int
     y: float
@@ -30,7 +35,7 @@ class Line:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Placed:
     """A positioned output item: a text line or a media placement."""
 
@@ -56,8 +61,12 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
     if not runs:
         return []
     # top-to-bottom, then left-to-right; pages carry ~10 runs (median),
-    # so a plain sort beats building numpy arrays + lexsort
-    order = sorted(range(len(runs)), key=lambda i: (-runs[i].y, runs[i].x))
+    # so a plain sort beats building numpy arrays + lexsort.  Bare
+    # tuple sort (with the index as the explicit tiebreak the stable
+    # key-sort gave implicitly) skips the per-element key lambda.
+    order = [
+        i for _, _, i in sorted((-r.y, r.x, i) for i, r in enumerate(runs))
+    ]
 
     vrules = [r for r in page.rules if not r.horiz]
 
@@ -68,7 +77,7 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
     def flush() -> None:
         if not group:
             return
-        members = sorted((runs[i] for i in group), key=lambda r: r.x)
+        members = sorted((runs[i] for i in group), key=_GET_X)
         y = max(r.y for r in members)
         parts = [members[0].text]
         exs = [r.end_x for r in members]  # end_x is computed; cache it

@@ -72,9 +72,9 @@ def dates_in(line: str) -> list[tuple[int, dt.date]]:
         if mon is None:
             continue
         found.append((m.start(), _safe_date(int(m[3]), mon, int(m[2]))))
-    return sorted(
-        [(p, d) for p, d in found if d is not None], key=lambda t: t[0]
-    )
+    out = [(p, d) for p, d in found if d is not None]
+    # single-hit lines dominate; skip the sort machinery for them
+    return out if len(out) < 2 else sorted(out, key=lambda t: t[0])
 
 
 # Output rides in DecimalType(18,2) (schema.FIELDS_STRUCT): values with
@@ -100,7 +100,8 @@ def amounts_in(line: str) -> list[tuple[int, str, Decimal]]:
         if val >= _AMOUNT_MAX:
             continue
         out.append((m.start(), "EUR", -val if neg else val))
-    return sorted(out, key=lambda t: t[0])
+    # single-hit lines dominate; skip the sort machinery for them
+    return out if len(out) < 2 else sorted(out, key=lambda t: t[0])
 
 
 def extract_fields(lines: list[str]) -> dict:

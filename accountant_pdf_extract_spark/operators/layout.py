@@ -77,7 +77,11 @@ def cluster_lines(page_idx: int, page: Page) -> list[Line]:
     def flush() -> None:
         if not group:
             return
-        members = sorted((runs[i] for i in group), key=_GET_X)
+        # single-run lines are the common case — skip the sort
+        if len(group) == 1:
+            members = [runs[group[0]]]
+        else:
+            members = sorted((runs[i] for i in group), key=_GET_X)
         y = max(r.y for r in members)
         parts = [members[0].text]
         exs = [r.end_x for r in members]  # end_x is computed; cache it

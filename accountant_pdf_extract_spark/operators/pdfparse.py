@@ -14,6 +14,7 @@ reference repo has no parser to cite (``/root/reference/README.md:1``).
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 import zlib
@@ -703,14 +704,26 @@ def _balanced_dict(body: bytes, start: int) -> bytes:
     return b""
 
 
+@functools.lru_cache(maxsize=256)
+def _dict_value_res(key: bytes):
+    """Compiled (indirect-ref, inline-dict) pattern pair for a dict
+    key — built per distinct key instead of hitting the re module's
+    string-keyed cache on every lookup (hot: several calls per page)."""
+    return (
+        re.compile(key + rb"\s+(\d+)\s+0\s+R"),
+        re.compile(key + rb"\s*<<"),
+    )
+
+
 def _dict_value(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes:
     """The dict a ``key`` points at — an indirect reference's target
     object body, or the inline ``<< ... >>`` (balanced).  b"" when
     absent."""
-    m = re.search(key + rb"\s+(\d+)\s+0\s+R", body)
+    ref_re, inline_re = _dict_value_res(key)
+    m = ref_re.search(body)
     if m:
         return objs.get(int(m.group(1)), b"")
-    m = re.search(key + rb"\s*<<", body)
+    m = inline_re.search(body)
     if m:
         return _balanced_dict(body, m.end() - 2)
     return b""
